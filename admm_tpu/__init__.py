@@ -1,0 +1,38 @@
+"""admm_tpu — a TPU-native operator-splitting (ADMM) statistical framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+R/C++ ADMM package (Lasso, Elastic Net, LAD, Basis Pursuit, Dantzig
+selector; serial FADMM engines plus consensus parallel ADMM), designed
+TPU-first:
+
+* pure-functional solver engines over immutable state pytrees, iterated
+  with ``lax.while_loop`` inside ``jit``;
+* whole lambda paths (warm starts included) as a single compiled XLA
+  program via ``lax.scan``;
+* factorization-backed x-updates turned into MXU matvecs (one-time SPD
+  inverses instead of per-iteration triangular solves);
+* Spectra's Lanczos largest-eigenvalue estimates replaced by on-device
+  power iteration;
+* consensus ADMM sharded across a device mesh with ``shard_map`` and one
+  fused ``psum`` per iteration.
+
+Public API mirrors the reference's five exports (reference: NAMESPACE:9-13)
+as chainable builders::
+
+    import admm_tpu
+    fit = admm_tpu.admm_lasso(x, y).penalty(nlambda=50).fit()
+    fit.beta          # sparse (p+1) x nlambda coefficient matrix
+    fit.plot()
+"""
+from __future__ import annotations
+
+from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
+                  admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "admm_lasso", "admm_enet", "admm_lad", "admm_bp", "admm_dantzig",
+    "ADMMLasso", "ADMMEnet", "ADMMLAD", "ADMMBP", "ADMMDantzig",
+    "__version__",
+]

@@ -1,0 +1,109 @@
+"""glmnet-compatible data standardization and coefficient recovery.
+
+TPU-native equivalent of the reference's ``DataStd`` class (reference:
+src/DataStd.h:10-210).  The four modes are encoded exactly as the
+reference does — ``flag = standardize + 2*intercept``:
+
+  flag 0: fit directly (no centering, no scaling)
+  flag 1: scale x and y by their 1/n-denominator standard deviations
+  flag 2: center x, center+scale y
+  flag 3: standardize x and y (center + scale)
+
+Standard deviations use the glmnet ``1/n`` convention, NOT ``1/(n-1)``
+(reference: src/DataStd.h:39-53).  ``recover`` maps coefficients fitted on
+the transformed data back to the original scale and reconstructs the
+intercept ``beta0 = mean(y) - sum(coef * mean(x))``
+(reference: src/DataStd.h:157-207).
+
+Everything is pure JAX: the centering/scaling fuses into one pass over X
+under jit (the moral equivalent of the reference's hand-written AVX
+``get_ss_avx`` / ``standardize_vec_avx`` kernels,
+reference: src/Linalg/AVX.h:360-530 — here XLA does the fusion).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class StdStats(NamedTuple):
+    """Centering/scaling statistics needed to undo the transform."""
+    mean_x: jnp.ndarray   # (p,)
+    scale_x: jnp.ndarray  # (p,)
+    mean_y: jnp.ndarray   # scalar
+    scale_y: jnp.ndarray  # scalar
+
+
+def _sd_n(v: jnp.ndarray, axis=None) -> jnp.ndarray:
+    """Standard deviation with 1/n denominator (glmnet convention)."""
+    m = jnp.mean(v, axis=axis)
+    return jnp.sqrt(jnp.mean(v * v, axis=axis) - m * m)
+
+
+def standardize(X: jnp.ndarray, y: jnp.ndarray, *, standardize_x: bool,
+                intercept: bool) -> Tuple[jnp.ndarray, jnp.ndarray, StdStats]:
+    """Transform (X, y) per the reference's flag semantics; jit-safe.
+
+    ``standardize_x``/``intercept`` must be Python bools (static under
+    jit); the returned stats always carry well-defined values (identity
+    means/scales where a mode does not use them) so downstream recovery
+    code is branch-free.
+    """
+    flag = int(standardize_x) + 2 * int(intercept)
+    dtype = X.dtype
+    p = X.shape[1]
+
+    mean_x = jnp.zeros((p,), dtype)
+    scale_x = jnp.ones((p,), dtype)
+    mean_y = jnp.zeros((), dtype)
+    scale_y = jnp.ones((), dtype)
+
+    if flag == 1:
+        scale_y = _sd_n(y)
+        y = y / scale_y
+        scale_x = _sd_n(X, axis=0)
+        X = X / scale_x
+    elif flag == 2:
+        mean_y = jnp.mean(y)
+        y = y - mean_y
+        scale_y = jnp.sqrt(jnp.mean(y * y))
+        y = y / scale_y
+        mean_x = jnp.mean(X, axis=0)
+        X = X - mean_x
+    elif flag == 3:
+        mean_y = jnp.mean(y)
+        y = y - mean_y
+        scale_y = jnp.sqrt(jnp.mean(y * y))
+        y = y / scale_y
+        mean_x = jnp.mean(X, axis=0)
+        scale_x = _sd_n(X, axis=0)
+        X = (X - mean_x) / scale_x
+
+    return X, y, StdStats(mean_x, scale_x, mean_y, scale_y)
+
+
+def recover(stats: StdStats, coef: jnp.ndarray, *, standardize_x: bool,
+            intercept: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map coefficients on the transformed scale back to the original.
+
+    ``coef`` has shape (..., p) — a single vector or a whole lambda path.
+    Returns ``(beta0, coef_orig)`` with ``beta0`` of shape (...,).
+    Mirrors reference: src/DataStd.h:157-181.
+    """
+    flag = int(standardize_x) + 2 * int(intercept)
+    if flag == 0:
+        beta0 = jnp.zeros(coef.shape[:-1], coef.dtype)
+        return beta0, coef
+    if flag == 1:
+        coef = coef / stats.scale_x * stats.scale_y
+        beta0 = jnp.zeros(coef.shape[:-1], coef.dtype)
+        return beta0, coef
+    if flag == 2:
+        coef = coef * stats.scale_y
+        beta0 = stats.mean_y - coef @ stats.mean_x
+        return beta0, coef
+    # flag == 3
+    coef = coef / stats.scale_x * stats.scale_y
+    beta0 = stats.mean_y - coef @ stats.mean_x
+    return beta0, coef
