@@ -1,5 +1,365 @@
-# placeholder — full builder API arrives with the model suite
-class _TODO:  # pragma: no cover
-    pass
-ADMMBP = ADMMLAD = ADMMDantzig = ADMMEnet = ADMMLasso = _TODO
-admm_bp = admm_dantzig = admm_enet = admm_lad = admm_lasso = None
+"""Chainable builder API mirroring the reference's five exports.
+
+The reference exposes exactly five model constructors returning RefClass
+builder objects with chainable ``$penalty()``, ``$parallel()``,
+``$opts()`` and ``$fit()`` methods (reference: NAMESPACE:9-13,
+R/30_admm_lasso.R:377-380).  This module reproduces that surface in
+Python::
+
+    fit = admm_lasso(x, y).penalty(nlambda=50).opts(eps_rel=1e-3).fit()
+    fit.beta     # scipy.sparse CSC, (p+1) x nlambda, intercept in row 0
+    fit.plot()   # solution-path plot
+
+Validation semantics (error conditions, defaults, shape requirements)
+follow the reference R layer line by line; the compute underneath is the
+TPU-native JAX path-solver stack in :mod:`admm_tpu.models` and
+:mod:`admm_tpu.parallel`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .models.bp import bp_fit
+from .models.dantzig import dantzig_path
+from .models.lad import lad_fit
+from .models.lasso import enet_path, lasso_path
+from .parallel.consensus import parallel_lasso_path
+
+
+def _check_xy(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64).ravel()
+    if x.ndim != 2:
+        raise ValueError("x must be a 2-D matrix")
+    if x.shape[0] != y.shape[0]:
+        raise ValueError("nrow(x) should be equal to length(y)")
+    return x, y
+
+
+def _sparse_beta(beta0, coef):
+    """Pack a dense (nlambda, p) path + intercepts into the reference's
+    sparse (p+1) x nlambda layout, intercept in row 0
+    (reference: src/Lasso.cpp:22-30, :91-92)."""
+    from scipy import sparse
+
+    beta0 = np.atleast_1d(np.asarray(beta0))
+    coef = np.atleast_2d(np.asarray(coef))
+    dense = np.concatenate([beta0[:, None], coef], axis=1)  # (nl, p+1)
+    return sparse.csc_matrix(dense.T)
+
+
+class _FitResult:
+    def __repr__(self):
+        fields = ", ".join(f"{k}={getattr(self, k)!r}"
+                           for k in getattr(self, "_show", ()))
+        return f"{type(self).__name__}({fields})"
+
+
+class ADMMLassoFit(_FitResult):
+    """Lasso/Enet/Dantzig path fit (reference: R/30_admm_lasso.R:18-22).
+
+    Attributes: ``lambda_`` (nlambda,), ``beta`` sparse (p+1) x nlambda
+    with intercepts in row 0, ``niter`` (nlambda,).
+    """
+    _show = ("lambda_", "niter")
+
+    def __init__(self, lambda_, beta, niter):
+        self.lambda_ = np.asarray(lambda_)
+        self.beta = beta
+        self.niter = np.asarray(niter)
+
+    def plot(self, ax=None):
+        """Solution-path plot (reference: R/30_admm_lasso.R:189-214)."""
+        from .plotting import plot_solution_path
+        return plot_solution_path(self.lambda_, self.beta, ax=ax)
+
+
+class ADMMLADFit(_FitResult):
+    """LAD fit (reference: R/20_admm_lad.R): dense beta incl. intercept."""
+    _show = ("niter",)
+
+    def __init__(self, beta, niter, x, y):
+        self.beta = np.asarray(beta)
+        self.niter = int(niter)
+        self._x, self._y = x, y
+
+    def plot(self, ax=None):
+        """Fitted-vs-observed scatter (reference: R/20_admm_lad.R:87-100)."""
+        from .plotting import plot_fitted_vs_observed
+        fitted = self.beta[0] + self._x @ self.beta[1:]
+        return plot_fitted_vs_observed(fitted, self._y, ax=ax)
+
+
+class ADMMBPFit(_FitResult):
+    """Basis-Pursuit fit (reference: R/10_admm_bp.R): sparse (p, 1) beta."""
+    _show = ("niter",)
+
+    def __init__(self, beta, niter):
+        from scipy import sparse
+
+        self.beta = sparse.csc_matrix(np.asarray(beta)[:, None])
+        self.niter = int(niter)
+
+    def plot(self, ax=None):
+        """Coefficient stem plot (reference: R/10_admm_bp.R:152-163)."""
+        from .plotting import plot_stem
+        return plot_stem(np.asarray(self.beta.todense()).ravel(), ax=ax)
+
+
+class ADMMLasso:
+    """Builder for the Lasso model (reference: R/30_admm_lasso.R:2-15).
+
+    minimize 1/(2n) ||y - X beta||^2 + lambda ||beta||_1
+    """
+
+    _eps_default = 1e-5
+    _rho_default = -1.0
+
+    def __init__(self, x, y, intercept: bool = True,
+                 standardize: bool = True):
+        self.x, self.y = _check_xy(x, y)
+        self.intercept = bool(intercept)
+        self.standardize = bool(standardize)
+        self.lambdas: Optional[np.ndarray] = None
+        self.nlambda = 100
+        n, p = self.x.shape
+        self.lambda_min_ratio = 0.01 if n < p else 1e-4
+        self.nthread = 1
+        self.maxit = 10000
+        self.eps_abs = self._eps_default
+        self.eps_rel = self._eps_default
+        self.rho = self._rho_default
+
+    # -- chainable setters ------------------------------------------------
+    def penalty(self, lambda_=None, nlambda: int = 100,
+                lambda_min_ratio: Optional[float] = None, **kw):
+        """(reference: R/30_admm_lasso.R:72-96)"""
+        if lambda_ is not None:
+            lam = np.sort(np.asarray(lambda_, dtype=np.float64).ravel())[::-1]
+            if np.any(lam <= 0):
+                raise ValueError("lambda must be positive")
+            self.lambdas = lam
+        if nlambda <= 0:
+            raise ValueError("nlambda must be a positive integer")
+        if lambda_min_ratio is None:
+            n, p = self.x.shape
+            lambda_min_ratio = 0.01 if n < p else 1e-4
+        if not (0.0 < lambda_min_ratio < 1.0):
+            raise ValueError("lambda_min_ratio must be within (0, 1)")
+        self.nlambda = int(nlambda)
+        self.lambda_min_ratio = float(lambda_min_ratio)
+        return self
+
+    def parallel(self, nthread: int = 2, **kw):
+        """(reference: R/30_admm_lasso.R:99-112)"""
+        nthread = max(int(nthread), 1)
+        if nthread >= self.x.shape[1] / 5:
+            raise ValueError("nthread cannot exceed ncol(x)/5")
+        self.nthread = nthread
+        return self
+
+    def opts(self, maxit: int = 10000, eps_abs: Optional[float] = None,
+             eps_rel: Optional[float] = None,
+             rho: Optional[float] = None, **kw):
+        """(reference: R/30_admm_lasso.R:115-133)"""
+        if maxit <= 0:
+            raise ValueError("maxit should be positive")
+        eps_abs = self._eps_default if eps_abs is None else eps_abs
+        eps_rel = self._eps_default if eps_rel is None else eps_rel
+        if eps_abs < 0 or eps_rel < 0:
+            raise ValueError("eps_abs and eps_rel should be nonnegative")
+        if rho is not None and rho <= 0:
+            raise ValueError("rho should be positive")
+        self.maxit = int(maxit)
+        self.eps_abs = float(eps_abs)
+        self.eps_rel = float(eps_rel)
+        self.rho = -1.0 if rho is None else float(rho)
+        return self
+
+    # -- fitting ----------------------------------------------------------
+    def _path_kwargs(self):
+        return dict(lambdas=self.lambdas, nlambda=self.nlambda,
+                    lambda_min_ratio=self.lambda_min_ratio,
+                    standardize=self.standardize, intercept=self.intercept,
+                    maxit=self.maxit, eps_abs=self.eps_abs,
+                    eps_rel=self.eps_rel, rho=self.rho)
+
+    def fit(self) -> ADMMLassoFit:
+        """(reference: R/30_admm_lasso.R:136-160 — dispatches the serial
+        or the consensus-parallel solver on nthread)"""
+        if self.nthread <= 1:
+            res = lasso_path(self.x, self.y, **self._path_kwargs())
+        else:
+            res = parallel_lasso_path(self.x, self.y,
+                                      nworkers=self.nthread,
+                                      **self._path_kwargs())
+        return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
+                            res.niter)
+
+    def __repr__(self):
+        n, p = self.x.shape
+        return (f"{type(self).__name__}(x=<{n} x {p}>, "
+                f"nlambda={self.nlambda}, nthread={self.nthread}, "
+                f"maxit={self.maxit}, eps_abs={self.eps_abs}, "
+                f"eps_rel={self.eps_rel}, rho={self.rho})")
+
+
+class ADMMEnet(ADMMLasso):
+    """Elastic-Net builder (reference: R/40_admm_enet.R:2-23).
+
+    minimize 1/(2n)||y - X b||^2 + lambda(alpha||b||_1 + (1-alpha)/2||b||_2^2)
+    """
+
+    def __init__(self, x, y, intercept: bool = True,
+                 standardize: bool = True):
+        super().__init__(x, y, intercept, standardize)
+        self.alpha = 1.0
+
+    def penalty(self, lambda_=None, nlambda: int = 100,
+                lambda_min_ratio: Optional[float] = None,
+                alpha: float = 1.0, **kw):
+        """(reference: R/40_admm_enet.R:35-47)"""
+        if not (0.0 <= alpha <= 1.0):
+            raise ValueError("alpha must be within [0,1]")
+        super().penalty(lambda_, nlambda, lambda_min_ratio)
+        self.alpha = float(alpha)
+        return self
+
+    def parallel(self, nthread: int = 2, **kw):
+        raise NotImplementedError(
+            "parallel computing is not supported for Elastic Net "
+            "(matching the reference, which has no admm_parenet)")
+
+    def fit(self) -> ADMMLassoFit:
+        res = enet_path(self.x, self.y, alpha=self.alpha,
+                        **self._path_kwargs())
+        return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
+                            res.niter)
+
+
+class ADMMDantzig(ADMMLasso):
+    """Dantzig-selector builder (reference: R/50_admm_dantzig.R:2 —
+    extends ADMM_Lasso unchanged).  Unlike the reference — whose native
+    Dantzig solver was never compiled (SURVEY.md section 2.6 caveat 1) —
+    this one actually works."""
+
+    def parallel(self, nthread: int = 2, **kw):
+        raise NotImplementedError(
+            "parallel computing is not supported for the Dantzig selector")
+
+    def fit(self) -> ADMMLassoFit:
+        res = dantzig_path(self.x, self.y, **self._path_kwargs())
+        return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
+                            res.niter)
+
+
+class ADMMBP:
+    """Basis-Pursuit builder (reference: R/10_admm_bp.R:2-41).
+
+    minimize ||beta||_1  s.t.  X beta = y;  requires p > n.
+    """
+
+    def __init__(self, x, y):
+        self.x, self.y = _check_xy(x, y)
+        n, p = self.x.shape
+        if p <= n:
+            raise ValueError("ncol(x) must be greater than nrow(x)")
+        self.nthread = 1
+        self.maxit = 10000
+        self.eps_abs = 1e-4
+        self.eps_rel = 1e-4
+        self.rho = 1.0
+
+    def parallel(self, nthread: int = 2, **kw):
+        """(reference: R/10_admm_bp.R:66-75).  The reference's parallel BP
+        backend was never compiled (src/TODO/ParBP.cppp); here the serial
+        solver is used regardless of nthread, which matches the
+        reference's *intended* single-result semantics."""
+        self.nthread = max(int(nthread), 1)
+        return self
+
+    def opts(self, maxit: int = 10000, eps_abs: float = 1e-4,
+             eps_rel: float = 1e-4, rho: float = 1.0, **kw):
+        """(reference: R/10_admm_bp.R:80-97)"""
+        if maxit <= 0:
+            raise ValueError("maxit should be positive")
+        if eps_abs < 0 or eps_rel < 0:
+            raise ValueError("eps_abs and eps_rel should be nonnegative")
+        if rho <= 0:
+            raise ValueError("rho should be positive")
+        self.maxit = int(maxit)
+        self.eps_abs = float(eps_abs)
+        self.eps_rel = float(eps_rel)
+        self.rho = float(rho)
+        return self
+
+    def fit(self) -> ADMMBPFit:
+        res = bp_fit(self.x, self.y, maxit=self.maxit,
+                     eps_abs=self.eps_abs, eps_rel=self.eps_rel,
+                     rho=self.rho)
+        return ADMMBPFit(res.coef, res.niter)
+
+    def __repr__(self):
+        n, p = self.x.shape
+        return (f"ADMMBP(x=<{n} x {p}>, maxit={self.maxit}, "
+                f"eps_abs={self.eps_abs}, eps_rel={self.eps_rel}, "
+                f"rho={self.rho})")
+
+
+class ADMMLAD(ADMMBP):
+    """LAD (median regression) builder (reference: R/20_admm_lad.R:2-31).
+
+    minimize ||y - X beta||_1;  requires n > p.
+    """
+
+    def __init__(self, x, y, intercept: bool = True):
+        self.x, self.y = _check_xy(x, y)
+        n, p = self.x.shape
+        if n <= p:
+            raise ValueError("nrow(x) must be greater than ncol(x)")
+        self.intercept = bool(intercept)
+        self.nthread = 1
+        self.maxit = 10000
+        self.eps_abs = 1e-4
+        self.eps_rel = 1e-4
+        self.rho = 1.0
+
+    def fit(self) -> ADMMLADFit:
+        res = lad_fit(self.x, self.y, intercept=self.intercept,
+                      maxit=self.maxit, eps_abs=self.eps_abs,
+                      eps_rel=self.eps_rel, rho=self.rho)
+        beta = np.concatenate([np.atleast_1d(np.asarray(res.beta0)),
+                               np.asarray(res.coef)])
+        return ADMMLADFit(beta, res.niter, self.x, self.y)
+
+
+# -- the reference's five exported constructors --------------------------
+
+def admm_lasso(x, y, intercept: bool = True,
+               standardize: bool = True) -> ADMMLasso:
+    """Fit a Lasso model by ADMM (reference: R/30_admm_lasso.R:377-380)."""
+    return ADMMLasso(x, y, intercept, standardize)
+
+
+def admm_enet(x, y, intercept: bool = True,
+              standardize: bool = True) -> ADMMEnet:
+    """Fit an Elastic-Net model by ADMM (reference: R/40_admm_enet.R)."""
+    return ADMMEnet(x, y, intercept, standardize)
+
+
+def admm_lad(x, y, intercept: bool = True) -> ADMMLAD:
+    """Fit a LAD (median) regression by ADMM (reference: R/20_admm_lad.R)."""
+    return ADMMLAD(x, y, intercept)
+
+
+def admm_bp(x, y) -> ADMMBP:
+    """Solve Basis Pursuit by ADMM (reference: R/10_admm_bp.R)."""
+    return ADMMBP(x, y)
+
+
+def admm_dantzig(x, y, intercept: bool = True,
+                 standardize: bool = True) -> ADMMDantzig:
+    """Fit a Dantzig selector by ADMM (reference: R/50_admm_dantzig.R)."""
+    return ADMMDantzig(x, y, intercept, standardize)

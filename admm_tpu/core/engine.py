@@ -123,15 +123,31 @@ def make_state(x, z, y, rho, lam, *, aux=None, adj_z=None, adj_y=None,
 
 
 def warm_start(state: ADMMState, lam) -> ADMMState:
-    """Re-arm the solver for the next lambda, keeping all iterates and rho.
+    """Re-arm the solver for the next lambda, keeping iterates and rho.
 
     This is the lambda-path warm-start protocol (reference:
-    src/ADMMLassoTall.h:219-230) — only the penalty and the residual
-    sentinels are reset; x, z, y, adj_* and rho carry over.
+    src/ADMMLassoTall.h:219-230): the penalty and the residual sentinels
+    are reset; x, z, y and rho carry over.
+
+    Deliberate fix over the reference: the reference also carries the
+    accelerated engine's momentum state (adj_a, adj_c, adj_z, adj_y)
+    across lambdas.  A converged solve leaves ``adj_c ~ 0``, so at the
+    next lambda the combined residual can never decrease below
+    ``0.999*adj_c`` and the engine is stuck in permanent restart mode
+    with one-step-stale extrapolation points — which can create a
+    period-2 oscillation whose phase *falsely satisfies* the Boyd
+    stopping test within a handful of iterations (observed: 1e-2
+    coefficient error at interior path points).  Re-synchronising the
+    momentum to the warm iterates (a standard Nesterov restart) removes
+    the pathology while keeping all warm-start value in (x, z, y, rho).
     """
     dtype = state.rho.dtype
     return state._replace(
         lam=jnp.asarray(lam, dtype=dtype),
+        adj_z=state.z,
+        adj_y=state.y,
+        adj_a=jnp.asarray(1.0, dtype=dtype),
+        adj_c=jnp.asarray(BIG_RESID, dtype=dtype),
         eps_pri=jnp.asarray(0.0, dtype=dtype),
         eps_dua=jnp.asarray(0.0, dtype=dtype),
         r_pri=jnp.asarray(BIG_RESID, dtype=dtype),
@@ -210,6 +226,11 @@ def make_admm_solver(ops: ProblemOps, *, adapt_rho: bool = True,
         return lax.while_loop(cond, lambda s: body(s, eps_abs, eps_rel),
                               state)
 
+    # Expose the single-iteration body for the tracing harness
+    # (admm_tpu.diag.trace).
+    solve.body = lambda st, eps_abs, eps_rel: body(
+        st, jnp.asarray(eps_abs, st.rho.dtype),
+        jnp.asarray(eps_rel, st.rho.dtype))
     return solve
 
 
@@ -283,4 +304,7 @@ def make_fadmm_solver(ops: ProblemOps, *, adapt_rho: bool = False,
         return lax.while_loop(cond, lambda s: body(s, eps_abs, eps_rel),
                               state)
 
+    solve.body = lambda st, eps_abs, eps_rel: body(
+        st, jnp.asarray(eps_abs, st.rho.dtype),
+        jnp.asarray(eps_rel, st.rho.dtype))
     return solve

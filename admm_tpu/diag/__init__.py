@@ -1,0 +1,1 @@
+from .trace import Trace, format_trace, traced_solve

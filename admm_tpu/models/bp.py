@@ -1,0 +1,91 @@
+"""Basis Pursuit solver: ``minimize ||x||_1  s.t.  A x = b`` with p > n.
+
+ADMM splitting (reference: src/ADMMBP.h:7-17)::
+
+    minimize f(x) + g(z)   s.t.  x - z = 0
+    f = indicator{A x = b},  g = ||.||_1
+
+The x-update is the affine projection onto {x : Ax = b}::
+
+    x = v - A'(AA')^{-1} A v + A'(AA')^{-1} b,   v = adj_z - adj_y/rho
+
+(reference: src/ADMMBP.h:48-67).  The reference caches ``L^{-1}A`` from
+the Cholesky AA' = LL' and applies the projection as two BLAS gemvs; the
+TPU-native equivalent caches ``K = (AA')^{-1} A`` (one-time explicit SPD
+inverse + matmul, no triangular solves anywhere) so each iteration is two
+skinny MXU matvecs: ``x = v + AAAb - A'(K v)``.
+
+z-update: soft-threshold with penalty 1/rho (reference: src/ADMMBP.h:84-88).
+Accelerated FADMM engine with the adaptive-rho ladder active (projection
+is rho-independent).  No standardization (reference: src/BP.cpp:24-35).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.engine import ProblemOps, make_fadmm_solver, make_state
+from ..core.prox import l2norm, soft_threshold, sqnorm
+from ..linalg import chol_inverse, dot, tgram
+
+
+class BPResult(NamedTuple):
+    coef: jnp.ndarray   # (p,) the sparse iterate z (reference: src/BP.cpp:37-43)
+    niter: jnp.ndarray  # int32
+
+
+def _bp_ops(A, K, AAAb, n, p) -> ProblemOps:
+    def next_x(st):
+        v = st.adj_z - st.adj_y / st.rho
+        return v + AAAb - dot(A.T, dot(K, v))
+
+    def next_z(st, x_new):
+        v = x_new + st.adj_y / st.rho
+        return soft_threshold(v, 1.0 / st.rho), st.aux
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: x - z,
+        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.x), l2norm(st.z)),
+        eps_dual_scale=lambda st: l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
+        combined_extra=lambda st, z_new: sqnorm(z_new - st.adj_z),
+        dim_main=p, dim_dual=p,
+    )
+
+
+@jax.jit
+def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
+    n, p = A.shape
+    dtype = A.dtype
+    AAt = tgram(A)
+    jitter = 1e-6 if dtype == jnp.float32 else 0.0
+    Winv = chol_inverse(AAt, jitter=jitter)       # (AA')^-1
+    K = dot(Winv, A)                              # (AA')^-1 A, n x p
+    AAAb = dot(A.T, dot(Winv, b))                 # A'(AA')^-1 b
+
+    ops = _bp_ops(A, K, AAAb, n, p)
+    solve = make_fadmm_solver(ops, adapt_rho=True)
+
+    zeros = jnp.zeros((p,), dtype)
+    st = make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype)
+    st = solve(st, maxit, eps_abs, eps_rel)
+    return BPResult(coef=st.z, niter=st.it)
+
+
+def bp_fit(A, b, *, maxit: int = 10000, eps_abs: float = 1e-4,
+           eps_rel: float = 1e-4, rho: float = 1.0,
+           dtype=None) -> BPResult:
+    """Solve Basis Pursuit.  Defaults mirror reference: R/10_admm_bp.R:37-41
+    (eps 1e-4, rho = 1).  Requires p > n (validated by the builder API)."""
+    if dtype is None:
+        # Match the reference's float64 for this model class when the
+        # backend supports it (reference: src/LAD.cpp / src/BP.cpp use
+        # double); float32 on TPU (SURVEY.md 2.6 caveat 2).
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A = jnp.asarray(A, dtype)
+    b = jnp.asarray(b, dtype)
+    return _bp_fit(A, b, rho, maxit, eps_abs, eps_rel)

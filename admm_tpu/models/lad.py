@@ -1,0 +1,126 @@
+"""LAD (least absolute deviations / median regression) solver.
+
+Model: ``minimize ||y - X beta||_1`` with n > p, optionally with an
+intercept; data is always standardized (reference: src/LAD.cpp:34-35,
+R/20_admm_lad.R:21-31).
+
+ADMM formulation in range space (reference: src/ADMMLAD.h:7-29): with
+``xx := X beta`` constrained to Range(X),
+
+    minimize f(xx) + g(z)   s.t.  xx - z = y
+    f = indicator{xx in Range(X)},  g = ||.||_1
+
+so the x-update is the orthogonal projection onto Range(X):
+``x = X (X'X)^{-1} X' v`` with ``v = y - adj_y/rho + adj_z``
+(reference: src/ADMMLAD.h:62-78), and the z-update is a soft-threshold
+with penalty ``1/rho`` (reference: src/ADMMLAD.h:94-98).
+
+TPU-native choices:
+
+* The reference builds a dense n x n hat matrix when n <= 2000 so it can
+  use one BLAS ``dsymv`` per iteration; on TPU the factored projection
+  ``X ((X'X)^{-1} (X' v))`` is two skinny matvecs + one p x p matvec on
+  the MXU — cheaper in FLOPs and memory for every n > p, so we always
+  use it (with a one-time explicit inverse of X'X instead of a cached
+  Cholesky, avoiding per-iteration triangular solves).
+* The accelerated FADMM engine runs WITH the adaptive-rho ladder: the
+  projection is rho-independent, so rho changes are free (the reference
+  inherits FADMMBase::update_rho unoverridden — SURVEY.md section 2.3).
+
+The final coefficients are recovered by one least-squares solve
+``beta = (X'X)^{-1} X' (y - adj_y/rho + adj_z)``
+(reference: src/ADMMLAD.h:220-225) and un-standardized.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.engine import ProblemOps, make_fadmm_solver, make_state
+from ..core.prox import l2norm, soft_threshold, sqnorm
+from ..data.standardize import recover, standardize
+from ..linalg import chol_inverse, dot, gram
+
+
+class LADResult(NamedTuple):
+    beta0: jnp.ndarray  # scalar intercept (0 when intercept=False)
+    coef: jnp.ndarray   # (p,) coefficients on the original scale
+    niter: jnp.ndarray  # int32
+
+
+def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
+    def project(v):
+        """Orthogonal projection onto Range(X): X (X'X)^-1 X' v."""
+        return dot(Xs, dot(Ginv, dot(Xs.T, v)))
+
+    def next_x(st):
+        v = ys - st.adj_y / st.rho + st.adj_z
+        return project(v)
+
+    def next_z(st, x_new):
+        v = x_new - ys + st.adj_y / st.rho
+        return soft_threshold(v, 1.0 / st.rho), st.aux
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: x - ys - z,
+        eps_primal_scale=lambda st: jnp.maximum(
+            jnp.maximum(l2norm(st.x), l2norm(st.z)), ynorm),
+        eps_dual_scale=lambda st: l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
+        combined_extra=lambda st, z_new: sqnorm(z_new - st.adj_z),
+        dim_main=n, dim_dual=n,
+    )
+
+
+@partial(jax.jit, static_argnames=("intercept",))
+def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
+    n, p = X.shape
+    dtype = X.dtype
+    # LAD always standardizes X (reference: src/LAD.cpp:34).
+    Xs, ys, stats = standardize(X, y, standardize_x=True,
+                                intercept=intercept)
+    XtX = gram(Xs)
+    # X'X is unregularised here; jitter guards f32 conditioning (the
+    # reference relies on float64, SURVEY.md section 2.6 caveat 2).
+    jitter = 1e-6 if dtype == jnp.float32 else 0.0
+    Ginv = chol_inverse(XtX, jitter=jitter)
+    ynorm = l2norm(ys)
+
+    ops = _lad_ops(Xs, ys, Ginv, ynorm, n, p)
+    solve = make_fadmm_solver(ops, adapt_rho=True)
+
+    zeros = jnp.zeros((n,), dtype)
+    st = make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype)
+    st = solve(st, maxit, eps_abs, eps_rel)
+
+    # beta = (X'X)^-1 X' (y - adj_y/rho + adj_z)
+    # (reference: src/ADMMLAD.h:220-225)
+    v = ys - st.adj_y / st.rho + st.adj_z
+    coef_std = dot(Ginv, dot(Xs.T, v))
+    beta0, coef = recover(stats, coef_std, standardize_x=True,
+                          intercept=intercept)
+    return LADResult(beta0=beta0, coef=coef, niter=st.it)
+
+
+def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
+            eps_abs: float = 1e-4, eps_rel: float = 1e-4,
+            rho: float = 1.0, dtype=None) -> LADResult:
+    """Fit median regression by FADMM.
+
+    Defaults mirror the reference R API (reference: R/20_admm_lad.R:28-31:
+    eps 1e-4, rho = 1).  Requires n > p (validated by the builder API).
+    """
+    if dtype is None:
+        # Match the reference's float64 for this model class when the
+        # backend supports it (reference: src/LAD.cpp / src/BP.cpp use
+        # double); float32 on TPU (SURVEY.md 2.6 caveat 2).
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    return _lad_fit(X, y, rho, maxit, eps_abs, eps_rel,
+                    intercept=intercept)

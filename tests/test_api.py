@@ -1,0 +1,113 @@
+"""Tests for the chainable builder API (reference R-layer semantics)."""
+import numpy as np
+import pytest
+
+import admm_tpu
+from tests.conftest import make_regression
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(123)
+    return make_regression(rng, 100, 20, mean=1.2, sd=2.0)
+
+
+def test_lasso_builder_chain_and_fit(data):
+    X, y, _ = data
+    fit = (admm_tpu.admm_lasso(X, y)
+           .penalty(nlambda=12, lambda_min_ratio=0.01)
+           .opts(maxit=2000, eps_rel=1e-4)
+           .fit())
+    assert fit.lambda_.shape == (12,)
+    assert fit.beta.shape == (21, 12)  # (p+1) x nlambda, intercept row 0
+    assert fit.niter.shape == (12,)
+    # beta is sparse
+    from scipy import sparse
+    assert sparse.issparse(fit.beta)
+
+
+def test_lasso_validation_errors(data):
+    X, y, _ = data
+    with pytest.raises(ValueError, match="nrow"):
+        admm_tpu.admm_lasso(X, y[:-1])
+    m = admm_tpu.admm_lasso(X, y)
+    with pytest.raises(ValueError, match="lambda must be positive"):
+        m.penalty(lambda_=[-1.0])
+    with pytest.raises(ValueError, match="nlambda"):
+        m.penalty(nlambda=0)
+    with pytest.raises(ValueError, match="lambda_min_ratio"):
+        m.penalty(lambda_min_ratio=2.0)
+    with pytest.raises(ValueError, match="nthread"):
+        m.parallel(nthread=10)  # >= ncol/5 = 4
+    with pytest.raises(ValueError, match="maxit"):
+        m.opts(maxit=0)
+    with pytest.raises(ValueError, match="rho"):
+        m.opts(rho=-2.0)
+
+
+def test_enet_builder(data):
+    X, y, _ = data
+    fit = admm_tpu.admm_enet(X, y).penalty(nlambda=8, alpha=0.5).fit()
+    assert fit.beta.shape == (21, 8)
+    with pytest.raises(ValueError, match="alpha"):
+        admm_tpu.admm_enet(X, y).penalty(alpha=1.5)
+
+
+def test_lad_builder(data):
+    X, y, _ = data
+    fit = admm_tpu.admm_lad(X, y).opts(eps_rel=1e-3).fit()
+    assert fit.beta.shape == (21,)
+    assert fit.niter > 0
+    # shape validation: requires n > p
+    with pytest.raises(ValueError, match="nrow"):
+        admm_tpu.admm_lad(X[:10], y[:10])
+
+
+def test_bp_builder():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(30, 60))
+    x0 = np.zeros(60)
+    x0[[3, 17, 40]] = [1.0, -2.0, 0.5]
+    fit = admm_tpu.admm_bp(A, A @ x0).fit()
+    assert fit.beta.shape == (60, 1)
+    got = np.asarray(fit.beta.todense()).ravel()
+    np.testing.assert_allclose(got, x0, atol=5e-3)
+    # shape validation: requires p > n
+    with pytest.raises(ValueError, match="ncol"):
+        admm_tpu.admm_bp(A.T, np.zeros(60))
+
+
+def test_dantzig_builder(data):
+    X, y, _ = data
+    fit = admm_tpu.admm_dantzig(X, y).penalty(nlambda=6).opts(
+        maxit=3000, eps_rel=1e-4).fit()
+    assert fit.beta.shape == (21, 6)
+
+
+def test_parallel_lasso_via_builder(data):
+    X, y, _ = data
+    fit = (admm_tpu.admm_lasso(X, y)
+           .penalty(nlambda=6)
+           .parallel(nthread=2)
+           .fit())
+    ser = admm_tpu.admm_lasso(X, y).penalty(nlambda=6).fit()
+    a = np.asarray(fit.beta.todense())
+    b = np.asarray(ser.beta.todense())
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_plots_render(data, tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    X, y, _ = data
+    fit = admm_tpu.admm_lasso(X, y).penalty(nlambda=6).fit()
+    ax = fit.plot()
+    assert ax is not None
+    lad = admm_tpu.admm_lad(X, y).opts(eps_rel=1e-3).fit()
+    assert lad.plot() is not None
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(20, 50))
+    x0 = np.zeros(50)
+    x0[5] = 1.0
+    bp = admm_tpu.admm_bp(A, A @ x0).fit()
+    assert bp.plot() is not None

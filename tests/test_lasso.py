@@ -1,0 +1,159 @@
+"""Golden tests for the Lasso/Enet path solvers against scikit-learn.
+
+Modeled on the reference's quality control: coefficient agreement with an
+independent solver at ~1e-3..1e-5 (reference README.md:44-123) plus KKT
+property tests at convergence (SURVEY.md section 4).
+"""
+import numpy as np
+import pytest
+from sklearn.linear_model import ElasticNet, Lasso
+
+from admm_tpu.models.lasso import enet_path, lasso_path
+from tests.conftest import make_regression
+
+
+@pytest.fixture(scope="module")
+def tall_problem():
+    rng = np.random.default_rng(123)
+    return make_regression(rng, 100, 20, mean=1.2, sd=2.0)
+
+
+@pytest.fixture(scope="module")
+def wide_problem():
+    rng = np.random.default_rng(123)
+    X = rng.normal(size=(60, 120))
+    b = np.zeros(120)
+    b[:10] = rng.uniform(1, 2, 10)
+    y = X @ b + 0.1 * rng.normal(size=60)
+    return X, y, b
+
+
+def test_tall_matches_sklearn_no_standardize(tall_problem):
+    X, y, _ = tall_problem
+    lam = np.exp(-2.0)
+    res = lasso_path(X, y, lambdas=np.array([lam]), standardize=False,
+                     intercept=False)
+    sk = Lasso(alpha=lam, fit_intercept=False, tol=1e-10,
+               max_iter=100000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(res.coef[0]), sk.coef_,
+                               atol=2e-4)
+
+
+def test_tall_matches_sklearn_intercept(tall_problem):
+    X, y, _ = tall_problem
+    lam = np.exp(-2.0)
+    res = lasso_path(X, y, lambdas=np.array([lam]), standardize=False,
+                     intercept=True)
+    sk = Lasso(alpha=lam, fit_intercept=True, tol=1e-10,
+               max_iter=100000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(res.coef[0]), sk.coef_,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(res.beta0[0]), sk.intercept_,
+                               atol=2e-3)
+
+
+def test_tall_standardized_matches_glmnet_style(tall_problem):
+    """standardize=True reproduces glmnet's standardize-then-recover
+    solution (emulated with sklearn on manually standardized X)."""
+    X, y, _ = tall_problem
+    lam = np.exp(-2.0)
+    Xm, Xsd = X.mean(0), X.std(0)
+    sk = Lasso(alpha=lam, fit_intercept=True, tol=1e-12,
+               max_iter=200000).fit((X - Xm) / Xsd, y)
+    coef_ref = sk.coef_ / Xsd
+    b0_ref = sk.intercept_ - (coef_ref * Xm).sum()
+    res = lasso_path(X, y, lambdas=np.array([lam]), standardize=True,
+                     intercept=True)
+    np.testing.assert_allclose(np.asarray(res.coef[0]), coef_ref,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(res.beta0[0]), b0_ref, atol=2e-3)
+
+
+def test_wide_matches_sklearn(wide_problem):
+    X, y, _ = wide_problem
+    lam = 0.1
+    res = lasso_path(X, y, lambdas=np.array([lam]), standardize=False,
+                     intercept=False, eps_abs=1e-6, eps_rel=1e-6)
+    sk = Lasso(alpha=lam, fit_intercept=False, tol=1e-12,
+               max_iter=500000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(res.coef[0]), sk.coef_,
+                               atol=2e-3)
+
+
+def test_enet_tall_matches_sklearn():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(200, 50))
+    b = np.zeros(50)
+    b[:5] = 1.5
+    y = X @ b + 0.1 * rng.normal(size=200)
+    lam, alpha = 0.1, 0.6
+    res = enet_path(X, y, alpha=alpha, lambdas=np.array([lam]),
+                    standardize=False, intercept=False, eps_abs=1e-7,
+                    eps_rel=1e-7)
+    sk = ElasticNet(alpha=lam, l1_ratio=alpha, fit_intercept=False,
+                    tol=1e-12, max_iter=500000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(res.coef[0]), sk.coef_,
+                               atol=2e-4)
+
+
+def test_enet_wide_matches_sklearn(wide_problem):
+    X, y, _ = wide_problem
+    lam, alpha = 0.1, 0.6
+    res = enet_path(X, y, alpha=alpha, lambdas=np.array([lam]),
+                    standardize=False, intercept=False, eps_abs=1e-6,
+                    eps_rel=1e-6)
+    sk = ElasticNet(alpha=lam, l1_ratio=alpha, fit_intercept=False,
+                    tol=1e-12, max_iter=500000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(res.coef[0]), sk.coef_,
+                               atol=5e-4)
+
+
+def test_auto_path_head_is_zero_and_sorted(tall_problem):
+    X, y, _ = tall_problem
+    res = lasso_path(X, y, nlambda=20, lambda_min_ratio=0.01)
+    lams = np.asarray(res.lambdas)
+    assert np.all(np.diff(lams) < 0)
+    # At lambda_max every coefficient is zero by the lambda0 rule.
+    np.testing.assert_allclose(np.asarray(res.coef[0]), 0.0, atol=1e-6)
+    assert np.asarray(res.niter).shape == (20,)
+
+
+def test_warm_start_path_consistent_with_cold_solve(tall_problem):
+    X, y, _ = tall_problem
+    grid = np.exp(np.linspace(np.log(1.0), np.log(0.01), 10))
+    path = lasso_path(X, y, lambdas=grid, standardize=False,
+                      intercept=False)
+    single = lasso_path(X, y, lambdas=np.array([grid[7]]),
+                        standardize=False, intercept=False)
+    np.testing.assert_allclose(np.asarray(path.coef[7]),
+                               np.asarray(single.coef[0]), atol=5e-4)
+
+
+def test_kkt_at_convergence(tall_problem):
+    """KKT for 1/(2n)||y-Xb||^2 + lam||b||_1: |X'(y-Xb)|/n <= lam, with
+    equality (signed) on the support."""
+    X, y, _ = tall_problem
+    lam = 0.2
+    res = lasso_path(X, y, lambdas=np.array([lam]), standardize=False,
+                     intercept=False, eps_abs=1e-7, eps_rel=1e-7)
+    b = np.asarray(res.coef[0])
+    g = X.T @ (y - X @ b) / len(y)
+    assert np.abs(g).max() <= lam + 1e-4
+    support = np.abs(b) > 1e-6
+    np.testing.assert_allclose(g[support], lam * np.sign(b[support]),
+                               atol=1e-4)
+
+
+def test_user_lambdas_sorted_descending(tall_problem):
+    X, y, _ = tall_problem
+    res = lasso_path(X, y, lambdas=np.array([0.01, 1.0, 0.1]),
+                     standardize=False, intercept=False, maxit=2000)
+    np.testing.assert_allclose(np.asarray(res.lambdas), [1.0, 0.1, 0.01],
+                               rtol=1e-6)
+
+
+def test_huge_lambda_gives_zero(tall_problem):
+    X, y, _ = tall_problem
+    res = lasso_path(X, y, lambdas=np.array([1e6]), standardize=False,
+                     intercept=False, maxit=2000)
+    np.testing.assert_allclose(np.asarray(res.coef), 0.0, atol=1e-5)
