@@ -41,13 +41,11 @@ def _check_xy(x, y):
 def _sparse_beta(beta0, coef):
     """Pack a dense (nlambda, p) path + intercepts into the reference's
     sparse (p+1) x nlambda layout, intercept in row 0
-    (reference: src/Lasso.cpp:22-30, :91-92)."""
-    from scipy import sparse
+    (reference: src/Lasso.cpp:22-30, :91-92).  Uses the native C++
+    packer when available (admm_tpu/_native.py)."""
+    from ._native import pack_beta_csc
 
-    beta0 = np.atleast_1d(np.asarray(beta0))
-    coef = np.atleast_2d(np.asarray(coef))
-    dense = np.concatenate([beta0[:, None], coef], axis=1)  # (nl, p+1)
-    return sparse.csc_matrix(dense.T)
+    return pack_beta_csc(beta0, coef)
 
 
 class _FitResult:

@@ -234,6 +234,47 @@ def make_admm_solver(ops: ProblemOps, *, adapt_rho: bool = True,
     return solve
 
 
+def make_batched_solver(solve):
+    """Batched-lane variant of an engine: one lane per lambda.
+
+    The reference solves the lambda path sequentially with warm starts
+    (reference: src/Lasso.cpp:97-124) because on CPU each solve is a
+    chain of BLAS-2 calls.  On TPU there is a second, MXU-shaped option:
+    stack all lambdas as a leading lane axis and run ONE while_loop whose
+    body is the single-lambda engine body ``vmap``-ed over lanes — the
+    per-iteration p x p matvec becomes a (k, p) x (p, p) matmul with k
+    times the arithmetic intensity, and the loop runs until every lane
+    has converged (converged lanes are frozen, so their ``it`` is the
+    per-lambda iteration count).  Cold starts need more iterations per
+    lambda than warm starts, but the MXU eats the extra lanes for free.
+
+    Works for any engine built by :func:`make_admm_solver` /
+    :func:`make_fadmm_solver` whose ProblemOps are vmappable.
+    """
+
+    def solve_batched(states: ADMMState, maxit, eps_abs, eps_rel):
+        eps_abs = jnp.asarray(eps_abs, states.rho.dtype)
+        eps_rel = jnp.asarray(eps_rel, states.rho.dtype)
+        body = jax.vmap(lambda s: solve.body(s, eps_abs, eps_rel))
+
+        def freeze(old, new):
+            def f(a, b):
+                d = old.done.reshape(old.done.shape
+                                     + (1,) * (b.ndim - old.done.ndim))
+                return jnp.where(d, a, b)
+            return jax.tree.map(f, old, new)
+
+        def wl_body(st):
+            return freeze(st, body(st))
+
+        def cond(st):
+            return jnp.any(jnp.logical_not(st.done) & (st.it < maxit))
+
+        return lax.while_loop(cond, wl_body, states)
+
+    return solve_batched
+
+
 def make_fadmm_solver(ops: ProblemOps, *, adapt_rho: bool = False,
                       rho_start_iter: int = 5, restart_tol: float = 0.999):
     """Accelerated (fast) ADMM with restart, Goldstein et al. 2014.

@@ -47,7 +47,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.engine import (ProblemOps, make_admm_solver, make_fadmm_solver,
+from ..core.engine import (ADMMState, ProblemOps, make_admm_solver,
+                           make_batched_solver, make_fadmm_solver,
                            make_state, warm_start)
 from ..core.prox import enet_prox, l2norm, sqnorm
 from ..data.standardize import StdStats, recover, standardize
@@ -114,6 +115,73 @@ def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha):
 
     _, (coefs, niter) = lax.scan(step, st0, ilams)
     return coefs, niter
+
+
+def _batched_cold_states(k, dims, rho, ilams, dtype, aux_dim=None):
+    """Stacked cold-start states, one lane per lambda."""
+    zeros = jnp.zeros((k, dims), dtype)
+    aux = None if aux_dim is None else jnp.zeros((k, aux_dim), dtype)
+    ones = jnp.ones((k,), dtype)
+    return ADMMState(
+        x=zeros, z=zeros, y=zeros, adj_z=zeros, adj_y=zeros, aux=aux,
+        adj_a=ones, adj_c=9999.0 * ones,
+        rho=rho * jnp.ones((k,), dtype), lam=jnp.asarray(ilams, dtype),
+        eps_pri=0.0 * ones, eps_dua=0.0 * ones,
+        r_pri=9999.0 * ones, r_dua=9999.0 * ones,
+        it=jnp.zeros((k,), jnp.int32),
+        done=jnp.zeros((k,), bool),
+    )
+
+
+def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
+                           alpha):
+    """All-lambdas-at-once tall solve (see make_batched_solver).
+
+    Uses a single shared rho/factorization across lambdas — exactly the
+    reference's own path protocol (rho is set at the first lambda and
+    never changes, reference: src/ADMMLassoTall.h:96-97, :219-230)."""
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    XtX = gram(Xs)
+    Xty = dot(Xs.T, ys)
+    sprad = spectral_radius_sym(XtX)
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.cbrt(sprad) * ilams[0] ** (2.0 / 3.0))
+    Minv = ridge_inverse(XtX, rho)
+
+    ops = _tall_ops(Minv, Xty, alpha, p)
+    solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
+    st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype)
+    st = solve(st, maxit, eps_abs, eps_rel)
+    return st.z, st.it
+
+
+def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
+                           alpha, enet_lambda0_scale):
+    """All-lambdas-at-once wide solve; rho is per-lane (no factorization
+    depends on it, so each lambda keeps its own auto-rho + ladder)."""
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    Xty = dot(Xs.T, ys)
+    lambda0 = jnp.max(jnp.abs(Xty))
+    if enet_lambda0_scale:
+        lambda0 = lambda0 / (alpha + 1e-4)
+    XXt = dot(Xs, Xs.T)
+    sprad = spectral_radius_sym(XXt)
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.cbrt(ilams / sprad))
+
+    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
+    solve = make_batched_solver(make_admm_solver(ops, adapt_rho=True))
+    k = ilams.shape[0]
+    st = _batched_cold_states(k, p, 1.0, ilams, dtype, aux_dim=n)
+    st = st._replace(rho=jnp.broadcast_to(rho, (k,)).astype(dtype),
+                     z=jnp.zeros((k, n), dtype),
+                     y=jnp.zeros((k, n), dtype),
+                     adj_z=jnp.zeros((k, n), dtype),
+                     adj_y=jnp.zeros((k, n), dtype))
+    st = solve(st, maxit, eps_abs, eps_rel)
+    return st.x, st.it
 
 
 # ---------------------------------------------------------------------------
@@ -196,9 +264,10 @@ def _lambda0_internal(Xs, ys, alpha, enet_scale):
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
-                                   "enet_scale"))
+                                   "enet_scale", "path_mode"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
-               eps_rel, alpha, *, standardize_x, intercept, enet_scale):
+               eps_rel, alpha, *, standardize_x, intercept, enet_scale,
+               path_mode):
     """Auto lambda grid: log-linear from lambda0 down to ratio*lambda0
     (reference: src/Lasso.cpp:78-89)."""
     n = X.shape[0]
@@ -210,31 +279,43 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin), nlambda))
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale)
+                           enet_scale, path_mode)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "enet_scale"))
+                                   "enet_scale", "path_mode"))
 def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha, *,
-               standardize_x, intercept, enet_scale):
+               standardize_x, intercept, enet_scale, path_mode):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale)
+                           enet_scale, path_mode)
 
 
 def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
-                    eps_rel, alpha, standardize_x, intercept, enet_scale):
+                    eps_rel, alpha, standardize_x, intercept, enet_scale,
+                    path_mode="scan"):
     n, p = Xs.shape
     # Internal penalty scale (reference: src/Lasso.cpp:99).
     ilams = lams * n / stats.scale_y
     if n > p:
-        coefs, niter = _solve_path_tall(Xs, ys, ilams, rho, maxit, eps_abs,
-                                        eps_rel, alpha)
+        if path_mode == "batch":
+            coefs, niter = _solve_path_tall_batch(Xs, ys, ilams, rho,
+                                                  maxit, eps_abs, eps_rel,
+                                                  alpha)
+        else:
+            coefs, niter = _solve_path_tall(Xs, ys, ilams, rho, maxit,
+                                            eps_abs, eps_rel, alpha)
     else:
-        coefs, niter = _solve_path_wide(Xs, ys, ilams, rho, maxit, eps_abs,
-                                        eps_rel, alpha, enet_scale)
+        if path_mode == "batch":
+            coefs, niter = _solve_path_wide_batch(Xs, ys, ilams, rho,
+                                                  maxit, eps_abs, eps_rel,
+                                                  alpha, enet_scale)
+        else:
+            coefs, niter = _solve_path_wide(Xs, ys, ilams, rho, maxit,
+                                            eps_abs, eps_rel, alpha,
+                                            enet_scale)
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
@@ -246,6 +327,7 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                maxit: int = 10000, eps_abs: float = 1e-5,
                eps_rel: float = 1e-5, rho: float = -1.0,
                alpha: float = 1.0, _enet_scale: bool = False,
+               path_mode: str = "scan",
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
 
@@ -253,6 +335,11 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     ``_enet_scale=True`` to reproduce the reference Enet's lambda0
     inflation, reference: src/ADMMEnet.h:56).  Defaults mirror the
     reference R API (reference: R/30_admm_lasso.R:31-49).
+
+    ``path_mode``: "scan" (default) solves lambdas sequentially with
+    warm starts, matching the reference's protocol and iteration counts;
+    "batch" solves all lambdas simultaneously as MXU lanes (see
+    make_batched_solver) — same solutions, usually much faster on TPU.
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -263,10 +350,11 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
         return _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
                           standardize_x=standardize, intercept=intercept,
-                          enet_scale=_enet_scale)
+                          enet_scale=_enet_scale, path_mode=path_mode)
     return _path_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
                       eps_abs, eps_rel, alpha, standardize_x=standardize,
-                      intercept=intercept, enet_scale=_enet_scale)
+                      intercept=intercept, enet_scale=_enet_scale,
+                      path_mode=path_mode)
 
 
 def enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:

@@ -157,3 +157,34 @@ def test_huge_lambda_gives_zero(tall_problem):
     res = lasso_path(X, y, lambdas=np.array([1e6]), standardize=False,
                      intercept=False, maxit=2000)
     np.testing.assert_allclose(np.asarray(res.coef), 0.0, atol=1e-5)
+
+
+def test_batch_mode_matches_scan_tall(tall_problem):
+    X, y, _ = tall_problem
+    a = lasso_path(X, y, nlambda=12)
+    b = lasso_path(X, y, nlambda=12, path_mode="batch")
+    np.testing.assert_allclose(np.asarray(b.coef), np.asarray(a.coef),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(b.beta0), np.asarray(a.beta0),
+                               atol=5e-3)
+    assert np.all(np.asarray(b.niter) > 0)
+
+
+def test_batch_mode_matches_scan_wide(wide_problem):
+    X, y, _ = wide_problem
+    a = lasso_path(X, y, nlambda=10)
+    b = lasso_path(X, y, nlambda=10, path_mode="batch")
+    np.testing.assert_allclose(np.asarray(b.coef), np.asarray(a.coef),
+                               atol=2e-3)
+
+
+def test_batch_mode_enet():
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(150, 30))
+    b = np.zeros(30)
+    b[:5] = 1.0
+    y = X @ b + 0.2 * rng.normal(size=150)
+    a = enet_path(X, y, alpha=0.6, nlambda=8)
+    bm = enet_path(X, y, alpha=0.6, nlambda=8, path_mode="batch")
+    np.testing.assert_allclose(np.asarray(bm.coef), np.asarray(a.coef),
+                               atol=5e-4)
