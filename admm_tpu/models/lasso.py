@@ -149,11 +149,33 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
                     jnp.cbrt(sprad) * ilams[0] ** (2.0 / 3.0))
     Minv = ridge_inverse(XtX, rho)
 
+    # TPU fast path: the whole batched path solves inside ONE Pallas
+    # kernel with the ridge inverse resident in VMEM (no HBM re-reads
+    # per iteration).  Bit-compatible with the XLA solver below.
+    if _use_pallas_tall(p, ilams.shape[0], dtype):
+        from ..ops.tall_path import tall_path_batch_pallas
+
+        return tall_path_batch_pallas(
+            Minv, Xty, ilams, rho, eps_abs, eps_rel,
+            jnp.asarray(alpha, dtype), maxit, true_p=p)
+
     ops = _tall_ops(Minv, Xty, alpha, p)
     solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
     st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype)
     st = solve(st, maxit, eps_abs, eps_rel)
     return st.z, st.it
+
+
+def _use_pallas_tall(p: int, k: int, dtype) -> bool:
+    import os
+
+    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
+        return False
+    if dtype != jnp.float32 or jax.default_backend() != "tpu":
+        return False
+    from ..ops.tall_path import supports
+
+    return supports(p, k)
 
 
 def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,

@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: the entire tall-Lasso/Enet lambda path in VMEM.
+
+Why this kernel exists: in the XLA batched path solver
+(admm_tpu/models/lasso.py), the while_loop state and the cached ridge
+inverse live in HBM — every ADMM iteration re-reads the (p, p) inverse
+(4 MB at p=1024) from HBM, so the iteration is HBM-bandwidth-bound even
+though the MXU could re-use the matrix from on-chip memory.  This kernel
+runs the WHOLE batched FADMM path — every lambda lane, every iteration,
+the Boyd stopping rule and the Nesterov restart logic — inside one
+``pallas_call`` with the inverse, the iterates and the lambda grid
+resident in VMEM.  HBM traffic drops to one read of the inputs and one
+write of the outputs, and the per-iteration cost approaches pure MXU/VPU
+latency.
+
+The math is identical to ``make_fadmm_solver`` + ``make_batched_solver``
+over ``_tall_ops`` (engine: admm_tpu/core/engine.py; reference math:
+src/ADMMLassoTall.h:70-97, src/FADMMBase.h:219-265).  Matmuls run at
+``precision=HIGHEST`` (f32-accurate passes) — DEFAULT MXU precision is
+bf16 and loses ~3 digits, enough to break the convergence test.
+
+VMEM budget gates usage: padded P^2 + ~7*K*P floats must fit in ~16 MB;
+``supports()`` checks this and callers fall back to the XLA solver.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom of ~3 MB
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supports(p: int, k: int) -> bool:
+    """Whether the (p, k) problem fits the kernel's VMEM budget."""
+    P = _round_up(max(p, 8), LANE)
+    K = _round_up(max(k, 8), 8)
+    need = 4 * (P * P + 8 * K * P + 4 * K)
+    return need <= _VMEM_BUDGET_BYTES
+
+
+def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
+            x_ref, y_ref, adjz_ref, adjy_ref, sc_ref,
+            *, true_p: int, restart_tol: float):
+    """One program: solves all K lambda lanes to convergence.
+
+    All per-lane state lives in VMEM refs (z in the output ref); the
+    while_loop carries only two scalars — Mosaic mis-lays-out (K, 1)
+    vectors carried through a while_loop, so vector state goes through
+    refs instead.  ``sc_ref`` packs the per-lane scalars as columns:
+    [adj_a, adj_c, done01, niter].
+    """
+    K = lam_ref.shape[0]
+    rho = scal_ref[0, 0]
+    eps_abs = scal_ref[0, 1]
+    eps_rel = scal_ref[0, 2]
+    alpha = scal_ref[0, 3]
+    maxit = scal_ref[0, 4].astype(jnp.int32)
+    sqrt_p = jnp.sqrt(jnp.float32(true_p))
+
+    minv = minv_ref[:]                 # (P, P) stays in VMEM throughout
+    xty = xty_ref[:]                   # (1, P)
+    lam = lam_ref[:].reshape(K, 1)     # (K, 1) per-lane internal lambda
+
+    rnorm = lambda v: jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+
+    def prox(v, pen):
+        thresh = alpha * pen
+        denom = 1.0 + pen * (1.0 - alpha)
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0) / denom
+
+    # Cold start (reference: src/ADMMLassoTall.h:179-216).
+    for ref in (z_out, x_ref, y_ref, adjz_ref, adjy_ref):
+        ref[:] = jnp.zeros_like(ref)
+    sc_ref[:] = jnp.concatenate([
+        jnp.ones((K, 1), jnp.float32),           # adj_a
+        jnp.full((K, 1), 9999.0, jnp.float32),   # adj_c
+        jnp.zeros((K, 2), jnp.float32),          # done01, niter
+    ], axis=1)
+
+    def cond(c):
+        all_done, it = c
+        return jnp.logical_and(all_done < 0.5, it < maxit)
+
+    def body(c):
+        _, it = c
+        x, z, y = x_ref[:], z_out[:], y_ref[:]
+        adj_z, adj_y = adjz_ref[:], adjy_ref[:]
+        sc = sc_ref[:]
+        adj_a = sc[:, 0:1]
+        adj_c = sc[:, 1:2]
+        done = sc[:, 2:3]
+        niter = sc[:, 3:4]
+
+        eps_pri = (jnp.maximum(rnorm(x), rnorm(z)) * eps_rel
+                   + sqrt_p * eps_abs)
+        eps_dua = rnorm(y) * eps_rel + sqrt_p * eps_abs
+        # x-update: one (K,P)x(P,P) matmul against the resident inverse
+        # (reference: src/ADMMLassoTall.h:70-80; Minv is symmetric so the
+        # row-vector form equals Minv @ rhs).
+        rhs = xty - adj_y + rho * adj_z
+        x_new = jnp.dot(rhs, minv, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
+        z_new = prox(x_new + adj_y / rho, lam / rho)
+        r_dua = rho * rnorm(z_new - z)
+        r = x_new - z_new
+        r_pri = rnorm(r)
+        y_new = adj_y + rho * r
+        now_done = jnp.logical_and(r_pri < eps_pri,
+                                   r_dua < eps_dua).astype(jnp.float32)
+
+        # Nesterov acceleration with restart
+        # (reference: src/FADMMBase.h:240-256).
+        c_new = rho * r_pri * r_pri + rho * jnp.sum(
+            (z_new - adj_z) ** 2, axis=1, keepdims=True)
+        accel = c_new < restart_tol * adj_c
+        a_acc = 0.5 + 0.5 * jnp.sqrt(1.0 + 4.0 * adj_a * adj_a)
+        ratio = (adj_a - 1.0) / a_acc
+        adj_z_new = jnp.where(accel, (1.0 + ratio) * z_new - ratio * z, z)
+        adj_y_new = jnp.where(accel, (1.0 + ratio) * y_new - ratio * y, y)
+        adj_a_new = jnp.where(accel, a_acc, 1.0)
+        adj_c_new = jnp.where(accel, c_new, adj_c / restart_tol)
+        # The engine skips the momentum update on the converging
+        # iteration (reference breaks before applying acceleration).
+        hold = now_done > 0.5
+        adj_z_new = jnp.where(hold, adj_z, adj_z_new)
+        adj_y_new = jnp.where(hold, adj_y, adj_y_new)
+        adj_a_new = jnp.where(hold, adj_a, adj_a_new)
+        adj_c_new = jnp.where(hold, adj_c, adj_c_new)
+
+        # Freeze lanes that converged on an earlier iteration.
+        frozen = done > 0.5
+        pick = lambda new, old: jnp.where(frozen, old, new)
+        x_ref[:] = pick(x_new, x)
+        z_out[:] = pick(z_new, z)
+        y_ref[:] = pick(y_new, y)
+        adjz_ref[:] = pick(adj_z_new, adj_z)
+        adjy_ref[:] = pick(adj_y_new, adj_y)
+        done_new = jnp.maximum(done, now_done)
+        sc_ref[:] = jnp.concatenate([
+            pick(adj_a_new, adj_a), pick(adj_c_new, adj_c), done_new,
+            niter + (1.0 - done),
+        ], axis=1)
+        return (jnp.min(done_new), it + 1)
+
+    lax.while_loop(cond, body, (jnp.float32(0.0), jnp.int32(0)))
+    niter_out[:] = sc_ref[:, 3:4]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("true_p", "restart_tol", "interpret"))
+def tall_path_batch_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
+                           maxit, *, true_p: int, restart_tol: float = 0.999,
+                           interpret: bool = False):
+    """Solve the batched tall path in one Pallas kernel.
+
+    Args are UNPADDED: Minv (p, p), Xty (p,), ilams (k,).  Returns
+    ``(coefs (k, p), niter (k,))`` matching ``_solve_path_tall_batch``.
+    """
+    p = Minv.shape[0]
+    k = ilams.shape[0]
+    P = _round_up(max(p, 8), LANE)
+    K = _round_up(max(k, 8), 8)
+
+    minv_pad = jnp.zeros((P, P), jnp.float32).at[:p, :p].set(
+        Minv.astype(jnp.float32))
+    xty_pad = jnp.zeros((1, P), jnp.float32).at[0, :p].set(
+        Xty.astype(jnp.float32))
+    # Padding lanes get a huge lambda -> they converge to zero instantly.
+    lam_pad = jnp.full((K,), 3.4e38, jnp.float32).at[:k].set(
+        ilams.astype(jnp.float32))
+    scal = jnp.array([[rho, eps_abs, eps_rel, alpha, maxit, 0.0, 0.0, 0.0]],
+                     jnp.float32)
+
+    kernel = functools.partial(_kernel, true_p=true_p,
+                               restart_tol=restart_tol)
+    z, niter = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((K, P), jnp.float32),
+                   jax.ShapeDtypeStruct((K, 1), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8), memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((K, P), jnp.float32),   # x
+                        pltpu.VMEM((K, P), jnp.float32),   # y
+                        pltpu.VMEM((K, P), jnp.float32),   # adj_z
+                        pltpu.VMEM((K, P), jnp.float32),   # adj_y
+                        pltpu.VMEM((K, 4), jnp.float32)],  # lane scalars
+        interpret=interpret,
+    )(minv_pad, xty_pad, lam_pad, scal)
+    return z[:k, :p], niter[:k, 0].astype(jnp.int32)

@@ -1,0 +1,69 @@
+"""Pallas kernel tests (interpret mode on the CPU backend)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_tpu.data.standardize import standardize
+from admm_tpu.linalg import dot, gram, ridge_inverse, spectral_radius_sym
+from admm_tpu.models.lasso import _solve_path_tall_batch
+from admm_tpu.ops.tall_path import supports, tall_path_batch_pallas
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(3)
+    n, p, k = 200, 40, 10
+    X = rng.normal(size=(n, p))
+    b = rng.uniform(size=p) * (rng.uniform(size=p) < 0.4)
+    y = 1.0 + X @ b + 0.3 * rng.normal(size=n)
+    Xs, ys, _ = standardize(jnp.asarray(X, jnp.float32),
+                            jnp.asarray(y, jnp.float32),
+                            standardize_x=True, intercept=True)
+    lam0 = float(jnp.max(jnp.abs(dot(Xs.T, ys))))
+    ilams = jnp.asarray(np.geomspace(lam0, lam0 * 1e-3, k), jnp.float32)
+    return Xs, ys, ilams, p, k
+
+
+def _pallas_solve(Xs, ys, ilams, p, alpha=1.0):
+    XtX = gram(Xs)
+    Xty = dot(Xs.T, ys)
+    sprad = spectral_radius_sym(XtX)
+    rho = jnp.cbrt(sprad) * ilams[0] ** (2.0 / 3.0)
+    Minv = ridge_inverse(XtX, rho)
+    return tall_path_batch_pallas(Minv, Xty, ilams, rho, 1e-5, 1e-5,
+                                  alpha, 2000, true_p=p, interpret=True)
+
+
+def test_supports_budget():
+    assert supports(1000, 100)
+    assert not supports(4000, 100)  # 64 MB inverse cannot fit VMEM
+
+
+def test_kernel_matches_xla_batch_solver(problem):
+    Xs, ys, ilams, p, k = problem
+    coefs_x, niter_x = _solve_path_tall_batch(Xs, ys, ilams, -1.0, 2000,
+                                              1e-5, 1e-5, 1.0)
+    coefs_p, niter_p = _pallas_solve(Xs, ys, ilams, p)
+    np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
+                               atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(niter_p), np.asarray(niter_x))
+
+
+def test_kernel_enet_alpha(problem):
+    Xs, ys, ilams, p, k = problem
+    coefs_x, niter_x = _solve_path_tall_batch(Xs, ys, ilams, -1.0, 2000,
+                                              1e-5, 1e-5, 0.6)
+    coefs_p, niter_p = _pallas_solve(Xs, ys, ilams, p, alpha=0.6)
+    np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
+                               atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(niter_p), np.asarray(niter_x))
+
+
+def test_kernel_padding_lanes_inert(problem):
+    """k=10 pads to 8-multiples internally; results must be unaffected
+    and padded lanes never pollute real ones."""
+    Xs, ys, ilams, p, k = problem
+    c1, n1 = _pallas_solve(Xs, ys, ilams[:7], p)  # pads 7 -> 8
+    c2, n2 = _pallas_solve(Xs, ys, ilams, p)      # pads 10 -> 16
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2[:7]),
+                               atol=1e-7)
