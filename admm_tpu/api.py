@@ -25,7 +25,8 @@ from .models.bp import bp_fit
 from .models.dantzig import dantzig_path
 from .models.lad import lad_fit
 from .models.lasso import enet_path, lasso_path
-from .parallel.consensus import parallel_lasso_path
+from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
+                                 parallel_lasso_path)
 
 
 def _check_xy(x, y):
@@ -225,14 +226,18 @@ class ADMMEnet(ADMMLasso):
         self.alpha = float(alpha)
         return self
 
-    def parallel(self, nthread: int = 2, **kw):
-        raise NotImplementedError(
-            "parallel computing is not supported for Elastic Net "
-            "(matching the reference, which has no admm_parenet)")
-
     def fit(self) -> ADMMLassoFit:
-        res = enet_path(self.x, self.y, alpha=self.alpha,
-                        **self._path_kwargs())
+        """Extension beyond the reference: ``parallel()`` works here too
+        (the reference has no ``admm_parenet``); consensus Enet is the
+        Lasso scheme with the master prox swapped
+        (admm_tpu/parallel/consensus.py)."""
+        if self.nthread <= 1:
+            res = enet_path(self.x, self.y, alpha=self.alpha,
+                            **self._path_kwargs())
+        else:
+            res = parallel_enet_path(self.x, self.y, alpha=self.alpha,
+                                     nworkers=self.nthread,
+                                     **self._path_kwargs())
         return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
                             res.niter)
 
@@ -271,10 +276,11 @@ class ADMMBP:
         self.rho = 1.0
 
     def parallel(self, nthread: int = 2, **kw):
-        """(reference: R/10_admm_bp.R:66-75).  The reference's parallel BP
-        backend was never compiled (src/TODO/ParBP.cppp); here the serial
-        solver is used regardless of nthread, which matches the
-        reference's *intended* single-result semantics."""
+        """(reference: R/10_admm_bp.R:66-75).  The reference's R layer
+        dispatches nthread>1 to ``admm_parbp``, whose native side was
+        never compiled (src/TODO/ParBP.cppp — note the extension).  Here
+        the consensus Basis-Pursuit solver actually exists and works
+        (admm_tpu/parallel/consensus.py::parallel_bp_fit)."""
         self.nthread = max(int(nthread), 1)
         return self
 
@@ -294,9 +300,16 @@ class ADMMBP:
         return self
 
     def fit(self) -> ADMMBPFit:
-        res = bp_fit(self.x, self.y, maxit=self.maxit,
-                     eps_abs=self.eps_abs, eps_rel=self.eps_rel,
-                     rho=self.rho)
+        """(reference: R/10_admm_bp.R:100-120 — dispatches the serial or
+        the consensus-parallel solver on nthread)"""
+        if self.nthread <= 1:
+            res = bp_fit(self.x, self.y, maxit=self.maxit,
+                         eps_abs=self.eps_abs, eps_rel=self.eps_rel,
+                         rho=self.rho)
+        else:
+            res = parallel_bp_fit(self.x, self.y, nworkers=self.nthread,
+                                  maxit=self.maxit, eps_abs=self.eps_abs,
+                                  eps_rel=self.eps_rel, rho=self.rho)
         return ADMMBPFit(res.coef, res.niter)
 
     def __repr__(self):

@@ -68,7 +68,12 @@ def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
     AAAb = dot(A.T, dot(Winv, b))                 # A'(AA')^-1 b
 
     ops = _bp_ops(A, K, AAAb, n, p)
-    solve = make_fadmm_solver(ops, adapt_rho=True)
+    # Fixed rho: FADMM's restart analysis (Goldstein et al. 2014) assumes
+    # a constant penalty; with the adaptive ladder active the combined
+    # residual can cycle without converging (observed on small p/n ~ 2.5
+    # problems).  The reference's own Lasso engines pin rho for the same
+    # family of reasons (reference: src/ADMMLassoTall.h:96-97).
+    solve = make_fadmm_solver(ops, adapt_rho=False)
 
     zeros = jnp.zeros((p,), dtype)
     st = make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype)

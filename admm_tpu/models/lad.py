@@ -92,7 +92,11 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
     ynorm = l2norm(ys)
 
     ops = _lad_ops(Xs, ys, Ginv, ynorm, n, p)
-    solve = make_fadmm_solver(ops, adapt_rho=True)
+    # Fixed rho, as for BP: FADMM acceleration + the adaptive ladder can
+    # cycle (see admm_tpu/models/bp.py); the projection is rho-free so a
+    # fixed rho = 1.0 (the reference default, R/20_admm_lad.R:28-31)
+    # converges reliably.
+    solve = make_fadmm_solver(ops, adapt_rho=False)
 
     zeros = jnp.zeros((n,), dtype)
     st = make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype)

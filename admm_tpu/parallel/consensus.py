@@ -1,11 +1,22 @@
-"""Consensus (parallel) ADMM Lasso over a device mesh.
+"""Consensus (parallel) ADMM over a device mesh.
 
 This is the TPU-native rebuild of the reference's one distributed scheme:
 global-variable consensus ADMM over row blocks
 (reference: src/PADMMBase.h:7-16)::
 
-    minimize  sum_i 1/2 ||A_i x_i - b_i||^2 + lambda ||z||_1
+    minimize  sum_i f_i(x_i) + g(z)
     s.t.      x_i - z = 0   for every worker i
+
+The reference ships this for the Lasso only (``f_i = 1/2||A_i x - b_i||^2``,
+``g = lambda||z||_1``, reference: src/PADMMLasso.h) and left a parallel
+Basis-Pursuit variant unfinished in ``src/TODO/ParBP.cppp`` /
+``src/TODO/PADMMBP.h`` (the R layer calls ``admm_parbp`` that was never
+compiled, reference: R/10_admm_bp.R:100-120).  Here the consensus engine
+is generic — one worker x-update hook plus one master prox hook — and is
+instantiated for **Lasso**, **Elastic Net** (an extension: the reference
+has no ``admm_parenet``) and **Basis Pursuit** (finishing what the
+reference left in TODO, with exact per-worker affine projections instead
+of its linearized updates).
 
 The reference runs W OpenMP threads in shared memory: worker x/y-updates
 are a parallel-for, and the master's z-update + residual reductions are
@@ -21,7 +32,9 @@ src/PADMMLasso.h:99-108).  Here the scheme is two-level:
 * each worker caches its local factorization once per cold start,
   mirroring the reference's per-worker Cholesky: direct ridge inverse for
   tall blocks, Woodbury (matrix-inversion-lemma) for wide blocks
-  (reference: src/PADMMLasso.h:17-31, :48-63);
+  (reference: src/PADMMLasso.h:17-31, :48-63); Basis-Pursuit workers
+  cache the affine-projection factors ``(A_i A_i')^{-1}`` instead
+  (the consensus analog of reference: src/ADMMBP.h:156-197);
 * the master's three OpenMP reduce points collapse into **ONE fused
   ``psum`` per iteration** over the mesh axis: a (p+3)-packed vector
   ``[sum_local(x_i + y_i/rho), sum||x_i||^2, sum||y_i||^2, sum||r_i||^2]``
@@ -47,7 +60,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +73,7 @@ from ..core.prox import soft_threshold
 from ..data.standardize import recover
 from ..data.standardize import standardize as standardize_data
 from ..linalg import chol_inverse, dot
+from ..models.bp import BPResult
 from ..models.lasso import PathResult
 from .mesh import make_mesh
 
@@ -84,12 +98,114 @@ class _ConsensusState(NamedTuple):
     done: jnp.ndarray
 
 
-def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel,
-                           *, axis: Optional[str], nworkers: int,
-                           tall_block: bool):
+# ---------------------------------------------------------------------------
+# Model hooks: worker x-update factories and master prox operators
+# ---------------------------------------------------------------------------
+
+def _lasso_x_update(Xi, yi, rho, *, tall_block: bool):
+    """Per-worker ridge solve ``argmin 1/2||A_i x - b_i||^2 + rho/2||x-v||^2``
+    with the factorization cached once per cold start
+    (reference: src/PADMMLasso.h:17-31, :48-63)."""
+    Wl, rows, p = Xi.shape
+    dtype = Xi.dtype
+    # A_i' b_i cached per worker (reference: src/PADMMLasso.h:42).
+    Ab = _bmm("wrp,wr->wp", Xi, yi)
+    eye = jnp.eye(p if tall_block else rows, dtype=dtype)
+    if tall_block:
+        # (A_i'A_i + rho I)^-1 per worker (tall branch).
+        G = _bmm("wrp,wrq->wpq", Xi, Xi) + rho * eye
+        Minv = jax.vmap(chol_inverse)(G)
+
+        def x_update(z, y, rho):
+            rhs = Ab - y + rho * z[None, :]
+            return _bmm("wpq,wq->wp", Minv, rhs)
+    else:
+        # Woodbury: x = (rhs - A'(AA' + rho I)^-1 A rhs)/rho (wide branch).
+        G = _bmm("wrp,wsp->wrs", Xi, Xi) + rho * eye
+        Winv = jax.vmap(chol_inverse)(G)
+
+        def x_update(z, y, rho):
+            rhs = Ab - y + rho * z[None, :]
+            t = _bmm("wrs,ws->wr", Winv, _bmm("wrp,wp->wr", Xi, rhs))
+            return (rhs - _bmm("wrp,wr->wp", Xi, t)) / rho
+
+    return x_update
+
+
+def _bp_x_update(Xi, yi, rho, *, jitter: float = 1e-6):
+    """Per-worker affine projection onto {x : A_i x = b_i}.
+
+    ``x = v - A_i'(A_i A_i')^{-1}(A_i v - b_i)`` with the (jittered) SPD
+    inverse cached once — the consensus analog of the serial BP x-update
+    (reference: src/ADMMBP.h:48-67).  The reference's dormant parallel BP
+    used linearized soft-threshold worker updates with a period-10 active
+    set (reference: src/TODO/PADMMBP.h:20-61); the exact projection
+    converges in far fewer iterations and is two batched MXU matvecs.
+
+    Zero-padded rows are exactly inert: a zero row r decouples in
+    ``A A' + jitter*I`` (its only nonzero is the jitter diagonal) and
+    contributes ``A'_{.r} * t_r = 0`` to the correction.
+    """
+    Wl, rows, p = Xi.shape
+    dtype = Xi.dtype
+    eye = jnp.eye(rows, dtype=dtype)
+    G = _bmm("wrp,wsp->wrs", Xi, Xi) + jitter * eye
+    Winv = jax.vmap(chol_inverse)(G)
+
+    def x_update(z, y, rho):
+        v = z[None, :] - y / rho
+        t = _bmm("wrs,ws->wr", Winv, _bmm("wrp,wp->wr", Xi, v) - yi)
+        return v - _bmm("wrp,wr->wp", Xi, t)
+
+    return x_update
+
+
+def _lasso_master_prox(W: int):
+    """z = soft_threshold(mean_i(x_i + y_i/rho), lambda/(rho W))
+    (reference: src/PADMMLasso.h:99-108)."""
+    def prox(zbar, lam, rho):
+        return soft_threshold(zbar, lam / (rho * W))
+    return prox
+
+
+def _enet_master_prox(W: int, alpha: float):
+    """argmin_z lam(alpha||z||_1 + (1-alpha)/2||z||^2) + W rho/2 ||z-m||^2
+    = soft_threshold(W rho m, lam alpha) / (lam(1-alpha) + W rho).
+
+    Extension beyond the reference (no ``admm_parenet`` exists there);
+    alpha=1 reduces exactly to the Lasso master prox.
+    """
+    def prox(zbar, lam, rho):
+        wr = W * rho
+        return soft_threshold(wr * zbar, lam * alpha) / (lam * (1.0 - alpha)
+                                                         + wr)
+    return prox
+
+
+def _bp_master_prox(W: int):
+    """z = soft_threshold(mean, 1/(rho W)): the consensus split puts the
+    whole ||.||_1 objective in g (serial analog reference: src/ADMMBP.h:84-88
+    with penalty 1/rho)."""
+    def prox(zbar, lam, rho):
+        return soft_threshold(zbar, 1.0 / (rho * W))
+    return prox
+
+
+# ---------------------------------------------------------------------------
+# Generic consensus engine (per-device body under shard_map)
+# ---------------------------------------------------------------------------
+
+def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
+                     axis: Optional[str], nworkers: int,
+                     make_x_update: Callable, master_prox: Callable,
+                     auto_rho: Callable):
     """Per-device body (under shard_map when ``axis`` is set).
 
     ``Xi``: (W_local, rows_w, p) worker blocks held by this device.
+    ``make_x_update(Xi, yi, rho) -> x_update(z, y, rho)`` builds the
+    worker solve with its factorizations cached; ``master_prox(zbar, lam,
+    rho)`` is the consensus z-update; ``auto_rho(lam_first)`` supplies the
+    model's auto-rho when ``rho0 <= 0``.
     """
     Wl, rows, p = Xi.shape
     dtype = Xi.dtype
@@ -100,31 +216,10 @@ def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel,
     def allsum(v):
         return lax.psum(v, axis) if axis is not None else v
 
-    # A_i' b_i cached per worker (reference: src/PADMMLasso.h:42).
-    Ab = _bmm("wrp,wr->wp", Xi, yi)
     lam_first = ilams[0]
-    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype), lam_first / W)
-
-    eye = jnp.eye(p if tall_block else rows, dtype=dtype)
-    if tall_block:
-        # (A_i'A_i + rho I)^-1 per worker
-        # (reference: src/PADMMLasso.h:48-63, tall branch).
-        G = _bmm("wrp,wrq->wpq", Xi, Xi) + rho * eye
-        Minv = jax.vmap(chol_inverse)(G)
-
-        def x_update(z, y, rho):
-            rhs = Ab - y + rho * z[None, :]
-            return _bmm("wpq,wq->wp", Minv, rhs)
-    else:
-        # Woodbury: x = (rhs - A'(AA' + rho I)^-1 A rhs)/rho
-        # (reference: src/PADMMLasso.h:26-29, wide branch).
-        G = _bmm("wrp,wsp->wrs", Xi, Xi) + rho * eye
-        Winv = jax.vmap(chol_inverse)(G)
-
-        def x_update(z, y, rho):
-            rhs = Ab - y + rho * z[None, :]
-            t = _bmm("wrs,ws->wr", Winv, _bmm("wrp,wp->wr", Xi, rhs))
-            return (rhs - _bmm("wrp,wr->wp", Xi, t)) / rho
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.asarray(auto_rho(lam_first), dtype))
+    x_update = make_x_update(Xi, yi, rho)
 
     def body(st: _ConsensusState) -> _ConsensusState:
         # Tolerances from the previous iteration's fused reductions
@@ -145,7 +240,7 @@ def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel,
         zbar = g[:p] / W
         sx2, sy2, sr2 = g[p], g[p + 1], g[p + 2]
         # Master z-update (reference: src/PADMMLasso.h:99-108).
-        z_new = soft_threshold(zbar, st.lam / (st.rho * W))
+        z_new = master_prox(zbar, st.lam, st.rho)
         r_dua = st.rho * sqrtW * jnp.sqrt(jnp.sum((z_new - st.z) ** 2))
         r = x - z_new[None, :]
         y = st.y + st.rho * r
@@ -186,29 +281,26 @@ def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel,
     return coefs, niter
 
 
-def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
-                        mesh: Optional[Mesh] = None,
-                        lambdas: Optional[jnp.ndarray] = None,
-                        nlambda: int = 100,
-                        lambda_min_ratio: Optional[float] = None,
-                        standardize: bool = True, intercept: bool = True,
-                        maxit: int = 10000, eps_abs: float = 1e-5,
-                        eps_rel: float = 1e-5, rho: float = -1.0,
-                        dtype=jnp.float32) -> PathResult:
-    """Consensus-ADMM Lasso lambda path over W = D * W_local workers.
+def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
+                           axis: Optional[str], nworkers: int,
+                           tall_block: bool, alpha: float = 1.0):
+    """Lasso/Enet instantiation of the generic consensus engine."""
+    master = (_lasso_master_prox(nworkers) if alpha >= 1.0
+              else _enet_master_prox(nworkers, alpha))
+    return _consensus_shard(
+        Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel,
+        axis=axis, nworkers=nworkers,
+        make_x_update=partial(_lasso_x_update, tall_block=tall_block),
+        master_prox=master,
+        # Auto-rho (reference: src/PADMMLasso.h:199-200).
+        auto_rho=lambda lam_first: lam_first / nworkers)
 
-    ``nworkers`` defaults to the mesh size; the mesh defaults to all
-    visible devices, capped at ``nworkers``.  With a single device the
-    scheme degrades gracefully to the reference's shared-memory layout
-    (all workers batched on one chip).  Rows are zero-padded to a
-    multiple of the worker count; zero rows do not change A_i'A_i or
-    A_i'b_i, so the consensus optimum is unchanged (the reference gives
-    the last OpenMP worker the remainder instead,
-    reference: src/PADMMLasso.h:163-179).
-    """
-    X = jnp.asarray(X, dtype)
-    y = jnp.asarray(y, dtype)
-    n, p = X.shape
+
+# ---------------------------------------------------------------------------
+# Drivers (partition -> shard_map wiring -> recover)
+# ---------------------------------------------------------------------------
+
+def _resolve_mesh(nworkers: Optional[int], mesh: Optional[Mesh]):
     if nworkers is None and mesh is None:
         nworkers = len(jax.devices())
     if mesh is None:
@@ -219,34 +311,30 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
     if W % D != 0:
         raise ValueError(f"nworkers={W} must be a multiple of the mesh "
                          f"size {D}")
-    if lambda_min_ratio is None:
-        lambda_min_ratio = 0.01 if n < p else 1e-4
+    return W, mesh, axis, D
 
-    # Standardization and the lambda grid are global (replicated) work.
-    Xs, ys, stats = standardize_data(X, y, standardize_x=standardize,
-                                intercept=intercept)
-    if lambdas is not None:
-        lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
-    else:
-        lam0 = jnp.max(jnp.abs(dot(Xs.T, ys)))
-        lmax = lam0 / n * stats.scale_y
-        lmin = lambda_min_ratio * lmax
-        lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin),
-                                    int(nlambda)))
-    ilams = lams * n / stats.scale_y
 
-    # Reshape rows into (W, rows_w, p) worker blocks (zero-padded).
+def _partition_rows(Xs, ys, W):
+    """Reshape rows into (W, rows_w, p) worker blocks (zero-padded).
+
+    Zero rows do not change A_i'A_i or A_i'b_i (Lasso) and are exactly
+    inert under the jittered BP projection, so the consensus optimum is
+    unchanged (the reference gives the last OpenMP worker the remainder
+    instead, reference: src/PADMMLasso.h:163-179).
+    """
+    n, p = Xs.shape
     n_pad = -(-n // W) * W
     if n_pad != n:
         Xs = jnp.pad(Xs, ((0, n_pad - n), (0, 0)))
         ys = jnp.pad(ys, (0, n_pad - n))
     rows_w = n_pad // W
-    Xb = Xs.reshape(W, rows_w, p)
-    yb = ys.reshape(W, rows_w)
-    tall_block = rows_w >= p
+    return Xs.reshape(W, rows_w, p), ys.reshape(W, rows_w), rows_w
 
-    solver = partial(_consensus_lasso_shard, nworkers=W,
-                     tall_block=tall_block)
+
+def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
+                   mesh, axis, D, solver):
+    """jit (+ shard_map over the mesh when D > 1) and run one solver."""
+    dtype = Xb.dtype
     if D > 1:
         fn = shard_map(
             partial(solver, axis=axis),
@@ -262,11 +350,106 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
     else:
         fn = partial(solver, axis=None)
     run = jax.jit(fn)
-    coefs, niter = run(Xb, yb, ilams,
-                       jnp.asarray(rho, dtype),
-                       jnp.asarray(maxit, jnp.int32),
-                       jnp.asarray(eps_abs, dtype),
-                       jnp.asarray(eps_rel, dtype))
+    return run(Xb, yb, ilams, jnp.asarray(rho, dtype),
+               jnp.asarray(maxit, jnp.int32), jnp.asarray(eps_abs, dtype),
+               jnp.asarray(eps_rel, dtype))
+
+
+def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
+                        mesh: Optional[Mesh] = None,
+                        lambdas: Optional[jnp.ndarray] = None,
+                        nlambda: int = 100,
+                        lambda_min_ratio: Optional[float] = None,
+                        standardize: bool = True, intercept: bool = True,
+                        maxit: int = 10000, eps_abs: float = 1e-5,
+                        eps_rel: float = 1e-5, rho: float = -1.0,
+                        alpha: float = 1.0, _enet_scale: bool = False,
+                        dtype=jnp.float32) -> PathResult:
+    """Consensus-ADMM Lasso/Enet lambda path over W = D * W_local workers.
+
+    ``nworkers`` defaults to the mesh size; the mesh defaults to all
+    visible devices, capped at ``nworkers``.  With a single device the
+    scheme degrades gracefully to the reference's shared-memory layout
+    (all workers batched on one chip).  ``alpha < 1`` solves the Elastic
+    Net by consensus — an extension; the reference parallelizes only the
+    Lasso (reference: src/ParLasso.cpp).
+    """
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    n, p = X.shape
+    W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
+    if lambda_min_ratio is None:
+        lambda_min_ratio = 0.01 if n < p else 1e-4
+
+    # Standardization and the lambda grid are global (replicated) work.
+    Xs, ys, stats = standardize_data(X, y, standardize_x=standardize,
+                                     intercept=intercept)
+    if lambdas is not None:
+        lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    else:
+        lam0 = jnp.max(jnp.abs(dot(Xs.T, ys)))
+        if _enet_scale:
+            # Enet lambda0 inflation (reference: src/ADMMEnet.h:56).
+            lam0 = lam0 / (alpha + 1e-4)
+        lmax = lam0 / n * stats.scale_y
+        lmin = lambda_min_ratio * lmax
+        lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin),
+                                    int(nlambda)))
+    ilams = lams * n / stats.scale_y
+
+    Xb, yb, rows_w = _partition_rows(Xs, ys, W)
+    solver = partial(_consensus_lasso_shard, nworkers=W,
+                     tall_block=rows_w >= p, alpha=float(alpha))
+    coefs, niter = _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs,
+                                  eps_rel, mesh=mesh, axis=axis, D=D,
+                                  solver=solver)
     beta0, coef = recover(stats, coefs, standardize_x=standardize,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:
+    """Consensus Elastic-Net path (extension; the reference has no
+    ``admm_parenet``).  ``alpha=1`` reduces exactly to
+    :func:`parallel_lasso_path`."""
+    return parallel_lasso_path(X, y, alpha=alpha, _enet_scale=True, **kw)
+
+
+def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
+                    mesh: Optional[Mesh] = None, maxit: int = 10000,
+                    eps_abs: float = 1e-4, eps_rel: float = 1e-4,
+                    rho: float = 1.0, dtype=None) -> BPResult:
+    """Consensus Basis Pursuit: ``min ||z||_1 s.t. A_i z = b_i`` for every
+    row block i — the working version of what the reference left dormant
+    (reference: src/TODO/ParBP.cppp, src/TODO/PADMMBP.h; the R layer
+    dispatches to it at R/10_admm_bp.R:100-120 but it was never compiled).
+
+    Workers project onto their local affine constraint sets exactly
+    (cached ``(A_i A_i')^{-1}``); the master soft-thresholds the consensus
+    mean.  Defaults mirror the serial BP (eps 1e-4, rho 1.0,
+    reference: R/10_admm_bp.R:38-41).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A = jnp.asarray(A, dtype)
+    b = jnp.asarray(b, dtype)
+    n, p = A.shape
+    if p <= n:
+        raise ValueError("ncol(x) must be greater than nrow(x)")
+    W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
+
+    Ab, bb, rows_w = _partition_rows(A, b, W)
+    # Never zero: padded zero rows make A_i A_i' exactly singular, and the
+    # jitter is what keeps them inert (see _bp_x_update).  Negligible at
+    # 1e-10 for f64; 1e-6 guards f32 conditioning.
+    jitter = 1e-6 if dtype == jnp.float32 else 1e-10
+    solver = partial(
+        _consensus_shard, nworkers=W,
+        make_x_update=partial(_bp_x_update, jitter=jitter),
+        master_prox=_bp_master_prox(W),
+        auto_rho=lambda lam_first: 1.0)
+    lams = jnp.ones((1,), dtype)  # single solve; the BP prox ignores lam
+    coefs, niter = _run_consensus(Ab, bb, lams, rho, maxit, eps_abs,
+                                  eps_rel, mesh=mesh, axis=axis, D=D,
+                                  solver=solver)
+    return BPResult(coef=coefs[0], niter=niter[0])

@@ -1,0 +1,138 @@
+"""Consensus (parallel) Basis Pursuit and Elastic Net.
+
+The reference never shipped these: ``admm_parbp`` is dispatched by the R
+layer (reference: R/10_admm_bp.R:100-120) but its native side lives only
+in src/TODO/ (never compiled), and no ``admm_parenet`` exists at all.
+These tests pin the working TPU-native versions against the serial
+solvers and independent oracles.
+"""
+import numpy as np
+import pytest
+from sklearn.linear_model import ElasticNet
+
+import admm_tpu
+from admm_tpu.models.bp import bp_fit
+from admm_tpu.models.lasso import enet_path
+from admm_tpu.parallel.consensus import (parallel_bp_fit,
+                                         parallel_enet_path)
+from admm_tpu.parallel.mesh import make_mesh
+
+
+def _bp_problem(n=60, p=150, k=12, seed=123):
+    rng = np.random.default_rng(seed)
+    x0 = np.zeros(p)
+    x0[rng.choice(p, k, replace=False)] = rng.normal(size=k)
+    A = rng.normal(size=(n, p)) / np.sqrt(n)
+    return A, A @ x0, x0
+
+
+def _enet_problem(n=400, p=30, seed=123):
+    rng = np.random.default_rng(seed)
+    b = rng.uniform(size=p) * (rng.uniform(size=p) < 0.5)
+    X = rng.normal(size=(n, p))
+    y = 2.0 + X @ b + 0.5 * rng.normal(size=n)
+    return X, y
+
+
+# ---------------------------------------------------------------------------
+# Consensus Basis Pursuit
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nworkers,ndev", [(2, 1), (4, 4)])
+def test_parallel_bp_recovers_sparse_signal(nworkers, ndev):
+    A, b, x0 = _bp_problem()
+    res = parallel_bp_fit(A, b, nworkers=nworkers, mesh=make_mesh(ndev),
+                          eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(res.coef), x0, atol=2e-3)
+
+
+def test_parallel_bp_matches_serial():
+    A, b, _ = _bp_problem()
+    ser = bp_fit(A, b, eps_abs=1e-6, eps_rel=1e-6)
+    par = parallel_bp_fit(A, b, nworkers=4, mesh=make_mesh(4),
+                          eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef), np.asarray(ser.coef),
+                               atol=2e-3)
+
+
+def test_parallel_bp_sharded_equals_batched():
+    """Device decomposition must not change the math."""
+    A, b, _ = _bp_problem()
+    one = parallel_bp_fit(A, b, nworkers=4, mesh=make_mesh(1))
+    many = parallel_bp_fit(A, b, nworkers=4, mesh=make_mesh(4))
+    np.testing.assert_allclose(np.asarray(one.coef), np.asarray(many.coef),
+                               atol=1e-5)
+    assert int(one.niter) == int(many.niter)
+
+
+def test_parallel_bp_padding_inert():
+    """n not divisible by W exercises the zero-row padding; padded rows
+    must not perturb the solution."""
+    A, b, x0 = _bp_problem(n=59)
+    res = parallel_bp_fit(A, b, nworkers=4, mesh=make_mesh(4),
+                          eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(res.coef), x0, atol=2e-3)
+
+
+def test_parallel_bp_via_builder():
+    A, b, _ = _bp_problem()
+    opts = dict(eps_abs=1e-6, eps_rel=1e-6)
+    fit = admm_tpu.admm_bp(A, b).parallel(nthread=4).opts(**opts).fit()
+    ser = admm_tpu.admm_bp(A, b).opts(**opts).fit()
+    np.testing.assert_allclose(fit.beta.toarray(), ser.beta.toarray(),
+                               atol=3e-3)
+
+
+def test_parallel_bp_requires_wide():
+    A = np.random.default_rng(0).normal(size=(10, 5))
+    with pytest.raises(ValueError):
+        parallel_bp_fit(A, np.zeros(10), nworkers=2, mesh=make_mesh(1))
+
+
+# ---------------------------------------------------------------------------
+# Consensus Elastic Net
+# ---------------------------------------------------------------------------
+
+def test_parallel_enet_matches_sklearn():
+    X, y = _enet_problem()
+    lam, alpha = 0.1, 0.6
+    par = parallel_enet_path(X, y, alpha=alpha, nworkers=4,
+                             mesh=make_mesh(4), lambdas=np.array([lam]),
+                             standardize=False, intercept=False,
+                             eps_abs=1e-6, eps_rel=1e-6)
+    sk = ElasticNet(alpha=lam, l1_ratio=alpha, fit_intercept=False,
+                    tol=1e-12, max_iter=500000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(par.coef[0]), sk.coef_,
+                               atol=3e-3)
+
+
+def test_parallel_enet_alpha1_equals_parallel_lasso():
+    from admm_tpu.parallel.consensus import parallel_lasso_path
+
+    X, y = _enet_problem()
+    lam = np.array([0.2, 0.05])
+    a = parallel_enet_path(X, y, alpha=1.0, nworkers=4, mesh=make_mesh(4),
+                           lambdas=lam, standardize=False, intercept=False)
+    b = parallel_lasso_path(X, y, nworkers=4, mesh=make_mesh(4),
+                            lambdas=lam, standardize=False, intercept=False)
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(b.coef),
+                               atol=1e-6)
+
+
+def test_parallel_enet_full_path_matches_serial():
+    X, y = _enet_problem()
+    par = parallel_enet_path(X, y, alpha=0.6, nworkers=8,
+                             mesh=make_mesh(8), nlambda=10)
+    ser = enet_path(X, y, alpha=0.6, nlambda=10)
+    np.testing.assert_allclose(np.asarray(par.lambdas),
+                               np.asarray(ser.lambdas), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(par.coef[-1]),
+                               np.asarray(ser.coef[-1]), atol=5e-3)
+
+
+def test_parallel_enet_via_builder():
+    X, y = _enet_problem()
+    fit = (admm_tpu.admm_enet(X, y).penalty(nlambda=8, alpha=0.6)
+           .parallel(nthread=4).fit())
+    assert fit.beta.shape == (X.shape[1] + 1, 8)
+    assert np.all(np.isfinite(fit.beta.toarray()))
