@@ -88,13 +88,17 @@ def _tall_ops(Minv, Xty, alpha, p) -> ProblemOps:
     )
 
 
-def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha):
+def _tall_engine(Xs, ys, lam_first, rho0, alpha):
+    """Build the tall-regime engine: cold state, solver, reported iterate.
+
+    Factorizations (X'X, ridge inverse) are functions of the data and
+    rho only, so a resumed/checkpointed path rebuilds them exactly
+    (admm_tpu.diag.checkpoint)."""
     n, p = Xs.shape
     dtype = Xs.dtype
     XtX = gram(Xs)
     Xty = dot(Xs.T, ys)
     sprad = spectral_radius_sym(XtX)
-    lam_first = ilams[0]
     # Auto-rho power law (reference: src/ADMMLassoTall.h:194-202).
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.cbrt(sprad) * lam_first ** (2.0 / 3.0))
@@ -105,15 +109,26 @@ def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha):
 
     zeros = jnp.zeros((p,), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
+    # The tall solver's reported coefficients are the sparse iterate z
+    # (reference: src/Lasso.cpp:108).
+    return st0, solve, (lambda st: st.z)
 
+
+def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel):
+    """Warm-started scan over the lambda grid (any engine)."""
     def step(st, lam):
         st = warm_start(st, lam)
         st = solve(st, maxit, eps_abs, eps_rel)
-        # The tall solver's reported coefficients are the sparse iterate z
-        # (reference: src/Lasso.cpp:108).
-        return st, (st.z, st.it)
+        return st, (report(st), st.it)
 
-    _, (coefs, niter) = lax.scan(step, st0, ilams)
+    st, (coefs, niter) = lax.scan(step, st0, ilams)
+    return st, coefs, niter
+
+
+def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha):
+    st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho0, alpha)
+    _, coefs, niter = _scan_path(st0, solve, report, ilams, maxit,
+                                 eps_abs, eps_rel)
     return coefs, niter
 
 
@@ -242,8 +257,8 @@ def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p) -> ProblemOps:
     )
 
 
-def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
-                     enet_lambda0_scale):
+def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale):
+    """Build the wide-regime engine: cold state, solver, reported iterate."""
     n, p = Xs.shape
     dtype = Xs.dtype
     Xty = dot(Xs.T, ys)
@@ -252,7 +267,6 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
         lambda0 = lambda0 / (alpha + 1e-4)
     XXt = dot(Xs, Xs.T)
     sprad = spectral_radius_sym(XXt)
-    lam_first = ilams[0]
     # Auto-rho (reference: src/ADMMLassoWide.h:227-228).
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.cbrt(lam_first / sprad))
@@ -263,14 +277,16 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
     st0 = make_state(jnp.zeros((p,), dtype), jnp.zeros((n,), dtype),
                      jnp.zeros((n,), dtype), rho, lam_first,
                      aux=jnp.zeros((n,), dtype), dtype=dtype)
+    # Wide solver reports x (reference: src/Lasso.cpp:119).
+    return st0, solve, (lambda st: st.x)
 
-    def step(st, lam):
-        st = warm_start(st, lam)
-        st = solve(st, maxit, eps_abs, eps_rel)
-        # Wide solver reports x (reference: src/Lasso.cpp:119).
-        return st, (st.x, st.it)
 
-    _, (coefs, niter) = lax.scan(step, st0, ilams)
+def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
+                     enet_lambda0_scale):
+    st0, solve, report = _wide_engine(Xs, ys, ilams[0], rho0, alpha,
+                                      enet_lambda0_scale)
+    _, coefs, niter = _scan_path(st0, solve, report, ilams, maxit,
+                                 eps_abs, eps_rel)
     return coefs, niter
 
 

@@ -1,0 +1,118 @@
+"""Checkpoint/resume of lambda-path solves (admm_tpu.diag.checkpoint).
+
+The reference's only resume primitive is the in-process warm start
+(reference: src/ADMMLassoTall.h:219-230); here the same chain is cut at
+chunk boundaries and persisted, so a killed run resumes bit-exactly.
+"""
+import numpy as np
+import pytest
+
+from admm_tpu.core.engine import make_state
+from admm_tpu.diag.checkpoint import (checkpointed_lasso_path, load_pytree,
+                                      save_pytree)
+from admm_tpu.models.lasso import lasso_path
+
+
+def _problem(n=300, p=25, seed=7):
+    rng = np.random.default_rng(seed)
+    b = rng.uniform(size=p) * (rng.uniform(size=p) < 0.5)
+    X = rng.normal(size=(n, p))
+    y = 1.5 + X @ b + 0.3 * rng.normal(size=n)
+    return X, y
+
+
+def _lams():
+    return np.geomspace(0.5, 0.005, 20)
+
+
+def test_pytree_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    st = make_state(jnp.arange(4.0), jnp.ones(4), jnp.zeros(4), 1.0, 0.1)
+    f = str(tmp_path / "st.npz")
+    save_pytree(f, st, tag=np.asarray(42))
+    st2, extras = load_pytree(f, st)
+    assert int(extras["tag"]) == 42
+    for a, b in zip(
+            __import__("jax").tree.leaves(st, is_leaf=lambda x: x is None),
+            __import__("jax").tree.leaves(st2, is_leaf=lambda x: x is None)):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_uninterrupted_checkpoint_matches_plain_path(tmp_path):
+    X, y = _problem()
+    lams = _lams()
+    ck = str(tmp_path / "run.npz")
+    res = checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                  chunk_size=7)
+    plain = lasso_path(X, y, lambdas=lams)
+    # The chunked driver standardizes outside the single-program jit, so
+    # f32 rounding can shift an iteration count by one; coefficients agree.
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-5)
+    assert np.max(np.abs(np.asarray(res.niter)
+                         - np.asarray(plain.niter))) <= 1
+    import os
+    assert not os.path.exists(ck)  # cleaned up on success
+
+
+def test_crash_and_resume_identical(tmp_path):
+    X, y = _problem()
+    lams = _lams()
+    ck = str(tmp_path / "run.npz")
+    # Simulated crash after 1 chunk (7 of 20 lambdas done).
+    out = checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                  chunk_size=7, _stop_after_chunks=1)
+    assert out is None
+    import os
+    assert os.path.exists(ck)
+    # Resume and finish.
+    res = checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                  chunk_size=7)
+    # The resumed run must be bit-identical to an uninterrupted
+    # checkpointed run (same code path, same chunk boundaries).
+    full = checkpointed_lasso_path(X, y, lambdas=lams,
+                                   checkpoint=str(ck) + ".2",
+                                   chunk_size=7)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(full.niter))
+
+
+def test_resume_wide_regime(tmp_path):
+    X, y = _problem(n=40, p=80)
+    lams = np.geomspace(0.3, 0.01, 12)
+    ck = str(tmp_path / "wide.npz")
+    assert checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                   chunk_size=5,
+                                   _stop_after_chunks=1) is None
+    res = checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                  chunk_size=5)
+    full = checkpointed_lasso_path(X, y, lambdas=lams,
+                                   checkpoint=str(ck) + ".2",
+                                   chunk_size=5)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    plain = lasso_path(X, y, lambdas=lams)
+    # Same solutions to within the ADMM stopping tolerance (the chunked
+    # driver's out-of-jit standardization perturbs iterates in the last
+    # f32 bit, which the linearized wide updates amplify to ~1e-4).
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-3)
+
+
+def test_refuses_foreign_checkpoint(tmp_path):
+    X, y = _problem()
+    lams = _lams()
+    ck = str(tmp_path / "run.npz")
+    assert checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                   chunk_size=7,
+                                   _stop_after_chunks=1) is None
+    X2, y2 = _problem(seed=99)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_lasso_path(X2, y2, lambdas=lams, checkpoint=ck,
+                                chunk_size=7)
