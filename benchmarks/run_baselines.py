@@ -1,0 +1,286 @@
+"""Full benchmark suite mirroring the reference's published numbers.
+
+Every row of BASELINE.md (the reference README's seeded microbenchmark
+section, /root/reference/README.md:190-418) is reproduced here with the
+same problem generator (seeded, same shapes) and measured on the current
+JAX backend.  Results are printed as a table and written to
+``benchmarks/results_<backend>.json``.
+
+Timing protocol: the dev environment reaches the TPU through a network
+tunnel with a ~30 ms dispatch/read round-trip, so each benchmark runs K
+full solves inside ONE jitted ``fori_loop`` (inputs perturbed per
+repetition so nothing is CSE'd), forces completion with a scalar host
+read, and differences two K values — ``(wall(K2) - wall(K1))/(K2 - K1)``
+cancels the constant dispatch overhead exactly, leaving pure on-device
+time per solve.  The same protocol is used by bench.py (the headline).
+
+Run:  python benchmarks/run_baselines.py [--fast] [--no-oracle]
+  --fast       smaller K (quicker, noisier)
+  --no-oracle  skip the sklearn/ground-truth agreement columns
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# ---------------------------------------------------------------------------
+# Problem generators (seeded like the reference README benchmarks)
+# ---------------------------------------------------------------------------
+
+def regression_problem(n, p, m, seed=123):
+    """Reference README's Lasso generator (README.md:195-204)."""
+    rng = np.random.default_rng(seed)
+    b = np.zeros(p)
+    b[rng.choice(p, m, replace=False)] = rng.uniform(-1, 1, m)
+    X = rng.normal(size=(n, p))
+    y = 5.0 + X @ b + rng.normal(size=n)
+    return X.astype(np.float32), y.astype(np.float32), b
+
+
+def lad_problem(n, p, seed=123):
+    """Reference README's LAD generator (README.md:296-304): heavy-tailed
+    noise."""
+    rng = np.random.default_rng(seed)
+    b = rng.normal(size=p)
+    X = rng.normal(size=(n, p))
+    y = X @ b + rng.standard_cauchy(n)
+    return X.astype(np.float32), y.astype(np.float32), b
+
+
+def bp_problem(n, p, k, seed=123):
+    """Reference README's BP generator (README.md:368-377): sparse signal,
+    exact measurements."""
+    rng = np.random.default_rng(seed)
+    x0 = np.zeros(p)
+    x0[rng.choice(p, k, replace=False)] = rng.normal(size=k)
+    A = rng.normal(size=(n, p)) / np.sqrt(n)
+    return A.astype(np.float32), (A @ x0).astype(np.float32), x0
+
+
+# ---------------------------------------------------------------------------
+# Amortized two-point timer
+# ---------------------------------------------------------------------------
+
+def amortized_ms(make_scalar, k_small, k_large, repeats=3):
+    """Median on-device ms per solve.  ``make_scalar(i)`` runs one full
+    solve (perturbed by repetition index i) and returns a scalar."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run_k(K):
+        def body(i, acc):
+            return acc + make_scalar(i)
+        return lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    def wall(K):
+        t0 = time.perf_counter()
+        float(run_k(K))
+        return (time.perf_counter() - t0) * 1e3
+
+    wall(k_small)  # compile + warm-up (K is dynamic: one compile total)
+    samples = []
+    for _ in range(repeats):
+        t1 = wall(k_small)
+        t2 = wall(k_large)
+        samples.append((t2 - t1) / (k_large - k_small))
+    return float(np.median(samples))
+
+
+# ---------------------------------------------------------------------------
+# Benchmarks (one function per BASELINE.md row)
+# ---------------------------------------------------------------------------
+
+def bench_lasso_path(fast):
+    import jax.numpy as jnp
+    from admm_tpu.models.lasso import _path_auto
+
+    X, y, _ = regression_problem(10000, 1000, 100)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+
+    def one(i, alpha=1.0, enet=False, mode="batch"):
+        yy = y * (1.0 + 1e-6 * (i + 1).astype(y.dtype))
+        res = _path_auto(X, yy, 100, 1e-4, -1.0, 10000, 1e-5, 1e-5, alpha,
+                         standardize_x=True, intercept=True,
+                         enet_scale=enet, path_mode=mode)
+        return jnp.sum(res.coef) + jnp.sum(res.niter)
+
+    # The batched path is sub-millisecond on TPU: K must be large enough
+    # that (wall(K2)-wall(K1)) clears dispatch jitter or the estimate can
+    # even go negative — full mode is authoritative.
+    ks = (2, 20) if fast else (4, 36)
+    out = {}
+    out["lasso_path_10000x1000_ms"] = dict(
+        value=amortized_ms(one, *ks), baseline_ms=321.0,
+        note="admm 321.0 / glmnet 1043.3 / padmm 512.5 (README.md:206-224)")
+    out["lasso_path_10000x1000_scan_ms"] = dict(
+        value=amortized_ms(partial(one, mode="scan"), *((1, 4) if fast
+                                                        else (2, 12))),
+        baseline_ms=321.0,
+        note="sequential warm-started protocol (the reference's own)")
+    out["enet_path_10000x1000_alpha0.6_ms"] = dict(
+        value=amortized_ms(partial(one, alpha=0.6, enet=True), *ks),
+        baseline_ms=289.0, note="admm 289.0 / glmnet 1049.9")
+    return out
+
+
+def bench_lasso_wide(fast):
+    import jax.numpy as jnp
+    from admm_tpu.models.lasso import _path_auto
+
+    X, y, _ = regression_problem(1000, 2000, 100)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+
+    def one(i):
+        yy = y * (1.0 + 1e-6 * (i + 1).astype(y.dtype))
+        res = _path_auto(X, yy, 100, 0.01, -1.0, 10000, 1e-5, 1e-5, 1.0,
+                         standardize_x=True, intercept=True,
+                         enet_scale=False, path_mode="batch")
+        return jnp.sum(res.coef) + jnp.sum(res.niter)
+
+    ks = (1, 4) if fast else (2, 10)
+    return {"lasso_path_wide_1000x2000_ms": dict(
+        value=amortized_ms(one, *ks), baseline_ms=247.4,
+        note="admm 247.4 / glmnet 199.4 / padmm 5345.6 (README.md:257-275)")}
+
+
+def bench_lad(fast):
+    import jax.numpy as jnp
+    from admm_tpu.models.lad import _lad_fit
+
+    out = {}
+    for (n, p), base, key in [((1000, 500), 51.6, "lad_1000x500_ms"),
+                              ((5000, 1000), 2189.0, "lad_5000x1000_ms")]:
+        X, y, _ = lad_problem(n, p)
+        X, y = jnp.asarray(X), jnp.asarray(y)
+
+        def one(i, X=X, y=y):
+            yy = y * (1.0 + 1e-6 * (i + 1).astype(y.dtype))
+            res = _lad_fit(X, yy, 1.0, 10000, 1e-4, 1e-4, intercept=True)
+            return (jnp.sum(res.coef) + res.beta0
+                    + res.niter.astype(jnp.float32))
+
+        ks = (1, 4) if fast else (2, 10)
+        out[key] = dict(value=amortized_ms(one, *ks), baseline_ms=base,
+                        note=f"reference admm {base} ms "
+                             "(README.md:306-324, :343-355)")
+    return out
+
+
+def bench_bp(fast):
+    import jax.numpy as jnp
+    from admm_tpu.models.bp import _bp_fit
+
+    out = {}
+    for (n, p, k), base, key in [
+            ((1000, 2000, 100), 292.0, "bp_1000x2000_ms"),
+            ((1000, 10000, 200), 4969.0, "bp_1000x10000_ms")]:
+        A, b, _ = bp_problem(n, p, k)
+        A, b = jnp.asarray(A), jnp.asarray(b)
+
+        def one(i, A=A, b=b):
+            bb = b * (1.0 + 1e-6 * (i + 1).astype(b.dtype))
+            res = _bp_fit(A, bb, 1.0, 10000, 1e-4, 1e-4)
+            return jnp.sum(res.coef) + res.niter.astype(jnp.float32)
+
+        ks = (1, 3) if fast else (1, 5)
+        out[key] = dict(value=amortized_ms(one, *ks), baseline_ms=base,
+                        note=f"reference admm {base} ms elapsed "
+                             "(README.md:379-393, :405-418)")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Oracle agreement (the reference README's correctness columns)
+# ---------------------------------------------------------------------------
+
+def oracle_agreement():
+    from sklearn.linear_model import Lasso, QuantileRegressor
+    from admm_tpu.models.lasso import lasso_path
+    from admm_tpu.models.lad import lad_fit
+    from admm_tpu.models.bp import bp_fit
+
+    out = {}
+
+    # Lasso path gap vs coordinate descent on the flagship problem (the
+    # reference reports [-2.87e-4, 7.26e-5] vs glmnet, README.md:227-242).
+    X, y, _ = regression_problem(10000, 1000, 100)
+    res = lasso_path(X, y, nlambda=100, path_mode="batch")
+    lams = np.asarray(res.lambdas)
+    idx = [10, 40, 70, 99]
+    gaps = []
+    for i in idx:
+        sk = Lasso(alpha=float(lams[i]), fit_intercept=True,
+                   tol=1e-8, max_iter=100000).fit(X, y)
+        gaps.append(np.abs(np.asarray(res.coef[i]) - sk.coef_).max())
+    out["lasso_coef_gap_vs_sklearn"] = dict(
+        value=float(np.max(gaps)), baseline=2.9e-4,
+        note="max|beta_admm - beta_cd| over 4 path points; reference "
+             "reports ~2.9e-4 vs glmnet")
+
+    # LAD gap vs quantile regression (reference: +-7e-3 vs quantreg[br]).
+    X, y, _ = lad_problem(1000, 50)  # small p keeps the LP oracle fast
+    r = lad_fit(X, y, intercept=True)
+    qr = QuantileRegressor(quantile=0.5, alpha=0.0,
+                           solver="highs").fit(X, y)
+    out["lad_coef_gap_vs_quantreg"] = dict(
+        value=float(np.abs(np.asarray(r.coef) - qr.coef_).max()),
+        baseline=7e-3, note="n=1000, p=50 (p reduced for LP oracle speed)")
+
+    # BP recovery error (reference: [-1.27e-3, 2.11e-3]).
+    A, b, x0 = bp_problem(1000, 2000, 100)
+    r = bp_fit(A, b)
+    out["bp_recovery_err"] = dict(
+        value=float(np.abs(np.asarray(r.coef) - x0).max()),
+        baseline=2.11e-3, note="max|x - x0|, n=1000 p=2000 k=100")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--no-oracle", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    backend = jax.default_backend()
+    print(f"# backend={backend} devices={len(jax.devices())}",
+          file=sys.stderr)
+
+    results = {}
+    for name, fn in [("lasso", bench_lasso_path),
+                     ("lasso_wide", bench_lasso_wide),
+                     ("lad", bench_lad), ("bp", bench_bp)]:
+        t0 = time.time()
+        results.update(fn(args.fast))
+        print(f"# {name} done in {time.time()-t0:.1f}s", file=sys.stderr)
+    if not args.no_oracle:
+        results.update(oracle_agreement())
+
+    width = max(len(k) for k in results)
+    for k, v in results.items():
+        base = v.get("baseline_ms", v.get("baseline"))
+        speed = (f"  {base / v['value']:8.1f}x vs ref"
+                 if "baseline_ms" in v else
+                 f"  (ref ~{base:g})")
+        print(f"{k:<{width}}  {v['value']:12.4g}{speed}")
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f"results_{backend}.json")
+    with open(out_path, "w") as f:
+        json.dump({"backend": backend, "results": results}, f, indent=2)
+    print(f"# wrote {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Cross-validated lambda selection (admm_tpu.models.cv).
+
+Extension beyond the reference (which has no model selection); pinned
+against sklearn's LassoCV on a seeded problem.
+"""
+import numpy as np
+import pytest
+from sklearn.linear_model import LassoCV
+
+from admm_tpu.models.cv import cv_enet_path, cv_lasso_path
+
+
+def _problem(n=300, p=40, seed=3):
+    rng = np.random.default_rng(seed)
+    b = np.zeros(p)
+    b[:8] = rng.uniform(1.0, 2.0, 8) * rng.choice([-1, 1], 8)
+    X = rng.normal(size=(n, p))
+    y = X @ b + rng.normal(size=n)
+    return X, y, b
+
+
+def test_cv_selects_sensible_lambda():
+    X, y, b = _problem()
+    cv = cv_lasso_path(X, y, nfolds=5, nlambda=50)
+    assert cv.cvm.shape == (50,)
+    assert np.all(np.isfinite(cv.cvm)) and np.all(cv.cvsd >= 0)
+    # The minimiser is interior (signal is strong, grid spans 4 decades).
+    i_min = int(np.argmin(cv.cvm))
+    assert 0 < i_min < 49
+    assert cv.lambda_1se >= cv.lambda_min
+    # Coefficients at lambda_min recover the true support.
+    i = int(np.argmin(np.abs(cv.lambdas - cv.lambda_min)))
+    coef = np.asarray(cv.fit.coef[i])
+    assert np.all(np.abs(coef[:8]) > 0.5)
+    assert np.abs(coef[8:]).max() < 0.2
+
+
+def test_cv_matches_sklearn_lassocv_selection():
+    X, y, _ = _problem()
+    cv = cv_lasso_path(X, y, nfolds=5, nlambda=60, seed=1)
+    sk = LassoCV(cv=5, tol=1e-8, max_iter=100000,
+                 fit_intercept=True).fit(X, y)
+    # Same order of magnitude of selected penalty (fold splits differ).
+    assert 0.1 < cv.lambda_min / sk.alpha_ < 10.0
+    # Coefficients at the selected lambdas agree on the support.
+    i = int(np.argmin(np.abs(cv.lambdas - cv.lambda_min)))
+    ours = np.asarray(cv.fit.coef[i])
+    np.testing.assert_allclose(ours, sk.coef_, atol=0.15)
+
+
+def test_cv_custom_foldid_reproducible():
+    X, y, _ = _problem(n=200, p=20)
+    foldid = np.arange(200) % 4
+    a = cv_lasso_path(X, y, nfolds=4, nlambda=20, foldid=foldid)
+    b = cv_lasso_path(X, y, nfolds=4, nlambda=20, foldid=foldid)
+    np.testing.assert_array_equal(a.cvm, b.cvm)
+    assert a.lambda_min == b.lambda_min
+
+
+def test_cv_enet():
+    X, y, _ = _problem()
+    cv = cv_enet_path(X, y, alpha=0.6, nfolds=4, nlambda=25)
+    assert np.all(np.isfinite(cv.cvm))
+    assert cv.lambda_1se >= cv.lambda_min
+
+
+def test_cv_validates_nfolds():
+    X, y, _ = _problem(n=50, p=20)
+    with pytest.raises(ValueError):
+        cv_lasso_path(X, y, nfolds=1)
