@@ -51,12 +51,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.engine import (ProblemOps, make_admm_solver, make_state,
-                           warm_start)
+from ..core.engine import (ProblemOps, make_admm_solver,
+                           make_batched_solver, make_state, warm_start)
 from ..core.prox import box_clamp_neg, l2norm, soft_threshold
 from ..data.standardize import recover, standardize
 from ..linalg import dot, gram, spectral_radius_sym
-from .lasso import PathResult
+from .lasso import PathResult, _batched_cold_states
 
 
 def _dantzig_ops(apply_A, Xty, Xty_norm, sprad, lambda0, p) -> ProblemOps:
@@ -88,7 +88,7 @@ def _dantzig_ops(apply_A, Xty, Xty_norm, sprad, lambda0, p) -> ProblemOps:
     )
 
 
-def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel):
+def _dantzig_setup(Xs, ys, rho0):
     n, p = Xs.shape
     dtype = Xs.dtype
     Xty = dot(Xs.T, ys)
@@ -105,15 +105,20 @@ def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel):
         sprad_g = spectral_radius_sym(XXt)
     sprad = sprad_g * sprad_g  # eigmax(X'X X'X) = eigmax(X'X)^2
 
-    lam_first = ilams[0]
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     1.0 / jnp.sqrt(sprad))
-
     ops = _dantzig_ops(apply_A, Xty, Xty_norm, sprad, lambda0, p)
+    return ops, rho
+
+
+def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel):
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    ops, rho = _dantzig_setup(Xs, ys, rho0)
     solve = make_admm_solver(ops, adapt_rho=False)
 
     zeros = jnp.zeros((p,), dtype)
-    st0 = make_state(zeros, zeros, zeros, rho, lam_first, aux=zeros,
+    st0 = make_state(zeros, zeros, zeros, rho, ilams[0], aux=zeros,
                      dtype=dtype)
 
     def step(st, lam):
@@ -125,9 +130,26 @@ def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel):
     return coefs, niter
 
 
-@partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda"))
+def _solve_path_dantzig_batch(Xs, ys, ilams, rho0, maxit, eps_abs,
+                              eps_rel):
+    """All-lambdas-at-once Dantzig solve: one while_loop whose body is
+    the single-lambda engine body vmapped over lanes (the same batched
+    protocol as the Lasso, see make_batched_solver).  The x-update's
+    apply_A matvec becomes a (k, p) x (p, p) MXU matmul."""
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    ops, rho = _dantzig_setup(Xs, ys, rho0)
+    solve = make_batched_solver(make_admm_solver(ops, adapt_rho=False))
+    st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype,
+                              aux_dim=p)
+    st = solve(st, maxit, eps_abs, eps_rel)
+    return st.x, st.it
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
+                                   "path_mode"))
 def _dpath_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
-                eps_rel, *, standardize_x, intercept):
+                eps_rel, *, standardize_x, intercept, path_mode):
     n = X.shape[0]
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
@@ -136,24 +158,26 @@ def _dpath_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     lmin = lambda_min_ratio * lmax
     lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin), nlambda))
     return _dpath_from(Xs, ys, stats, lams, rho, maxit, eps_abs, eps_rel,
-                       standardize_x, intercept)
+                       standardize_x, intercept, path_mode)
 
 
-@partial(jax.jit, static_argnames=("standardize_x", "intercept"))
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "path_mode"))
 def _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel, *,
-                standardize_x, intercept):
+                standardize_x, intercept, path_mode):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
     return _dpath_from(Xs, ys, stats, lams, rho, maxit, eps_abs, eps_rel,
-                       standardize_x, intercept)
+                       standardize_x, intercept, path_mode)
 
 
 def _dpath_from(Xs, ys, stats, lams, rho, maxit, eps_abs, eps_rel,
-                standardize_x, intercept):
+                standardize_x, intercept, path_mode="scan"):
     n = Xs.shape[0]
     ilams = lams * n / stats.scale_y
-    coefs, niter = _solve_path_dantzig(Xs, ys, ilams, rho, maxit, eps_abs,
-                                       eps_rel)
+    solver = (_solve_path_dantzig_batch if path_mode == "batch"
+              else _solve_path_dantzig)
+    coefs, niter = solver(Xs, ys, ilams, rho, maxit, eps_abs, eps_rel)
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
@@ -165,11 +189,14 @@ def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                  standardize: bool = True, intercept: bool = True,
                  maxit: int = 10000, eps_abs: float = 1e-5,
                  eps_rel: float = 1e-5, rho: float = -1.0,
+                 path_mode: str = "scan",
                  dtype=jnp.float32) -> PathResult:
     """Solve the Dantzig-selector lambda path on device.
 
     API mirrors the Lasso path (the reference's R class extends
-    ADMM_Lasso unchanged, reference: R/50_admm_dantzig.R:2).
+    ADMM_Lasso unchanged, reference: R/50_admm_dantzig.R:2), including
+    ``path_mode``: "scan" = sequential warm starts, "batch" = all
+    lambdas simultaneously as MXU lanes.
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -179,7 +206,8 @@ def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
         return _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
-                           standardize_x=standardize, intercept=intercept)
+                           standardize_x=standardize, intercept=intercept,
+                           path_mode=path_mode)
     return _dpath_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
                        eps_abs, eps_rel, standardize_x=standardize,
-                       intercept=intercept)
+                       intercept=intercept, path_mode=path_mode)

@@ -163,6 +163,22 @@ def test_dantzig_constraint_satisfied():
     assert viol <= 1e-2
 
 
+def test_dantzig_batch_mode_matches_scan():
+    rng = np.random.default_rng(5)
+    n, p = 200, 30
+    b = np.zeros(p)
+    b[:5] = rng.normal(size=5)
+    X = rng.normal(size=(n, p))
+    y = X @ b + 0.2 * rng.normal(size=n)
+    lams = np.geomspace(0.5, 0.02, 8)
+    from admm_tpu.models.dantzig import dantzig_path
+
+    scan = dantzig_path(X, y, lambdas=lams, path_mode="scan")
+    batch = dantzig_path(X, y, lambdas=lams, path_mode="batch")
+    np.testing.assert_allclose(np.asarray(batch.coef),
+                               np.asarray(scan.coef), atol=5e-3)
+
+
 def test_dantzig_path_runs():
     rng = np.random.default_rng(6)
     X = rng.normal(size=(60, 15))
