@@ -88,13 +88,11 @@ def _tall_ops(Minv, Xty, alpha, p) -> ProblemOps:
     )
 
 
-def _tall_engine(Xs, ys, lam_first, rho0, alpha):
-    """Build the tall-regime engine: cold state, solver, reported iterate.
+def _tall_setup(Xs, ys, lam_first, rho0):
+    """Shared tall-regime caches: ridge inverse, X'y, auto-rho.
 
-    Factorizations (X'X, ridge inverse) are functions of the data and
-    rho only, so a resumed/checkpointed path rebuilds them exactly
-    (admm_tpu.diag.checkpoint)."""
-    n, p = Xs.shape
+    Deterministic functions of (data, options), so a resumed/checkpointed
+    path rebuilds them exactly (admm_tpu.diag.checkpoint)."""
     dtype = Xs.dtype
     XtX = gram(Xs)
     Xty = dot(Xs.T, ys)
@@ -103,6 +101,14 @@ def _tall_engine(Xs, ys, lam_first, rho0, alpha):
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.cbrt(sprad) * lam_first ** (2.0 / 3.0))
     Minv = ridge_inverse(XtX, rho)
+    return Minv, Xty, rho
+
+
+def _tall_engine(Xs, ys, lam_first, rho0, alpha):
+    """Build the tall-regime engine: cold state, solver, reported iterate."""
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    Minv, Xty, rho = _tall_setup(Xs, ys, lam_first, rho0)
 
     ops = _tall_ops(Minv, Xty, alpha, p)
     solve = make_fadmm_solver(ops, adapt_rho=False)
@@ -126,6 +132,18 @@ def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel):
 
 
 def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha):
+    # TPU fast path: the whole warm-started sequential path inside ONE
+    # Pallas kernel with the ridge inverse resident in VMEM (the
+    # reference's own path protocol, latency-optimised).
+    if _use_pallas_tall(Xs.shape[1], ilams.shape[0], Xs.dtype,
+                        mode="scan"):
+        from ..ops.tall_path import tall_path_scan_pallas
+
+        Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
+        return tall_path_scan_pallas(
+            Minv, Xty, ilams, rho, eps_abs, eps_rel,
+            jnp.asarray(alpha, Xs.dtype), maxit, true_p=Xs.shape[1])
+
     st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho0, alpha)
     _, coefs, niter = _scan_path(st0, solve, report, ilams, maxit,
                                  eps_abs, eps_rel)
@@ -181,16 +199,16 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     return st.z, st.it
 
 
-def _use_pallas_tall(p: int, k: int, dtype) -> bool:
+def _use_pallas_tall(p: int, k: int, dtype, mode: str = "batch") -> bool:
     import os
 
     if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
         return False
     if dtype != jnp.float32 or jax.default_backend() != "tpu":
         return False
-    from ..ops.tall_path import supports
+    from ..ops.tall_path import supports, supports_scan
 
-    return supports(p, k)
+    return supports_scan(p, k) if mode == "scan" else supports(p, k)
 
 
 def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,

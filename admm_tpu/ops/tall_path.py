@@ -48,6 +48,15 @@ def supports(p: int, k: int) -> bool:
     return need <= _VMEM_BUDGET_BYTES
 
 
+def supports_scan(p: int, k: int) -> bool:
+    """VMEM budget for the scan-mode kernel: the inverse plus one lane of
+    state plus the (K, P) output."""
+    P = _round_up(max(p, 8), LANE)
+    K = _round_up(max(k, 8), 8)
+    need = 4 * (P * P + K * P + 8 * P + 2 * K)
+    return need <= _VMEM_BUDGET_BYTES and K <= 1024
+
+
 def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
             x_ref, y_ref, adjz_ref, adjy_ref, sc_ref,
             *, true_p: int, restart_tol: float):
@@ -154,6 +163,159 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
 
     lax.while_loop(cond, body, (jnp.float32(0.0), jnp.int32(0)))
     niter_out[:] = sc_ref[:, 3:4]
+
+
+def _scan_kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
+                 x_ref, z_ref, y_ref, adjz_ref, adjy_ref,
+                 *, num_lams: int, true_p: int, restart_tol: float,
+                 K: int):
+    """Sequential warm-started lambda path, one lane, inverse resident.
+
+    The reference's own path protocol (reference: src/Lasso.cpp:97-124 —
+    host loop of init_warm + solve) as a single kernel: an outer
+    fori_loop over lambdas around an inner while_loop of FADMM
+    iterations.  Vector state lives in VMEM scratch refs; the loop
+    carries only scalars (Mosaic mis-lays-out small vectors carried
+    through while_loop).  Math identical to ``make_fadmm_solver`` over
+    ``_tall_ops`` with ``warm_start`` between lambdas.
+    """
+    rho = scal_ref[0, 0]
+    eps_abs = scal_ref[0, 1]
+    eps_rel = scal_ref[0, 2]
+    alpha = scal_ref[0, 3]
+    maxit = scal_ref[0, 4].astype(jnp.int32)
+    sqrt_p = jnp.sqrt(jnp.float32(true_p))
+
+    minv = minv_ref[:]                 # (P, P) resident across the path
+    xty = xty_ref[:]                   # (1, P)
+
+    rnorm = lambda v: jnp.sqrt(jnp.sum(v * v))
+
+    def prox(v, pen):
+        thresh = alpha * pen
+        denom = 1.0 + pen * (1.0 - alpha)
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0) / denom
+
+    # Cold start (reference: src/ADMMLassoTall.h:179-216).
+    for ref in (x_ref, z_ref, y_ref, adjz_ref, adjy_ref):
+        ref[:] = jnp.zeros_like(ref)
+    niter_out[:] = jnp.zeros_like(niter_out)
+    lane_ids = lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+    def lam_body(kk, _):
+        lam = lam_ref[0, kk]
+
+        def cond(c):
+            done, it, _, _ = c
+            return jnp.logical_and(done < 0.5, it < maxit)
+
+        def body(c):
+            _, it, adj_a, adj_c = c
+            x, z, y = x_ref[:], z_ref[:], y_ref[:]
+            adj_z, adj_y = adjz_ref[:], adjy_ref[:]
+
+            eps_pri = (jnp.maximum(rnorm(x), rnorm(z)) * eps_rel
+                       + sqrt_p * eps_abs)
+            eps_dua = rnorm(y) * eps_rel + sqrt_p * eps_abs
+            # x-update against the resident inverse
+            # (reference: src/ADMMLassoTall.h:70-80).
+            rhs = xty - adj_y + rho * adj_z
+            x_new = jnp.dot(rhs, minv, preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
+            z_new = prox(x_new + adj_y / rho, lam / rho)
+            r_dua = rho * rnorm(z_new - z)
+            r = x_new - z_new
+            r_pri = rnorm(r)
+            y_new = adj_y + rho * r
+            now_done = jnp.logical_and(r_pri < eps_pri, r_dua < eps_dua)
+
+            # Nesterov acceleration with restart
+            # (reference: src/FADMMBase.h:240-256); momentum held on the
+            # converging iteration.
+            c_new = rho * r_pri * r_pri + rho * jnp.sum(
+                (z_new - adj_z) ** 2)
+            accel = c_new < restart_tol * adj_c
+            a_acc = 0.5 + 0.5 * jnp.sqrt(1.0 + 4.0 * adj_a * adj_a)
+            ratio = (adj_a - 1.0) / a_acc
+            hold = jnp.logical_or(now_done, jnp.logical_not(accel))
+            adjz_ref[:] = jnp.where(
+                now_done, adj_z,
+                jnp.where(accel, (1.0 + ratio) * z_new - ratio * z, z))
+            adjy_ref[:] = jnp.where(
+                now_done, adj_y,
+                jnp.where(accel, (1.0 + ratio) * y_new - ratio * y, y))
+            adj_a_new = jnp.where(hold, 1.0, a_acc)
+            adj_a_new = jnp.where(now_done, adj_a, adj_a_new)
+            adj_c_new = jnp.where(accel, c_new, adj_c / restart_tol)
+            adj_c_new = jnp.where(now_done, adj_c, adj_c_new)
+
+            x_ref[:] = x_new
+            z_ref[:] = z_new
+            y_ref[:] = y_new
+            return (now_done.astype(jnp.float32), it + 1, adj_a_new,
+                    adj_c_new)
+
+        # Warm start: keep x/z/y and rho, re-sync momentum
+        # (engine: admm_tpu/core/engine.py::warm_start).
+        adjz_ref[:] = z_ref[:]
+        adjy_ref[:] = y_ref[:]
+        _, niter, _, _ = lax.while_loop(
+            cond, body, (jnp.float32(0.0), jnp.int32(0),
+                         jnp.float32(1.0), jnp.float32(9999.0)))
+        z_out[pl.ds(kk, 1), :] = z_ref[:]
+        # Mosaic cannot store scalars to VMEM: write niter as a masked
+        # full-row VPU update instead.
+        niter_out[:] = jnp.where(lane_ids == kk,
+                                 niter.astype(jnp.float32), niter_out[:])
+        return 0
+
+    lax.fori_loop(0, num_lams, lam_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("true_p", "restart_tol", "interpret"))
+def tall_path_scan_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
+                          maxit, *, true_p: int, restart_tol: float = 0.999,
+                          interpret: bool = False):
+    """Warm-started sequential lambda path in one Pallas kernel.
+
+    Args UNPADDED: Minv (p, p), Xty (p,), ilams (k,).  Returns
+    ``(coefs (k, p), niter (k,))`` matching ``_solve_path_tall``.
+    """
+    p = Minv.shape[0]
+    k = ilams.shape[0]
+    P = _round_up(max(p, 8), LANE)
+    K = _round_up(max(k, 8), 8)
+
+    minv_pad = jnp.zeros((P, P), jnp.float32).at[:p, :p].set(
+        Minv.astype(jnp.float32))
+    xty_pad = jnp.zeros((1, P), jnp.float32).at[0, :p].set(
+        Xty.astype(jnp.float32))
+    lam_pad = jnp.zeros((1, K), jnp.float32).at[0, :k].set(
+        ilams.astype(jnp.float32))
+    scal = jnp.array([[rho, eps_abs, eps_rel, alpha, maxit, 0.0, 0.0, 0.0]],
+                     jnp.float32)
+
+    kernel = functools.partial(_scan_kernel, num_lams=k, true_p=true_p,
+                               restart_tol=restart_tol, K=K)
+    z, niter = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((K, P), jnp.float32),
+                   jax.ShapeDtypeStruct((1, K), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, K), memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, 8), memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32),   # x
+                        pltpu.VMEM((1, P), jnp.float32),   # z
+                        pltpu.VMEM((1, P), jnp.float32),   # y
+                        pltpu.VMEM((1, P), jnp.float32),   # adj_z
+                        pltpu.VMEM((1, P), jnp.float32)],  # adj_y
+        interpret=interpret,
+    )(minv_pad, xty_pad, lam_pad, scal)
+    return z[:k, :p], niter[0, :k].astype(jnp.int32)
 
 
 @functools.partial(jax.jit,

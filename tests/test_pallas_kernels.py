@@ -5,8 +5,10 @@ import pytest
 
 from admm_tpu.data.standardize import standardize
 from admm_tpu.linalg import dot, gram, ridge_inverse, spectral_radius_sym
-from admm_tpu.models.lasso import _solve_path_tall_batch
-from admm_tpu.ops.tall_path import supports, tall_path_batch_pallas
+from admm_tpu.models.lasso import _solve_path_tall, _solve_path_tall_batch
+from admm_tpu.ops.tall_path import (supports, supports_scan,
+                                    tall_path_batch_pallas,
+                                    tall_path_scan_pallas)
 
 
 @pytest.fixture(scope="module")
@@ -57,6 +59,46 @@ def test_kernel_enet_alpha(problem):
     np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
                                atol=2e-6)
     np.testing.assert_array_equal(np.asarray(niter_p), np.asarray(niter_x))
+
+
+def _pallas_scan_solve(Xs, ys, ilams, p, alpha=1.0):
+    XtX = gram(Xs)
+    Xty = dot(Xs.T, ys)
+    sprad = spectral_radius_sym(XtX)
+    rho = jnp.cbrt(sprad) * ilams[0] ** (2.0 / 3.0)
+    Minv = ridge_inverse(XtX, rho)
+    return tall_path_scan_pallas(Minv, Xty, ilams, rho, 1e-5, 1e-5,
+                                 alpha, 2000, true_p=p, interpret=True)
+
+
+def test_scan_kernel_matches_xla_scan_solver(problem):
+    """The warm-started sequential kernel must reproduce the XLA
+    scan-over-while_loop solver exactly (same math, same warm starts)."""
+    Xs, ys, ilams, p, k = problem
+    coefs_x, niter_x = _solve_path_tall(Xs, ys, ilams, -1.0, 2000,
+                                        1e-5, 1e-5, 1.0)
+    coefs_p, niter_p = _pallas_scan_solve(Xs, ys, ilams, p)
+    np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
+                               atol=2e-6)
+    # The kernel's row-vector matvec accumulates in a different order
+    # than XLA's column matvec; near the convergence boundary that can
+    # shift a lambda by one iteration.
+    assert np.max(np.abs(np.asarray(niter_p) - np.asarray(niter_x))) <= 1
+
+
+def test_scan_kernel_enet(problem):
+    Xs, ys, ilams, p, k = problem
+    coefs_x, niter_x = _solve_path_tall(Xs, ys, ilams, -1.0, 2000,
+                                        1e-5, 1e-5, 0.6)
+    coefs_p, niter_p = _pallas_scan_solve(Xs, ys, ilams, p, alpha=0.6)
+    np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
+                               atol=2e-6)
+    assert np.max(np.abs(np.asarray(niter_p) - np.asarray(niter_x))) <= 1
+
+
+def test_supports_scan_budget():
+    assert supports_scan(1000, 100)
+    assert not supports_scan(4000, 100)
 
 
 def test_kernel_padding_lanes_inert(problem):
