@@ -36,9 +36,32 @@ class StdStats(NamedTuple):
 
 
 def _sd_n(v: jnp.ndarray, axis=None) -> jnp.ndarray:
-    """Standard deviation with 1/n denominator (glmnet convention)."""
+    """Standard deviation with 1/n denominator (glmnet convention).
+
+    Centered two-pass form: the E[x^2] - E[x]^2 shortcut cancels
+    catastrophically in float32 (columns with mean/sd above ~2^12 come
+    out negative -> NaN), matching the reference's non-AVX path
+    (reference: src/DataStd.h:39-53) rather than its AVX shortcut.
+    """
     m = jnp.mean(v, axis=axis)
-    return jnp.sqrt(jnp.mean(v * v, axis=axis) - m * m)
+    c = v - (m if axis is None else jnp.expand_dims(m, axis))
+    return jnp.sqrt(jnp.mean(c * c, axis=axis))
+
+
+def _guard(scale: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """A (numerically) zero standard deviation must not poison the fit.
+
+    The threshold is RELATIVE to the magnitude ``ref`` (the mean): a
+    truly constant column of value c centers to +-eps*c of rounding
+    noise, so its computed sd is ~eps*|c|, not 0 — an absolute sd > 0
+    check standardizes that noise to a constant +-1 column whose
+    recovery then divides by ~eps*|c| and fabricates huge coefficients.
+    Anything with sd below 8*eps*|mean| is constant at working
+    precision; leave it unscaled (the centered column is pure noise of
+    magnitude eps*|c| and the penalty keeps its coefficient at 0).
+    """
+    floor = 8.0 * jnp.finfo(scale.dtype).eps * jnp.abs(ref)
+    return jnp.where(scale > floor, scale, jnp.ones_like(scale))
 
 
 def standardize(X: jnp.ndarray, y: jnp.ndarray, *, standardize_x: bool,
@@ -60,24 +83,26 @@ def standardize(X: jnp.ndarray, y: jnp.ndarray, *, standardize_x: bool,
     scale_y = jnp.ones((), dtype)
 
     if flag == 1:
-        scale_y = _sd_n(y)
+        scale_y = _guard(_sd_n(y), jnp.mean(y))
         y = y / scale_y
-        scale_x = _sd_n(X, axis=0)
+        scale_x = _guard(_sd_n(X, axis=0), jnp.mean(X, axis=0))
         X = X / scale_x
     elif flag == 2:
-        mean_y = jnp.mean(y)
-        y = y - mean_y
-        scale_y = jnp.sqrt(jnp.mean(y * y))
+        my = jnp.mean(y)
+        mean_y = my
+        y = y - my
+        scale_y = _guard(jnp.sqrt(jnp.mean(y * y)), my)
         y = y / scale_y
         mean_x = jnp.mean(X, axis=0)
         X = X - mean_x
     elif flag == 3:
-        mean_y = jnp.mean(y)
-        y = y - mean_y
-        scale_y = jnp.sqrt(jnp.mean(y * y))
+        my = jnp.mean(y)
+        mean_y = my
+        y = y - my
+        scale_y = _guard(jnp.sqrt(jnp.mean(y * y)), my)
         y = y / scale_y
         mean_x = jnp.mean(X, axis=0)
-        scale_x = _sd_n(X, axis=0)
+        scale_x = _guard(_sd_n(X, axis=0), mean_x)
         X = (X - mean_x) / scale_x
 
     return X, y, StdStats(mean_x, scale_x, mean_y, scale_y)

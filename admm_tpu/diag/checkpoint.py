@@ -83,14 +83,18 @@ def load_pytree(path: str, like):
     return jax.tree.unflatten(treedef, leaves), extras
 
 
-def _fingerprint(Xs, ys, lams, alpha, maxit, eps_abs, eps_rel, rho):
+def _fingerprint(Xs, ys, lams, alpha, maxit, eps_abs, eps_rel, rho,
+                 standardize_x, intercept, enet_scale):
     """Cheap problem identity so a checkpoint is never resumed against a
-    different problem or options."""
+    different problem or options.  Every option that changes solver
+    behavior must appear here — including the static flags (enet_scale
+    changes the wide regime's lambda0 early-exit threshold)."""
     return np.array([
         Xs.shape[0], Xs.shape[1], lams.shape[0],
         float(np.asarray(lams[0])), float(np.asarray(lams[-1])),
         float(alpha), float(maxit), float(eps_abs), float(eps_rel),
-        float(rho),
+        float(rho), float(standardize_x), float(intercept),
+        float(enet_scale),
         float(jnp.sum(Xs[0]) + jnp.sum(ys[: min(8, ys.shape[0])])),
     ], dtype=np.float64)
 
@@ -130,14 +134,16 @@ def checkpointed_lasso_path(
         st0, solve, report = _wide_engine(Xs, ys, ilams[0], rho, alpha,
                                           _enet_scale)
 
-    fp = _fingerprint(Xs, ys, ilams, alpha, maxit, eps_abs, eps_rel, rho)
+    fp = _fingerprint(Xs, ys, ilams, alpha, maxit, eps_abs, eps_rel, rho,
+                      standardize_x, intercept, _enet_scale)
     k_done = 0
     coefs_done = []
     niter_done = []
     st = st0
     if os.path.exists(checkpoint):
         st_loaded, extras = load_pytree(checkpoint, st0)
-        if not np.allclose(extras["fingerprint"], fp):
+        fp_old = np.asarray(extras["fingerprint"])
+        if fp_old.shape != fp.shape or not np.allclose(fp_old, fp):
             raise ValueError(
                 f"checkpoint {checkpoint!r} belongs to a different "
                 "problem/options; refusing to resume")

@@ -16,8 +16,8 @@ inverse + matmul, no triangular solves anywhere) so each iteration is two
 skinny MXU matvecs: ``x = v + AAAb - A'(K v)``.
 
 z-update: soft-threshold with penalty 1/rho (reference: src/ADMMBP.h:84-88).
-Accelerated FADMM engine with the adaptive-rho ladder active (projection
-is rho-independent).  No standardization (reference: src/BP.cpp:24-35).
+Accelerated FADMM engine with rho fixed (see the note at the solver
+construction below).  No standardization (reference: src/BP.cpp:24-35).
 """
 from __future__ import annotations
 

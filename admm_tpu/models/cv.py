@@ -44,7 +44,10 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     Rows are randomly permuted and split into ``nfolds`` equal folds
     (``n mod nfolds`` rows are dropped from CV scoring — but never from
     the final full-data fit — so every fold's train set has the same
-    shape and XLA compiles the path solver exactly once).
+    shape and XLA compiles the path solver exactly once).  When an
+    explicit ``foldid`` is given it defines the folds and ``nfolds`` is
+    derived from it (glmnet convention); entries of -1 are excluded from
+    CV scoring.
     """
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64).ravel()
@@ -71,6 +74,14 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
         foldid = np.asarray(foldid, np.int64)
         if foldid.shape != (n,):
             raise ValueError("foldid must have one entry per row")
+        # glmnet convention: an explicit foldid defines the folds; derive
+        # nfolds from it rather than scoring empty validation splits.
+        nfolds = int(foldid.max()) + 1
+        counts = np.bincount(foldid[foldid >= 0], minlength=nfolds)
+        if nfolds < 2 or np.any(counts == 0):
+            raise ValueError(
+                "foldid must assign at least one row to each of >= 2 "
+                f"folds (got counts {counts.tolist()})")
 
     mse = np.empty((nfolds, lams.shape[0]))
     for f in range(nfolds):

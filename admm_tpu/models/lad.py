@@ -23,9 +23,12 @@ TPU-native choices:
   the MXU — cheaper in FLOPs and memory for every n > p, so we always
   use it (with a one-time explicit inverse of X'X instead of a cached
   Cholesky, avoiding per-iteration triangular solves).
-* The accelerated FADMM engine runs WITH the adaptive-rho ladder: the
-  projection is rho-independent, so rho changes are free (the reference
-  inherits FADMMBase::update_rho unoverridden — SURVEY.md section 2.3).
+* The accelerated FADMM engine runs with rho FIXED at the user value
+  (default 1.0, reference: R/20_admm_lad.R:28-31).  The reference
+  inherits FADMMBase::update_rho unoverridden, but combining Nesterov
+  acceleration with the adaptive ladder violates the restart analysis's
+  constant-penalty assumption and can cycle without converging (observed
+  on small problems — see admm_tpu/models/bp.py).
 
 The final coefficients are recovered by one least-squares solve
 ``beta = (X'X)^{-1} X' (y - adj_y/rho + adj_z)``
@@ -79,19 +82,35 @@ def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
 
 @partial(jax.jit, static_argnames=("intercept",))
 def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
+    """Deliberate fix over the reference for ``intercept=True``: the
+    reference mean-centers X and y and reconstructs ``beta0 = mean(y) -
+    sum(coef * mean(x))`` (reference: src/LAD.cpp:34, src/DataStd.h:157),
+    which FORCES the mean-based intercept — but the L1-optimal intercept
+    is median-like, and under heavy-tailed noise (the regime LAD exists
+    for) the forced mean intercept is arbitrarily suboptimal (measured:
+    10% higher L1 objective than the LP optimum under Cauchy noise).
+    Here the intercept is an unpenalized ones column INSIDE the
+    range-space projection, so it is optimized under the L1 loss itself;
+    X is still centered+scaled for conditioning, which the free column
+    absorbs exactly.
+    """
     n, p = X.shape
     dtype = X.dtype
     # LAD always standardizes X (reference: src/LAD.cpp:34).
     Xs, ys, stats = standardize(X, y, standardize_x=True,
                                 intercept=intercept)
-    XtX = gram(Xs)
+    if intercept:
+        Xa = jnp.concatenate([jnp.ones((n, 1), dtype), Xs], axis=1)
+    else:
+        Xa = Xs
+    XtX = gram(Xa)
     # X'X is unregularised here; jitter guards f32 conditioning (the
     # reference relies on float64, SURVEY.md section 2.6 caveat 2).
     jitter = 1e-6 if dtype == jnp.float32 else 0.0
     Ginv = chol_inverse(XtX, jitter=jitter)
     ynorm = l2norm(ys)
 
-    ops = _lad_ops(Xs, ys, Ginv, ynorm, n, p)
+    ops = _lad_ops(Xa, ys, Ginv, ynorm, n, Xa.shape[1])
     # Fixed rho, as for BP: FADMM acceleration + the adaptive ladder can
     # cycle (see admm_tpu/models/bp.py); the projection is rho-free so a
     # fixed rho = 1.0 (the reference default, R/20_admm_lad.R:28-31)
@@ -105,9 +124,17 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
     # beta = (X'X)^-1 X' (y - adj_y/rho + adj_z)
     # (reference: src/ADMMLAD.h:220-225)
     v = ys - st.adj_y / st.rho + st.adj_z
-    coef_std = dot(Ginv, dot(Xs.T, v))
-    beta0, coef = recover(stats, coef_std, standardize_x=True,
-                          intercept=intercept)
+    coef_std = dot(Ginv, dot(Xa.T, v))
+    if intercept:
+        a, slopes = coef_std[0], coef_std[1:]
+        # ys = (y - mean_y)/scale_y, Xs = (X - mean_x)/scale_x:
+        # y ~ mean_y + scale_y*a + sum_j coef_j (X_j - mean_x_j).
+        coef = slopes / stats.scale_x * stats.scale_y
+        beta0 = (stats.mean_y + stats.scale_y * a
+                 - jnp.sum(coef * stats.mean_x))
+    else:
+        beta0, coef = recover(stats, coef_std, standardize_x=True,
+                              intercept=False)
     return LADResult(beta0=beta0, coef=coef, niter=st.it)
 
 

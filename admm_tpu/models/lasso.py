@@ -52,7 +52,7 @@ from ..core.engine import (ADMMState, ProblemOps, make_admm_solver,
                            make_state, warm_start)
 from ..core.prox import enet_prox, l2norm, sqnorm
 from ..data.standardize import StdStats, recover, standardize
-from ..linalg import dot, gram, ridge_inverse, spectral_radius_sym
+from ..linalg import dot, gram, ridge_inverse, spectral_radius_gram, spectral_radius_sym
 
 
 class PathResult(NamedTuple):
@@ -175,12 +175,7 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     never changes, reference: src/ADMMLassoTall.h:96-97, :219-230)."""
     n, p = Xs.shape
     dtype = Xs.dtype
-    XtX = gram(Xs)
-    Xty = dot(Xs.T, ys)
-    sprad = spectral_radius_sym(XtX)
-    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.cbrt(sprad) * ilams[0] ** (2.0 / 3.0))
-    Minv = ridge_inverse(XtX, rho)
+    Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
 
     # TPU fast path: the whole batched path solves inside ONE Pallas
     # kernel with the ridge inverse resident in VMEM (no HBM re-reads
@@ -211,20 +206,31 @@ def _use_pallas_tall(p: int, k: int, dtype, mode: str = "batch") -> bool:
     return supports_scan(p, k) if mode == "scan" else supports(p, k)
 
 
+def _wide_setup(Xs, ys, rho_lams, rho0, alpha, enet_lambda0_scale):
+    """Shared wide-regime caches: lambda0 (with the Enet inflation,
+    reference: src/ADMMEnet.h:56), matrix-free spectral radius of XX'
+    (== of X'X; materialising the n x n Gram only to feed power
+    iteration would cost ~10x the estimate itself), and auto-rho
+    (reference: src/ADMMLassoWide.h:227-228) — scalar for the scan path,
+    per-lane for the batch path."""
+    dtype = Xs.dtype
+    lambda0 = jnp.max(jnp.abs(dot(Xs.T, ys)))
+    if enet_lambda0_scale:
+        lambda0 = lambda0 / (alpha + 1e-4)
+    sprad = spectral_radius_gram(Xs)
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.cbrt(rho_lams / sprad))
+    return lambda0, sprad, rho
+
+
 def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
                            alpha, enet_lambda0_scale):
     """All-lambdas-at-once wide solve; rho is per-lane (no factorization
     depends on it, so each lambda keeps its own auto-rho + ladder)."""
     n, p = Xs.shape
     dtype = Xs.dtype
-    Xty = dot(Xs.T, ys)
-    lambda0 = jnp.max(jnp.abs(Xty))
-    if enet_lambda0_scale:
-        lambda0 = lambda0 / (alpha + 1e-4)
-    XXt = dot(Xs, Xs.T)
-    sprad = spectral_radius_sym(XXt)
-    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.cbrt(ilams / sprad))
+    lambda0, sprad, rho = _wide_setup(Xs, ys, ilams, rho0, alpha,
+                                      enet_lambda0_scale)
 
     ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
     solve = make_batched_solver(make_admm_solver(ops, adapt_rho=True))
@@ -279,15 +285,8 @@ def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale):
     """Build the wide-regime engine: cold state, solver, reported iterate."""
     n, p = Xs.shape
     dtype = Xs.dtype
-    Xty = dot(Xs.T, ys)
-    lambda0 = jnp.max(jnp.abs(Xty))
-    if enet_lambda0_scale:
-        lambda0 = lambda0 / (alpha + 1e-4)
-    XXt = dot(Xs, Xs.T)
-    sprad = spectral_radius_sym(XXt)
-    # Auto-rho (reference: src/ADMMLassoWide.h:227-228).
-    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.cbrt(lam_first / sprad))
+    lambda0, sprad, rho = _wide_setup(Xs, ys, lam_first, rho0, alpha,
+                                      enet_lambda0_scale)
 
     ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
     solve = make_admm_solver(ops, adapt_rho=True)
@@ -312,13 +311,6 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
 # Path drivers (standardize -> lambda grid -> solve -> recover)
 # ---------------------------------------------------------------------------
 
-def _lambda0_internal(Xs, ys, alpha, enet_scale):
-    lam0 = jnp.max(jnp.abs(dot(Xs.T, ys)))
-    if enet_scale:
-        lam0 = lam0 / (alpha + 1e-4)
-    return lam0
-
-
 @partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
                                    "enet_scale", "path_mode"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
@@ -329,7 +321,9 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     n = X.shape[0]
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
-    lam0_int = _lambda0_internal(Xs, ys, alpha, enet_scale)
+    lam0_int = jnp.max(jnp.abs(dot(Xs.T, ys)))
+    if enet_scale:
+        lam0_int = lam0_int / (alpha + 1e-4)
     lmax = lam0_int / n * stats.scale_y
     lmin = lambda_min_ratio * lmax
     lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin), nlambda))

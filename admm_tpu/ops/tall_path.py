@@ -59,7 +59,7 @@ def supports_scan(p: int, k: int) -> bool:
 
 def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
             x_ref, y_ref, adjz_ref, adjy_ref, sc_ref,
-            *, true_p: int, restart_tol: float):
+            *, true_p: int, restart_tol: float, num_real: int):
     """One program: solves all K lambda lanes to convergence.
 
     All per-lane state lives in VMEM refs (z in the output ref); the
@@ -87,13 +87,18 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
         denom = 1.0 + pen * (1.0 - alpha)
         return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0) / denom
 
-    # Cold start (reference: src/ADMMLassoTall.h:179-216).
+    # Cold start (reference: src/ADMMLassoTall.h:179-216).  Padding lanes
+    # (index >= num_real) start frozen at done=1 with x=z=0 so they never
+    # run an iteration and never gate the stopping test.
     for ref in (z_out, x_ref, y_ref, adjz_ref, adjy_ref):
         ref[:] = jnp.zeros_like(ref)
+    pad_done = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+                >= num_real).astype(jnp.float32)
     sc_ref[:] = jnp.concatenate([
         jnp.ones((K, 1), jnp.float32),           # adj_a
         jnp.full((K, 1), 9999.0, jnp.float32),   # adj_c
-        jnp.zeros((K, 2), jnp.float32),          # done01, niter
+        pad_done,                                 # done01
+        jnp.zeros((K, 1), jnp.float32),          # niter
     ], axis=1)
 
     def cond(c):
@@ -337,14 +342,15 @@ def tall_path_batch_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
         Minv.astype(jnp.float32))
     xty_pad = jnp.zeros((1, P), jnp.float32).at[0, :p].set(
         Xty.astype(jnp.float32))
-    # Padding lanes get a huge lambda -> they converge to zero instantly.
-    lam_pad = jnp.full((K,), 3.4e38, jnp.float32).at[:k].set(
+    # Padding lanes start frozen (done=1 in the kernel); any finite
+    # lambda keeps their (discarded) arithmetic NaN-free.
+    lam_pad = jnp.full((K,), 1.0, jnp.float32).at[:k].set(
         ilams.astype(jnp.float32))
     scal = jnp.array([[rho, eps_abs, eps_rel, alpha, maxit, 0.0, 0.0, 0.0]],
                      jnp.float32)
 
     kernel = functools.partial(_kernel, true_p=true_p,
-                               restart_tol=restart_tol)
+                               restart_tol=restart_tol, num_real=k)
     z, niter = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((K, P), jnp.float32),

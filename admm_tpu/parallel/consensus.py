@@ -304,13 +304,20 @@ def _resolve_mesh(nworkers: Optional[int], mesh: Optional[Mesh]):
     if nworkers is None and mesh is None:
         nworkers = len(jax.devices())
     if mesh is None:
-        mesh = make_mesh(min(nworkers, len(jax.devices())))
+        # Auto mesh: the largest device count that divides W, so any
+        # worker count the reference accepts (any nthread < ncol/5,
+        # reference: R/30_admm_lasso.R:99-112) works here too — e.g.
+        # W=12 on 8 devices runs as D=4 with 3 workers per device.
+        ndev = len(jax.devices())
+        D = max(d for d in range(1, min(nworkers, ndev) + 1)
+                if nworkers % d == 0)
+        mesh = make_mesh(D)
     axis = mesh.axis_names[0]
     D = mesh.shape[axis]
     W = nworkers if nworkers is not None else D
     if W % D != 0:
-        raise ValueError(f"nworkers={W} must be a multiple of the mesh "
-                         f"size {D}")
+        raise ValueError(f"nworkers={W} must be a multiple of the "
+                         f"explicit mesh size {D}")
     return W, mesh, axis, D
 
 

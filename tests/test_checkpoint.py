@@ -116,3 +116,17 @@ def test_refuses_foreign_checkpoint(tmp_path):
     with pytest.raises(ValueError, match="different"):
         checkpointed_lasso_path(X2, y2, lambdas=lams, checkpoint=ck,
                                 chunk_size=7)
+
+
+def test_refuses_different_options(tmp_path):
+    """Options that change solver behavior (here the Enet lambda0
+    inflation flag) must invalidate a checkpoint."""
+    X, y = _problem(n=40, p=80)
+    lams = np.geomspace(0.3, 0.01, 12)
+    ck = str(tmp_path / "opt.npz")
+    assert checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                   chunk_size=5, _enet_scale=True,
+                                   _stop_after_chunks=1) is None
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                chunk_size=5, _enet_scale=False)

@@ -118,3 +118,17 @@ def test_single_psum_per_iteration():
     # the while-loop body region must not contain more than one
     body = hlo[hlo.find("while"):]
     assert body.count("all-reduce") <= 4  # start/done pairs + metadata
+
+
+def test_nondivisible_nthread_auto_mesh():
+    """Worker counts that don't divide the device count must work via a
+    smaller auto-selected mesh (reference accepts any nthread < ncol/5)."""
+    X, y = _problem(n=240, p=40)
+    par = parallel_lasso_path(X, y, nworkers=12, lambdas=np.array([0.1]),
+                              standardize=False, intercept=False,
+                              eps_abs=1e-6, eps_rel=1e-6)
+    from sklearn.linear_model import Lasso
+    sk = Lasso(alpha=0.1, fit_intercept=False, tol=1e-12,
+               max_iter=500000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(par.coef[0]), sk.coef_,
+                               atol=2e-3)

@@ -68,3 +68,19 @@ def test_cv_validates_nfolds():
     X, y, _ = _problem(n=50, p=20)
     with pytest.raises(ValueError):
         cv_lasso_path(X, y, nfolds=1)
+
+
+def test_cv_foldid_defines_nfolds():
+    """An explicit foldid defines the folds (glmnet convention); the
+    default nfolds must not create empty validation splits."""
+    X, y, _ = _problem(n=200, p=20)
+    cv = cv_lasso_path(X, y, foldid=np.arange(200) % 4, nlambda=10)
+    assert np.all(np.isfinite(cv.cvm))
+
+
+def test_cv_rejects_empty_fold():
+    X, y, _ = _problem(n=200, p=20)
+    bad = np.zeros(200, np.int64)
+    bad[0] = 5  # folds 1..4 empty
+    with pytest.raises(ValueError, match="at least one row"):
+        cv_lasso_path(X, y, foldid=bad, nlambda=5)

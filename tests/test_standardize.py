@@ -81,3 +81,57 @@ def test_recover_batched_path(data):
                                atol=1e-6)
     np.testing.assert_allclose(float(beta0[1]), float(b0_single),
                                atol=1e-5)
+
+
+def test_constant_column_does_not_nan():
+    """A zero-variance column must be left unscaled, not divided by 0
+    (parity with the host kernel's guard in admm_tpu/_native.py)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(50, 4))
+    X[:, 2] = 7.0  # constant column
+    y = rng.normal(size=50)
+    Xs, ys, stats = standardize(jnp.asarray(X), jnp.asarray(y),
+                                standardize_x=True, intercept=True)
+    assert np.all(np.isfinite(np.asarray(Xs)))
+    assert float(stats.scale_x[2]) == 1.0
+    # End-to-end: the fit stays finite and zeroes the useless column.
+    from admm_tpu.models.lasso import lasso_path
+    res = lasso_path(X, y, nlambda=5)
+    assert np.all(np.isfinite(np.asarray(res.coef)))
+    assert np.abs(np.asarray(res.coef)[:, 2]).max() < 1e-3
+
+
+def test_constant_column_with_large_values():
+    """A constant column of LARGE value centers to eps-scale rounding
+    noise, not exact zero: the sd guard must be relative to the mean or
+    recovery fabricates huge coefficients (observed: -1e4 on a column
+    of constant 3.0 among mean-5000 features in f32)."""
+    from admm_tpu.models.lasso import lasso_path
+
+    rng = np.random.default_rng(2)
+    n, p = 1000, 30
+    X = rng.normal(loc=5000.0, scale=2.0, size=(n, p))
+    X[:, 7] = 3.0
+    b = np.zeros(p)
+    b[:5] = rng.uniform(1, 2, 5)
+    y = X @ b + rng.normal(size=n)
+    res = lasso_path(X, y, nlambda=8)
+    coef7 = np.asarray(res.coef)[:, 7]
+    assert np.abs(coef7).max() < 1e-3, coef7
+
+
+def test_large_mean_f32_stable_sd():
+    """E[x^2]-E[x]^2 cancels catastrophically in f32; the centered
+    two-pass form must survive mean/sd ratios of ~1e4."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    X = rng.normal(loc=10000.0, scale=1.0, size=(2000, 3))
+    y = rng.normal(size=2000)
+    Xs, _, stats = standardize(jnp.asarray(X, jnp.float32),
+                               jnp.asarray(y, jnp.float32),
+                               standardize_x=True, intercept=True)
+    sd = np.asarray(stats.scale_x)
+    assert np.all(np.isfinite(sd))
+    np.testing.assert_allclose(sd, X.std(axis=0), rtol=0.05)
+    assert np.all(np.isfinite(np.asarray(Xs)))
