@@ -206,6 +206,18 @@ def _use_pallas_tall(p: int, k: int, dtype, mode: str = "batch") -> bool:
     return supports_scan(p, k) if mode == "scan" else supports(p, k)
 
 
+def _use_pallas_wide(n: int, p: int, k: int, dtype) -> bool:
+    import os
+
+    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
+        return False
+    if dtype != jnp.float32 or jax.default_backend() != "tpu":
+        return False
+    from ..ops.wide_path import supports_wide
+
+    return supports_wide(n, p, k)
+
+
 def _wide_setup(Xs, ys, rho_lams, rho0, alpha, enet_lambda0_scale):
     """Shared wide-regime caches: lambda0 (with the Enet inflation,
     reference: src/ADMMEnet.h:56), matrix-free spectral radius of XX'
@@ -231,6 +243,16 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     dtype = Xs.dtype
     lambda0, sprad, rho = _wide_setup(Xs, ys, ilams, rho0, alpha,
                                       enet_lambda0_scale)
+
+    # TPU fast path: X and all lane state resident in VMEM for the whole
+    # path (the XLA solver re-reads the n x p matrix from HBM twice per
+    # iteration).  Same math as the solver below.
+    if _use_pallas_wide(n, p, ilams.shape[0], dtype):
+        from ..ops.wide_path import wide_path_batch_pallas
+
+        return wide_path_batch_pallas(
+            Xs, ys, ilams, rho, sprad, lambda0, eps_abs, eps_rel,
+            jnp.asarray(alpha, dtype), maxit, true_n=n, true_p=p)
 
     ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
     solve = make_batched_solver(make_admm_solver(ops, adapt_rho=True))

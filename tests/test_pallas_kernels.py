@@ -115,3 +115,63 @@ def test_kernel_padding_lanes_inert(problem):
     c2, n2 = _pallas_solve(Xs, ys, ilams, p)      # pads 10 -> 16
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2[:7]),
                                atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def wide_problem():
+    rng = np.random.default_rng(11)
+    n, p, k = 60, 150, 9
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:12] = rng.normal(size=12)
+    y = X @ b + 0.2 * rng.normal(size=n)
+    Xs, ys, _ = standardize(jnp.asarray(X, jnp.float32),
+                            jnp.asarray(y, jnp.float32),
+                            standardize_x=True, intercept=True)
+    lam0 = float(jnp.max(jnp.abs(dot(Xs.T, ys))))
+    ilams = jnp.asarray(np.geomspace(lam0 * 1.1, lam0 * 1e-2, k),
+                        jnp.float32)  # first lam above lambda0: early exit
+    return Xs, ys, ilams, n, p
+
+
+def _pallas_wide_solve(Xs, ys, ilams, n, p, alpha=1.0):
+    from admm_tpu.models.lasso import _wide_setup
+    from admm_tpu.ops.wide_path import wide_path_batch_pallas
+
+    lambda0, sprad, rho = _wide_setup(Xs, ys, ilams, -1.0, alpha, False)
+    return wide_path_batch_pallas(Xs, ys, ilams, rho, sprad, lambda0,
+                                  1e-5, 1e-5, alpha, 2000, true_n=n,
+                                  true_p=p, interpret=True)
+
+
+def test_wide_kernel_matches_xla_batch(wide_problem):
+    from admm_tpu.models.lasso import _solve_path_wide_batch
+
+    Xs, ys, ilams, n, p = wide_problem
+    coefs_x, niter_x = _solve_path_wide_batch(Xs, ys, ilams, -1.0, 2000,
+                                              1e-5, 1e-5, 1.0, False)
+    coefs_p, niter_p = _pallas_wide_solve(Xs, ys, ilams, n, p)
+    np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
+                               atol=1e-5)
+    assert np.max(np.abs(np.asarray(niter_p) - np.asarray(niter_x))) <= 1
+    # first lambda is above lambda0: early exit must give exact zero
+    assert np.abs(np.asarray(coefs_p)[0]).max() == 0.0
+
+
+def test_wide_kernel_enet(wide_problem):
+    from admm_tpu.models.lasso import _solve_path_wide_batch
+
+    Xs, ys, ilams, n, p = wide_problem
+    coefs_x, niter_x = _solve_path_wide_batch(Xs, ys, ilams, -1.0, 2000,
+                                              1e-5, 1e-5, 0.6, False)
+    coefs_p, niter_p = _pallas_wide_solve(Xs, ys, ilams, n, p, alpha=0.6)
+    np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
+                               atol=1e-5)
+    assert np.max(np.abs(np.asarray(niter_p) - np.asarray(niter_x))) <= 1
+
+
+def test_wide_supports_budget():
+    from admm_tpu.ops.wide_path import supports_wide
+
+    assert supports_wide(1000, 2000, 104)
+    assert not supports_wide(4000, 8000, 104)
