@@ -188,3 +188,34 @@ def test_batch_mode_enet():
     bm = enet_path(X, y, alpha=0.6, nlambda=8, path_mode="batch")
     np.testing.assert_allclose(np.asarray(bm.coef), np.asarray(a.coef),
                                atol=5e-4)
+
+
+def test_kkt_at_convergence_wide(wide_problem):
+    """Same KKT conditions in the wide (linearized) regime."""
+    X, y, _ = wide_problem
+    lam = 0.15
+    res = lasso_path(X, y, lambdas=np.array([lam]), standardize=False,
+                     intercept=False, eps_abs=1e-7, eps_rel=1e-7)
+    b = np.asarray(res.coef[0])
+    g = X.T @ (y - X @ b) / len(y)
+    assert np.abs(g).max() <= lam + 2e-4
+    support = np.abs(b) > 1e-5
+    np.testing.assert_allclose(g[support], lam * np.sign(b[support]),
+                               atol=2e-4)
+
+
+def test_kkt_enet_at_convergence(tall_problem):
+    """Enet KKT: |X'(y-Xb)/n - lam(1-a)b| <= lam*a, equality on support."""
+    X, y, _ = tall_problem
+    lam, a = 0.2, 0.6
+    from admm_tpu.models.lasso import enet_path
+
+    res = enet_path(X, y, alpha=a, lambdas=np.array([lam]),
+                    standardize=False, intercept=False,
+                    eps_abs=1e-7, eps_rel=1e-7)
+    b = np.asarray(res.coef[0])
+    g = X.T @ (y - X @ b) / len(y) - lam * (1 - a) * b
+    assert np.abs(g).max() <= lam * a + 1e-4
+    support = np.abs(b) > 1e-6
+    np.testing.assert_allclose(g[support], lam * a * np.sign(b[support]),
+                               atol=1e-4)
