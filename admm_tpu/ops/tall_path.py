@@ -18,8 +18,9 @@ src/ADMMLassoTall.h:70-97, src/FADMMBase.h:219-265).  Matmuls run at
 ``precision=HIGHEST`` (f32-accurate passes) — DEFAULT MXU precision is
 bf16 and loses ~3 digits, enough to break the convergence test.
 
-VMEM budget gates usage: padded P^2 + ~7*K*P floats must fit in ~16 MB;
-``supports()`` checks this and callers fall back to the XLA solver.
+VMEM budget gates usage: padded P^2 + ~7*K*P floats within the static
+budget (see _VMEM_BUDGET_BYTES); ``supports()`` checks this and callers
+fall back to the XLA solver.
 """
 from __future__ import annotations
 
@@ -33,7 +34,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024  # leave headroom of ~3 MB
+# Static-estimate budget for the supports() gates.  Mosaic's peak scoped
+# allocation runs ~3-4x the sum of resident buffers (live matmul
+# temporaries, double-buffered refs); with the kernel's scoped-vmem cap
+# raised to 100 MB (v5e has 128 MB VMEM), a 24 MB static estimate keeps
+# the Mosaic peak safely under the cap (measured empirically: 22 MB
+# estimate compiles, 38 MB does not).
+_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -318,6 +326,8 @@ def tall_path_scan_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
                         pltpu.VMEM((1, P), jnp.float32),   # y
                         pltpu.VMEM((1, P), jnp.float32),   # adj_z
                         pltpu.VMEM((1, P), jnp.float32)],  # adj_y
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(minv_pad, xty_pad, lam_pad, scal)
     return z[:k, :p], niter[0, :k].astype(jnp.int32)
@@ -366,6 +376,8 @@ def tall_path_batch_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
                         pltpu.VMEM((K, P), jnp.float32),   # adj_z
                         pltpu.VMEM((K, P), jnp.float32),   # adj_y
                         pltpu.VMEM((K, 4), jnp.float32)],  # lane scalars
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(minv_pad, xty_pad, lam_pad, scal)
     return z[:k, :p], niter[:k, 0].astype(jnp.int32)

@@ -14,7 +14,8 @@ reference math: src/ADMMLassoWide.h:13-25, adaptive ladder
 src/ADMMBase.h:85-109).  Matmuls at ``precision=HIGHEST``.
 
 VMEM budget gates usage (``supports_wide``): padded N*P + K*(P + 3N)
-floats within ~13 MB; callers fall back to the XLA solver.
+floats within the static budget (see _VMEM_BUDGET_BYTES); callers fall
+back to the XLA solver.
 """
 from __future__ import annotations
 
@@ -27,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# See admm_tpu/ops/tall_path.py for the budget/cap calibration.
+_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
