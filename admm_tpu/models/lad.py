@@ -48,6 +48,18 @@ from ..data.standardize import recover, standardize
 from ..linalg import chol_inverse, dot, gram
 
 
+def _use_pallas_lad(n: int, q: int, dtype) -> bool:
+    import os
+
+    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
+        return False
+    if dtype != jnp.float32 or jax.default_backend() != "tpu":
+        return False
+    from ..ops.lad_kernel import supports_lad
+
+    return supports_lad(n, q)
+
+
 class LADResult(NamedTuple):
     beta0: jnp.ndarray  # scalar intercept (0 when intercept=False)
     coef: jnp.ndarray   # (p,) coefficients on the original scale
@@ -110,20 +122,31 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
     Ginv = chol_inverse(XtX, jitter=jitter)
     ynorm = l2norm(ys)
 
-    ops = _lad_ops(Xa, ys, Ginv, ynorm, n, Xa.shape[1])
-    # Fixed rho, as for BP: FADMM acceleration + the adaptive ladder can
-    # cycle (see admm_tpu/models/bp.py); the projection is rho-free so a
-    # fixed rho = 1.0 (the reference default, R/20_admm_lad.R:28-31)
-    # converges reliably.
-    solve = make_fadmm_solver(ops, adapt_rho=False)
+    if _use_pallas_lad(n, Xa.shape[1], dtype):
+        # TPU fast path: the whole FADMM solve in one Pallas kernel with
+        # Xa and Ginv resident in VMEM (admm_tpu/ops/lad_kernel.py).
+        from ..ops.lad_kernel import lad_solve_pallas
 
-    zeros = jnp.zeros((n,), dtype)
-    st = make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype)
-    st = solve(st, maxit, eps_abs, eps_rel)
+        adj_y, adj_z, niter = lad_solve_pallas(
+            Xa, Ginv, ys, rho, eps_abs, eps_rel, ynorm, maxit, true_n=n)
+        st_adj_y, st_adj_z, st_rho, st_it = adj_y, adj_z, rho, niter
+    else:
+        ops = _lad_ops(Xa, ys, Ginv, ynorm, n, Xa.shape[1])
+        # Fixed rho, as for BP: FADMM acceleration + the adaptive ladder
+        # can cycle (see admm_tpu/models/bp.py); the projection is
+        # rho-free so a fixed rho = 1.0 (the reference default,
+        # R/20_admm_lad.R:28-31) converges reliably.
+        solve = make_fadmm_solver(ops, adapt_rho=False)
+
+        zeros = jnp.zeros((n,), dtype)
+        st = solve(make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype),
+                   maxit, eps_abs, eps_rel)
+        st_adj_y, st_adj_z, st_rho, st_it = st.adj_y, st.adj_z, st.rho, \
+            st.it
 
     # beta = (X'X)^-1 X' (y - adj_y/rho + adj_z)
     # (reference: src/ADMMLAD.h:220-225)
-    v = ys - st.adj_y / st.rho + st.adj_z
+    v = ys - st_adj_y / st_rho + st_adj_z
     coef_std = dot(Ginv, dot(Xa.T, v))
     if intercept:
         a, slopes = coef_std[0], coef_std[1:]
@@ -135,7 +158,7 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
     else:
         beta0, coef = recover(stats, coef_std, standardize_x=True,
                               intercept=False)
-    return LADResult(beta0=beta0, coef=coef, niter=st.it)
+    return LADResult(beta0=beta0, coef=coef, niter=st_it)
 
 
 def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,

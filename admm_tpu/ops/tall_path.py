@@ -84,7 +84,6 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
     maxit = scal_ref[0, 4].astype(jnp.int32)
     sqrt_p = jnp.sqrt(jnp.float32(true_p))
 
-    minv = minv_ref[:]                 # (P, P) stays in VMEM throughout
     xty = xty_ref[:]                   # (1, P)
     lam = lam_ref[:].reshape(K, 1)     # (K, 1) per-lane internal lambda
 
@@ -130,7 +129,11 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
         # (reference: src/ADMMLassoTall.h:70-80; Minv is symmetric so the
         # row-vector form equals Minv @ rhs).
         rhs = xty - adj_y + rho * adj_z
-        x_new = jnp.dot(rhs, minv, preferred_element_type=jnp.float32,
+        # minv is read from its VMEM ref at the use site: hoisting it out
+        # of the while_loop makes the register allocator spill the whole
+        # matrix (see admm_tpu/ops/lad_kernel.py).
+        x_new = jnp.dot(rhs, minv_ref[:],
+                        preferred_element_type=jnp.float32,
                         precision=lax.Precision.HIGHEST)
         z_new = prox(x_new + adj_y / rho, lam / rho)
         r_dua = rho * rnorm(z_new - z)
@@ -199,7 +202,6 @@ def _scan_kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
     maxit = scal_ref[0, 4].astype(jnp.int32)
     sqrt_p = jnp.sqrt(jnp.float32(true_p))
 
-    minv = minv_ref[:]                 # (P, P) resident across the path
     xty = xty_ref[:]                   # (1, P)
 
     rnorm = lambda v: jnp.sqrt(jnp.sum(v * v))
@@ -233,7 +235,8 @@ def _scan_kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
             # x-update against the resident inverse
             # (reference: src/ADMMLassoTall.h:70-80).
             rhs = xty - adj_y + rho * adj_z
-            x_new = jnp.dot(rhs, minv, preferred_element_type=jnp.float32,
+            x_new = jnp.dot(rhs, minv_ref[:],
+                            preferred_element_type=jnp.float32,
                             precision=lax.Precision.HIGHEST)
             z_new = prox(x_new + adj_y / rho, lam / rho)
             r_dua = rho * rnorm(z_new - z)

@@ -67,7 +67,6 @@ def _wide_kernel(x_ref_in, ys_ref, lam_ref, rho_ref, scal_ref,
     sqrt_p = jnp.sqrt(jnp.float32(true_p))
     sqrt_sprad = jnp.sqrt(sprad)
 
-    X = x_ref_in[:]                    # (N, P) resident throughout
     ys = ys_ref[:]                     # (1, N)
     lam = lam_ref[:].reshape(K, 1)
 
@@ -108,7 +107,10 @@ def _wide_kernel(x_ref_in, ys_ref, lam_ref, rho_ref, scal_ref,
 
         # Linearized x-update (reference: src/ADMMLassoWide.h:129-155).
         tmp = aux + z + y / rho                       # (K, N)
-        grad = jnp.dot(tmp, X, preferred_element_type=jnp.float32,
+        # X read from its VMEM ref at each use (hoisting spills, see
+        # admm_tpu/ops/lad_kernel.py).
+        grad = jnp.dot(tmp, x_ref_in[:],
+                       preferred_element_type=jnp.float32,
                        precision=lax.Precision.HIGHEST)   # (K, P) = tmp X
         v = x - grad / sprad
         x_new = prox(v, lam / (rho * sprad))
@@ -118,7 +120,7 @@ def _wide_kernel(x_ref_in, ys_ref, lam_ref, rho_ref, scal_ref,
                           x_new)
 
         # z-update with cached Ax (reference: src/ADMMLassoWide.h:156-165).
-        ax = lax.dot_general(x_new, X, (((1,), (1,)), ((), ())),
+        ax = lax.dot_general(x_new, x_ref_in[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=lax.Precision.HIGHEST)  # (K, N)
         z_new = -(ys + y + rho * ax) / (1.0 + rho)

@@ -175,3 +175,49 @@ def test_wide_supports_budget():
 
     assert supports_wide(1000, 2000, 104)
     assert not supports_wide(4000, 8000, 104)
+
+
+def test_lad_kernel_matches_xla_solver():
+    """Interpret-mode LAD kernel vs the XLA FADMM solver: same terminal
+    dual/aux state drives the same recovered coefficients."""
+    import jax
+    from admm_tpu.core.engine import make_fadmm_solver, make_state
+    from admm_tpu.linalg import chol_inverse, gram
+    from admm_tpu.models.lad import _lad_ops
+    from admm_tpu.ops.lad_kernel import lad_solve_pallas, supports_lad
+
+    assert supports_lad(1000, 512)
+    assert not supports_lad(8000, 2048)
+
+    rng = np.random.default_rng(8)
+    n, p = 300, 20
+    X = rng.normal(size=(n, p))
+    y = X @ rng.normal(size=p) + rng.standard_t(2, size=n)
+    Xs = jnp.asarray(X, jnp.float32)
+    ys = jnp.asarray(y, jnp.float32)
+    Ginv = chol_inverse(gram(Xs), jitter=1e-6)
+    from admm_tpu.core.prox import l2norm
+    ynorm = l2norm(ys)
+
+    ops = _lad_ops(Xs, ys, Ginv, ynorm, n, p)
+    solve = make_fadmm_solver(ops, adapt_rho=False)
+    zeros = jnp.zeros((n,), jnp.float32)
+    st = solve(make_state(zeros, zeros, zeros, 1.0, 0.0,
+                          dtype=jnp.float32), 2000, 1e-5, 1e-5)
+
+    adj_y, adj_z, niter = lad_solve_pallas(Xs, Ginv, ys, 1.0, 1e-5, 1e-5,
+                                           float(ynorm), 2000, true_n=n,
+                                           interpret=True)
+    # The terminal duals saturate at +-1 and are path-dependent near L1
+    # kinks; the invariant is the recovered coefficient vector and its
+    # objective, not the raw dual state.
+    from admm_tpu.linalg import dot as pdot
+
+    def coef_of(ay, az):
+        return np.asarray(pdot(Ginv, pdot(Xs.T, ys - ay / 1.0 + az)))
+
+    c_kernel = coef_of(jnp.asarray(adj_y), jnp.asarray(adj_z))
+    c_xla = coef_of(st.adj_y, st.adj_z)
+    obj = lambda c: np.abs(np.asarray(ys) - X @ c).sum()
+    np.testing.assert_allclose(c_kernel, c_xla, atol=5e-3)
+    assert obj(c_kernel) <= obj(c_xla) * 1.001
