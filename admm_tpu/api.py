@@ -36,6 +36,13 @@ def _check_xy(x, y):
         raise ValueError("x must be a 2-D matrix")
     if x.shape[0] != y.shape[0]:
         raise ValueError("nrow(x) should be equal to length(y)")
+    # The solvers iterate to a tolerance; NaN/Inf inputs would silently
+    # spin to maxit and return garbage — fail loudly instead (the
+    # reference inherits R's NA propagation and does the same in spirit).
+    if not np.isfinite(x).all():
+        raise ValueError("x contains NaN or Inf")
+    if not np.isfinite(y).all():
+        raise ValueError("y contains NaN or Inf")
     return x, y
 
 

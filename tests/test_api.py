@@ -111,3 +111,39 @@ def test_plots_render(data, tmp_path):
     x0[5] = 1.0
     bp = admm_tpu.admm_bp(A, A @ x0).fit()
     assert bp.plot() is not None
+
+
+def test_rejects_nonfinite_inputs():
+    import pytest
+
+    X = np.ones((10, 3))
+    y = np.ones(10)
+    Xbad = X.copy(); Xbad[3, 1] = np.nan
+    with pytest.raises(ValueError, match="NaN or Inf"):
+        admm_tpu.admm_lasso(Xbad, y)
+    ybad = y.copy(); ybad[0] = np.inf
+    with pytest.raises(ValueError, match="NaN or Inf"):
+        admm_tpu.admm_lad(np.random.default_rng(0).normal(size=(10, 3)),
+                          ybad)
+
+
+def test_square_matrix_dispatches_wide():
+    """n == p goes to the wide (linearized) formulation
+    (reference dispatch is n > p for tall, src/Lasso.cpp:73-76)."""
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(40, 40))
+    y = X @ (rng.uniform(size=40) * (rng.uniform(size=40) < 0.3))
+    fit = admm_tpu.admm_lasso(X, y).penalty(nlambda=5).fit()
+    assert np.all(np.isfinite(fit.beta.toarray()))
+
+
+def test_tiny_problems():
+    rng = np.random.default_rng(2)
+    # p = 1
+    X = rng.normal(size=(30, 1)); y = 2.0 * X[:, 0] + 0.1 * rng.normal(size=30)
+    fit = admm_tpu.admm_lasso(X, y).penalty(nlambda=4).fit()
+    assert np.isfinite(fit.beta.toarray()).all()
+    # smallest BP: p > n with n = 2
+    A = rng.normal(size=(2, 6)); x0 = np.zeros(6); x0[1] = 1.0
+    fitb = admm_tpu.admm_bp(A, A @ x0).fit()
+    assert np.isfinite(fitb.beta.toarray()).all()
