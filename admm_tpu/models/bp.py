@@ -57,6 +57,18 @@ def _bp_ops(A, K, AAAb, n, p) -> ProblemOps:
     )
 
 
+def _use_pallas_bp(n: int, p: int, dtype) -> bool:
+    import os
+
+    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
+        return False
+    if dtype != jnp.float32 or jax.default_backend() != "tpu":
+        return False
+    from ..ops.bp_kernel import supports_bp
+
+    return supports_bp(n, p)
+
+
 @jax.jit
 def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
     n, p = A.shape
@@ -64,9 +76,18 @@ def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
     AAt = tgram(A)
     jitter = 1e-6 if dtype == jnp.float32 else 0.0
     Winv = chol_inverse(AAt, jitter=jitter)       # (AA')^-1
-    K = dot(Winv, A)                              # (AA')^-1 A, n x p
     AAAb = dot(A.T, dot(Winv, b))                 # A'(AA')^-1 b
 
+    if _use_pallas_bp(n, p, dtype):
+        # TPU fast path: the whole FADMM solve in one Pallas kernel with
+        # A and (AA')^{-1} resident in VMEM (admm_tpu/ops/bp_kernel.py).
+        from ..ops.bp_kernel import bp_solve_pallas
+
+        z, niter = bp_solve_pallas(A, Winv, AAAb, rho, eps_abs, eps_rel,
+                                   maxit, true_n=n, true_p=p)
+        return BPResult(coef=z, niter=niter)
+
+    K = dot(Winv, A)                              # (AA')^-1 A, n x p
     ops = _bp_ops(A, K, AAAb, n, p)
     # Fixed rho: FADMM's restart analysis (Goldstein et al. 2014) assumes
     # a constant penalty; with the adaptive ladder active the combined

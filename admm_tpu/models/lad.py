@@ -124,11 +124,14 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
 
     if _use_pallas_lad(n, Xa.shape[1], dtype):
         # TPU fast path: the whole FADMM solve in one Pallas kernel with
-        # Xa and Ginv resident in VMEM (admm_tpu/ops/lad_kernel.py).
+        # the dense hat matrix resident in VMEM — the reference's own
+        # n <= 2000 cache (reference: src/ADMMLAD.h:182-203), built here
+        # as one (n,p)x(p,p)x(p,n) product instead of dtrsm.
         from ..ops.lad_kernel import lad_solve_pallas
 
+        H = dot(Xa, dot(Ginv, Xa.T))
         adj_y, adj_z, niter = lad_solve_pallas(
-            Xa, Ginv, ys, rho, eps_abs, eps_rel, ynorm, maxit, true_n=n)
+            H, ys, rho, eps_abs, eps_rel, ynorm, maxit, true_n=n)
         st_adj_y, st_adj_z, st_rho, st_it = adj_y, adj_z, rho, niter
     else:
         ops = _lad_ops(Xa, ys, Ginv, ynorm, n, Xa.shape[1])

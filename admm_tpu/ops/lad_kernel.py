@@ -1,13 +1,12 @@
 """Pallas TPU kernel: the whole LAD (median regression) solve in VMEM.
 
-LAD's FADMM iteration is a projection onto Range(X) — two skinny matvecs
-against X plus one p x p matvec against (X'X)^{-1}
-(reference: src/ADMMLAD.h:62-78; module: admm_tpu/models/lad.py).  In the
-XLA solver both matrices are re-read from HBM every iteration; at
-n=1000, p=500 that is ~3 MB/iteration of traffic for ~2 MFLOP.  This
-kernel keeps X and the Gram inverse resident in VMEM for the entire
-solve (hundreds of iterations) — the single-lane analog of the tall-path
-kernels in admm_tpu/ops/tall_path.py.
+LAD's FADMM iteration is a projection onto Range(X)
+(reference: src/ADMMLAD.h:62-78; module: admm_tpu/models/lad.py).  The
+kernel uses the reference's own n <= 2000 trick — the precomputed dense
+hat matrix H = X (X'X)^{-1} X' (reference: src/ADMMLAD.h:66-73,
+:182-203) — so each iteration is ONE n x n matvec against a VMEM-resident
+H instead of three HBM-read matmuls, plus the soft-threshold and the
+FADMM bookkeeping.
 
 Math identical to ``make_fadmm_solver(_lad_ops, adapt_rho=False)``.
 Returns the terminal (adj_y, adj_z) so the caller performs the
@@ -24,11 +23,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-# Measured crossover: at n=1000, p=500 the kernel beats the XLA solver
-# 1.9 ms vs 3.0 ms, but at n=5000, p=1000 Mosaic's tiling of the huge
-# single-row matvecs loses to XLA's gemv (24 ms vs 7 ms) — so the gate
-# admits only the small-resident class where VMEM residency wins.
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# The resident hat matrix is n x n: 4 MB at n = 1000, 36 MB at n = 3000.
+# Large single-row matvecs tile worse in Mosaic than XLA's gemv, so the
+# gate stays in the regime where VMEM residency wins.
+_VMEM_BUDGET_BYTES = 40 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -37,14 +35,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supports_lad(n: int, p: int) -> bool:
-    """Whether the (n, p) LAD problem fits the kernel's VMEM budget."""
-    N = _round_up(max(n, 8), 8)
-    P = _round_up(max(p, 8), LANE)
-    need = 4 * (N * P + P * P + 10 * N + 2 * P)
+    """Whether the (n, p) LAD problem fits the kernel's VMEM budget
+    (the resident buffer is the n x n hat matrix)."""
+    N = _round_up(max(n, 8), LANE)
+    need = 4 * (N * N + 10 * N)
     return need <= _VMEM_BUDGET_BYTES
 
 
-def _lad_pallas_kernel(xa_ref, ginv_ref, ys_ref, scal_ref,
+def _lad_pallas_kernel(hat_ref, ys_ref, scal_ref,
                        adjy_out, adjz_out, niter_out,
                        x_ref, z_ref, y_ref,
                        *, true_n: int, restart_tol: float):
@@ -64,21 +62,12 @@ def _lad_pallas_kernel(xa_ref, ginv_ref, ys_ref, scal_ref,
         return jnp.sign(v) * jnp.maximum(jnp.abs(v) - pen, 0.0)
 
     def project(v):
-        """X (X'X)^{-1} X' v as three resident matmuls.
-
-        The matrices are read from their VMEM refs AT EACH USE: hoisting
-        ``xa_ref[:]`` into a value that lives across the while_loop makes
-        the register allocator spill the whole matrix (measured: 104 MB
-        of spill slots at n=5000), while per-use reads stream from the
-        single-buffered VMEM input window.
-        """
-        t = jnp.dot(v, xa_ref[:], preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)          # (1, P)
-        u = jnp.dot(t, ginv_ref[:], preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST)          # (1, P)
-        return lax.dot_general(u, xa_ref[:], (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=lax.Precision.HIGHEST)  # (1, N)
+        """v @ H (H symmetric).  H is read from its VMEM ref AT THE USE:
+        hoisting ``hat_ref[:]`` into a value living across the while_loop
+        makes the register allocator spill the whole matrix (measured:
+        104 MB of spill slots at n=5000)."""
+        return jnp.dot(v, hat_ref[:], preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST)       # (1, N)
 
     for ref in (x_ref, z_ref, y_ref, adjz_out, adjy_out):
         ref[:] = jnp.zeros_like(ref)
@@ -138,22 +127,19 @@ def _lad_pallas_kernel(xa_ref, ginv_ref, ys_ref, scal_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("true_n", "restart_tol", "interpret"))
-def lad_solve_pallas(Xa, Ginv, ys, rho, eps_abs, eps_rel, ynorm, maxit, *,
+def lad_solve_pallas(H, ys, rho, eps_abs, eps_rel, ynorm, maxit, *,
                      true_n: int, restart_tol: float = 0.999,
                      interpret: bool = False):
     """Run the LAD FADMM solve in one Pallas kernel.
 
-    Args UNPADDED: Xa (n, q), Ginv (q, q), ys (n,).  Returns
+    Args UNPADDED: H (n, n) hat matrix, ys (n,).  Returns
     ``(adj_y (n,), adj_z (n,), niter)`` for the caller's recovery solve.
     """
-    n, q = Xa.shape
-    N = _round_up(max(n, 8), 8)
-    P = _round_up(max(q, 8), LANE)
+    n = H.shape[0]
+    N = _round_up(max(n, 8), LANE)
 
-    xa_pad = jnp.zeros((N, P), jnp.float32).at[:n, :q].set(
-        Xa.astype(jnp.float32))
-    ginv_pad = jnp.zeros((P, P), jnp.float32).at[:q, :q].set(
-        Ginv.astype(jnp.float32))
+    hat_pad = jnp.zeros((N, N), jnp.float32).at[:n, :n].set(
+        H.astype(jnp.float32))
     ys_pad = jnp.zeros((1, N), jnp.float32).at[0, :n].set(
         ys.astype(jnp.float32))
     scal = jnp.array([[rho, eps_abs, eps_rel, maxit, ynorm, 0.0, 0.0, 0.0]],
@@ -168,7 +154,6 @@ def lad_solve_pallas(Xa, Ginv, ys, rho, eps_abs, eps_rel, ynorm, maxit, *,
                    jax.ShapeDtypeStruct((1, LANE), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, 8), memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -179,5 +164,5 @@ def lad_solve_pallas(Xa, Ginv, ys, rho, eps_abs, eps_rel, ynorm, maxit, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xa_pad, ginv_pad, ys_pad, scal)
+    )(hat_pad, ys_pad, scal)
     return adjy[0, :n], adjz[0, :n], niter[0, 0].astype(jnp.int32)

@@ -187,7 +187,7 @@ def test_lad_kernel_matches_xla_solver():
     from admm_tpu.ops.lad_kernel import lad_solve_pallas, supports_lad
 
     assert supports_lad(1000, 512)
-    assert not supports_lad(8000, 2048)
+    assert not supports_lad(8000, 2048)  # 256 MB hat matrix
 
     rng = np.random.default_rng(8)
     n, p = 300, 20
@@ -205,7 +205,9 @@ def test_lad_kernel_matches_xla_solver():
     st = solve(make_state(zeros, zeros, zeros, 1.0, 0.0,
                           dtype=jnp.float32), 2000, 1e-5, 1e-5)
 
-    adj_y, adj_z, niter = lad_solve_pallas(Xs, Ginv, ys, 1.0, 1e-5, 1e-5,
+    from admm_tpu.linalg import dot as _d
+    H = _d(Xs, _d(Ginv, Xs.T))
+    adj_y, adj_z, niter = lad_solve_pallas(H, ys, 1.0, 1e-5, 1e-5,
                                            float(ynorm), 2000, true_n=n,
                                            interpret=True)
     # The terminal duals saturate at +-1 and are path-dependent near L1
@@ -221,3 +223,38 @@ def test_lad_kernel_matches_xla_solver():
     obj = lambda c: np.abs(np.asarray(ys) - X @ c).sum()
     np.testing.assert_allclose(c_kernel, c_xla, atol=5e-3)
     assert obj(c_kernel) <= obj(c_xla) * 1.001
+
+
+def test_bp_kernel_matches_xla_solver():
+    from admm_tpu.linalg import chol_inverse, dot as pdot, tgram
+    from admm_tpu.models.bp import _bp_ops
+    from admm_tpu.core.engine import make_fadmm_solver, make_state
+    from admm_tpu.ops.bp_kernel import bp_solve_pallas, supports_bp
+
+    assert supports_bp(1000, 2000)
+    assert not supports_bp(1000, 10000)
+
+    rng = np.random.default_rng(12)
+    n, p, k = 60, 160, 10
+    x0 = np.zeros(p)
+    x0[rng.choice(p, k, replace=False)] = rng.normal(size=k)
+    A = jnp.asarray(rng.normal(size=(n, p)) / np.sqrt(n), jnp.float32)
+    b = A @ jnp.asarray(x0, jnp.float32)
+
+    Winv = chol_inverse(tgram(A), jitter=1e-6)
+    K = pdot(Winv, A)
+    AAAb = pdot(A.T, pdot(Winv, b))
+    ops = _bp_ops(A, K, AAAb, n, p)
+    solve = make_fadmm_solver(ops, adapt_rho=False)
+    zeros = jnp.zeros((p,), jnp.float32)
+    st = solve(make_state(zeros, zeros, zeros, 1.0, 0.0,
+                          dtype=jnp.float32), 3000, 1e-6, 1e-6)
+
+    z, niter = bp_solve_pallas(A, Winv, AAAb, 1.0, 1e-6, 1e-6, 3000,
+                               true_n=n, true_p=p, interpret=True)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(st.z), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), x0, atol=1e-3)
+    # Over 1000+ accelerated iterations the restart cascade amplifies
+    # accumulation-order differences into a few-% iteration-count drift;
+    # the solutions above are the invariant.
+    assert abs(int(niter) - int(st.it)) <= max(3, int(0.05 * int(st.it)))
