@@ -39,9 +39,11 @@ def _check_xy(x, y):
     # The solvers iterate to a tolerance; NaN/Inf inputs would silently
     # spin to maxit and return garbage — fail loudly instead (the
     # reference inherits R's NA propagation and does the same in spirit).
-    if not np.isfinite(x).all():
+    # One-pass check: NaN/Inf propagate through the sum (sklearn's
+    # trick), avoiding a full boolean copy of a possibly-huge matrix.
+    if not np.isfinite(x.sum()):
         raise ValueError("x contains NaN or Inf")
-    if not np.isfinite(y).all():
+    if not np.isfinite(y.sum()):
         raise ValueError("y contains NaN or Inf")
     return x, y
 

@@ -36,9 +36,15 @@ def trace(logdir: str, *, create_perfetto_link: bool = False):
     try:
         yield
     finally:
-        # Make sure in-flight device work lands inside the trace.
+        # Flush in-flight async device work into the trace: devices
+        # execute their streams in order, so blocking on a trivial op
+        # enqueued now implies everything dispatched inside the block
+        # has completed (effects_barrier alone only covers ordered
+        # side effects, not async computations).
         try:
-            jax.effects_barrier()
+            import jax.numpy as jnp
+
+            (jnp.zeros(()) + 0.0).block_until_ready()
         except Exception:
             pass
         jax.profiler.stop_trace()

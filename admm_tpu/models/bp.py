@@ -58,15 +58,10 @@ def _bp_ops(A, K, AAAb, n, p) -> ProblemOps:
 
 
 def _use_pallas_bp(n: int, p: int, dtype) -> bool:
-    import os
-
-    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
-        return False
-    if dtype != jnp.float32 or jax.default_backend() != "tpu":
-        return False
+    from ..ops._common import pallas_enabled
     from ..ops.bp_kernel import supports_bp
 
-    return supports_bp(n, p)
+    return pallas_enabled(dtype) and supports_bp(n, p)
 
 
 @jax.jit

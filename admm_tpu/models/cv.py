@@ -52,8 +52,21 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64).ravel()
     n, p = X.shape
-    if not 2 <= nfolds <= n:
-        raise ValueError("nfolds must be in [2, nrow(x)]")
+    # Cheap input validation BEFORE the expensive full-data fit; an
+    # explicit foldid defines nfolds itself (glmnet convention).
+    if foldid is None:
+        if not 2 <= nfolds <= n:
+            raise ValueError("nfolds must be in [2, nrow(x)]")
+    else:
+        foldid = np.asarray(foldid, np.int64)
+        if foldid.shape != (n,):
+            raise ValueError("foldid must have one entry per row")
+        nfolds = int(foldid.max()) + 1
+        counts = np.bincount(foldid[foldid >= 0], minlength=nfolds)
+        if nfolds < 2 or np.any(counts == 0):
+            raise ValueError(
+                "foldid must assign at least one row to each of >= 2 "
+                f"folds (got counts {counts.tolist()})")
 
     # Shared lambda grid from the full data (glmnet convention).
     full = lasso_path(X, y, nlambda=nlambda,
@@ -70,18 +83,6 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
         foldid = np.full(n, -1, np.int64)
         for f in range(nfolds):
             foldid[perm[f * fold_size:(f + 1) * fold_size]] = f
-    else:
-        foldid = np.asarray(foldid, np.int64)
-        if foldid.shape != (n,):
-            raise ValueError("foldid must have one entry per row")
-        # glmnet convention: an explicit foldid defines the folds; derive
-        # nfolds from it rather than scoring empty validation splits.
-        nfolds = int(foldid.max()) + 1
-        counts = np.bincount(foldid[foldid >= 0], minlength=nfolds)
-        if nfolds < 2 or np.any(counts == 0):
-            raise ValueError(
-                "foldid must assign at least one row to each of >= 2 "
-                f"folds (got counts {counts.tolist()})")
 
     mse = np.empty((nfolds, lams.shape[0]))
     for f in range(nfolds):

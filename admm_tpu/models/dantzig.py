@@ -66,8 +66,9 @@ def _dantzig_ops(apply_A, Xty, Xty_norm, sprad, lambda0, p) -> ProblemOps:
         rhs = (st.aux + st.z + st.y / st.rho - Xty) / (-sprad)
         v = st.x + apply_A(rhs)
         x_new = soft_threshold(v, 1.0 / (st.rho * sprad))
-        return jnp.where(st.lam > lambda0 - 1e-5, jnp.zeros_like(x_new),
-                         x_new)
+        # Relative early-exit slack (see models/lasso.py::_wide_ops).
+        return jnp.where(st.lam > lambda0 * (1.0 - 1e-5),
+                         jnp.zeros_like(x_new), x_new)
 
     def next_z(st, x_new):
         cache_Ax = apply_A(x_new)

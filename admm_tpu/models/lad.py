@@ -18,11 +18,13 @@ with penalty ``1/rho`` (reference: src/ADMMLAD.h:94-98).
 TPU-native choices:
 
 * The reference builds a dense n x n hat matrix when n <= 2000 so it can
-  use one BLAS ``dsymv`` per iteration; on TPU the factored projection
-  ``X ((X'X)^{-1} (X' v))`` is two skinny matvecs + one p x p matvec on
-  the MXU — cheaper in FLOPs and memory for every n > p, so we always
-  use it (with a one-time explicit inverse of X'X instead of a cached
-  Cholesky, avoiding per-iteration triangular solves).
+  use one BLAS ``dsymv`` per iteration (reference: src/ADMMLAD.h:182-203).
+  Here the same trick powers the VMEM-resident Pallas kernel (one n x n
+  on-chip matvec per iteration, admm_tpu/ops/lad_kernel.py) for problems
+  that fit; larger problems use the factored projection
+  ``X ((X'X)^{-1} (X' v))`` in XLA — two skinny matvecs + one p x p
+  matvec on the MXU, with a one-time explicit inverse instead of a
+  cached Cholesky (no per-iteration triangular solves).
 * The accelerated FADMM engine runs with rho FIXED at the user value
   (default 1.0, reference: R/20_admm_lad.R:28-31).  The reference
   inherits FADMMBase::update_rho unoverridden, but combining Nesterov
@@ -49,15 +51,10 @@ from ..linalg import chol_inverse, dot, gram
 
 
 def _use_pallas_lad(n: int, q: int, dtype) -> bool:
-    import os
-
-    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
-        return False
-    if dtype != jnp.float32 or jax.default_backend() != "tpu":
-        return False
+    from ..ops._common import pallas_enabled
     from ..ops.lad_kernel import supports_lad
 
-    return supports_lad(n, q)
+    return pallas_enabled(dtype) and supports_lad(n, q)
 
 
 class LADResult(NamedTuple):

@@ -195,27 +195,19 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
 
 
 def _use_pallas_tall(p: int, k: int, dtype, mode: str = "batch") -> bool:
-    import os
-
-    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
-        return False
-    if dtype != jnp.float32 or jax.default_backend() != "tpu":
-        return False
+    from ..ops._common import pallas_enabled
     from ..ops.tall_path import supports, supports_scan
 
+    if not pallas_enabled(dtype):
+        return False
     return supports_scan(p, k) if mode == "scan" else supports(p, k)
 
 
 def _use_pallas_wide(n: int, p: int, k: int, dtype) -> bool:
-    import os
-
-    if os.environ.get("ADMM_TPU_DISABLE_PALLAS"):
-        return False
-    if dtype != jnp.float32 or jax.default_backend() != "tpu":
-        return False
+    from ..ops._common import pallas_enabled
     from ..ops.wide_path import supports_wide
 
-    return supports_wide(n, p, k)
+    return pallas_enabled(dtype) and supports_wide(n, p, k)
 
 
 def _wide_setup(Xs, ys, rho_lams, rho0, alpha, enet_lambda0_scale):
@@ -279,10 +271,13 @@ def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p) -> ProblemOps:
         tmp = st.aux + st.z + st.y / st.rho
         v = st.x - dot(Xs.T, tmp) / gamma
         x_new = enet_prox(v, st.lam / (st.rho * gamma), alpha)
-        # Early exit: penalty at/above lambda0 keeps beta = 0
-        # (reference: src/ADMMLassoWide.h:131-135).
-        return jnp.where(st.lam > lambda0 - 1e-5, jnp.zeros_like(x_new),
-                         x_new)
+        # Early exit: penalty at/above lambda0 keeps beta = 0.  The
+        # reference subtracts an ABSOLUTE 1e-5 slack
+        # (reference: src/ADMMLassoWide.h:131-135), which on problems
+        # with lambda0 < 1e-5 makes the threshold negative and zeroes
+        # every solution; a relative slack has the intended semantics.
+        return jnp.where(st.lam > lambda0 * (1.0 - 1e-5),
+                         jnp.zeros_like(x_new), x_new)
 
     def next_z(st, x_new):
         cache_Ax = dot(Xs, x_new)

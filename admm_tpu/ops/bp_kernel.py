@@ -19,7 +19,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+from ._common import LANE, fadmm_momentum, round_up
+
 # Same gating logic as the LAD kernel: VMEM residency wins for the
 # small-matrix class; very large single-row matvecs tile worse in Mosaic
 # than XLA's gemv.
@@ -27,14 +28,10 @@ _VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def supports_bp(n: int, p: int) -> bool:
     """Whether the (n, p) BP problem fits the kernel's VMEM budget."""
-    N = _round_up(max(n, 8), LANE)
-    P = _round_up(max(p, 8), LANE)
+    N = round_up(max(n, 8), LANE)
+    P = round_up(max(p, 8), LANE)
     need = 4 * (N * P + N * N + 10 * P + 2 * N)
     return need <= _VMEM_BUDGET_BYTES
 
@@ -93,22 +90,11 @@ def _bp_pallas_kernel(a_ref, winv_ref, aaab_ref, scal_ref,
         y_new = adj_y + rho * r
         now_done = jnp.logical_and(r_pri < eps_pri, r_dua < eps_dua)
 
-        # FADMM momentum with restart (reference: src/FADMMBase.h:240-256).
-        c_new = rho * r_pri * r_pri + rho * jnp.sum((z_new - adj_z) ** 2)
-        accel = c_new < restart_tol * adj_c
-        a_acc = 0.5 + 0.5 * jnp.sqrt(1.0 + 4.0 * adj_a * adj_a)
-        ratio = (adj_a - 1.0) / a_acc
-        adjz_ref[:] = jnp.where(
-            now_done, adj_z,
-            jnp.where(accel, (1.0 + ratio) * z_new - ratio * z, z))
-        adjy_ref[:] = jnp.where(
-            now_done, adj_y,
-            jnp.where(accel, (1.0 + ratio) * y_new - ratio * y, y))
-        hold = jnp.logical_or(now_done, jnp.logical_not(accel))
-        adj_a_new = jnp.where(hold, 1.0, a_acc)
-        adj_a_new = jnp.where(now_done, adj_a, adj_a_new)
-        adj_c_new = jnp.where(accel, c_new, adj_c / restart_tol)
-        adj_c_new = jnp.where(now_done, adj_c, adj_c_new)
+        adj_z_new, adj_y_new, adj_a_new, adj_c_new = fadmm_momentum(
+            now_done, rho, r_pri, jnp.sum((z_new - adj_z) ** 2),
+            z_new, y_new, z, y, adj_z, adj_y, adj_a, adj_c, restart_tol)
+        adjz_ref[:] = adj_z_new
+        adjy_ref[:] = adj_y_new
 
         x_ref[:] = x_new
         z_out[:] = z_new
@@ -134,8 +120,8 @@ def bp_solve_pallas(A, Winv, AAAb, rho, eps_abs, eps_rel, maxit, *,
     Returns ``(z (p,), niter)``.
     """
     n, p = A.shape
-    N = _round_up(max(n, 8), LANE)
-    P = _round_up(max(p, 8), LANE)
+    N = round_up(max(n, 8), LANE)
+    P = round_up(max(p, 8), LANE)
 
     a_pad = jnp.zeros((N, P), jnp.float32).at[:n, :p].set(
         A.astype(jnp.float32))

@@ -22,7 +22,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+from ._common import LANE, fadmm_momentum, round_up
+
 # The resident hat matrix is n x n: 4 MB at n = 1000, 36 MB at n = 3000.
 # Large single-row matvecs tile worse in Mosaic than XLA's gemv, so the
 # gate stays in the regime where VMEM residency wins.
@@ -30,14 +31,10 @@ _VMEM_BUDGET_BYTES = 40 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def supports_lad(n: int, p: int) -> bool:
     """Whether the (n, p) LAD problem fits the kernel's VMEM budget
     (the resident buffer is the n x n hat matrix)."""
-    N = _round_up(max(n, 8), LANE)
+    N = round_up(max(n, 8), LANE)
     need = 4 * (N * N + 10 * N)
     return need <= _VMEM_BUDGET_BYTES
 
@@ -95,23 +92,11 @@ def _lad_pallas_kernel(hat_ref, ys_ref, scal_ref,
         y_new = adj_y + rho * r
         now_done = jnp.logical_and(r_pri < eps_pri, r_dua < eps_dua)
 
-        # FADMM momentum with restart (reference: src/FADMMBase.h:240-256),
-        # held on the converging iteration.
-        c_new = rho * r_pri * r_pri + rho * jnp.sum((z_new - adj_z) ** 2)
-        accel = c_new < restart_tol * adj_c
-        a_acc = 0.5 + 0.5 * jnp.sqrt(1.0 + 4.0 * adj_a * adj_a)
-        ratio = (adj_a - 1.0) / a_acc
-        adjz_out[:] = jnp.where(
-            now_done, adj_z,
-            jnp.where(accel, (1.0 + ratio) * z_new - ratio * z, z))
-        adjy_out[:] = jnp.where(
-            now_done, adj_y,
-            jnp.where(accel, (1.0 + ratio) * y_new - ratio * y, y))
-        hold = jnp.logical_or(now_done, jnp.logical_not(accel))
-        adj_a_new = jnp.where(hold, 1.0, a_acc)
-        adj_a_new = jnp.where(now_done, adj_a, adj_a_new)
-        adj_c_new = jnp.where(accel, c_new, adj_c / restart_tol)
-        adj_c_new = jnp.where(now_done, adj_c, adj_c_new)
+        adj_z_new, adj_y_new, adj_a_new, adj_c_new = fadmm_momentum(
+            now_done, rho, r_pri, jnp.sum((z_new - adj_z) ** 2),
+            z_new, y_new, z, y, adj_z, adj_y, adj_a, adj_c, restart_tol)
+        adjz_out[:] = adj_z_new
+        adjy_out[:] = adj_y_new
 
         x_ref[:] = x_new
         z_ref[:] = z_new
@@ -136,7 +121,7 @@ def lad_solve_pallas(H, ys, rho, eps_abs, eps_rel, ynorm, maxit, *,
     ``(adj_y (n,), adj_z (n,), niter)`` for the caller's recovery solve.
     """
     n = H.shape[0]
-    N = _round_up(max(n, 8), LANE)
+    N = round_up(max(n, 8), LANE)
 
     hat_pad = jnp.zeros((N, N), jnp.float32).at[:n, :n].set(
         H.astype(jnp.float32))

@@ -33,7 +33,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+from ._common import LANE, fadmm_momentum, round_up
+
 # Static-estimate budget for the supports() gates.  Mosaic's peak scoped
 # allocation runs ~3-4x the sum of resident buffers (live matmul
 # temporaries, double-buffered refs); with the kernel's scoped-vmem cap
@@ -44,14 +45,10 @@ _VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def supports(p: int, k: int) -> bool:
     """Whether the (p, k) problem fits the kernel's VMEM budget."""
-    P = _round_up(max(p, 8), LANE)
-    K = _round_up(max(k, 8), 8)
+    P = round_up(max(p, 8), LANE)
+    K = round_up(max(k, 8), 8)
     need = 4 * (P * P + 8 * K * P + 4 * K)
     return need <= _VMEM_BUDGET_BYTES
 
@@ -59,8 +56,8 @@ def supports(p: int, k: int) -> bool:
 def supports_scan(p: int, k: int) -> bool:
     """VMEM budget for the scan-mode kernel: the inverse plus one lane of
     state plus the (K, P) output."""
-    P = _round_up(max(p, 8), LANE)
-    K = _round_up(max(k, 8), 8)
+    P = round_up(max(p, 8), LANE)
+    K = round_up(max(k, 8), 8)
     need = 4 * (P * P + K * P + 8 * P + 2 * K)
     return need <= _VMEM_BUDGET_BYTES and K <= 1024
 
@@ -143,24 +140,12 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
         now_done = jnp.logical_and(r_pri < eps_pri,
                                    r_dua < eps_dua).astype(jnp.float32)
 
-        # Nesterov acceleration with restart
-        # (reference: src/FADMMBase.h:240-256).
-        c_new = rho * r_pri * r_pri + rho * jnp.sum(
-            (z_new - adj_z) ** 2, axis=1, keepdims=True)
-        accel = c_new < restart_tol * adj_c
-        a_acc = 0.5 + 0.5 * jnp.sqrt(1.0 + 4.0 * adj_a * adj_a)
-        ratio = (adj_a - 1.0) / a_acc
-        adj_z_new = jnp.where(accel, (1.0 + ratio) * z_new - ratio * z, z)
-        adj_y_new = jnp.where(accel, (1.0 + ratio) * y_new - ratio * y, y)
-        adj_a_new = jnp.where(accel, a_acc, 1.0)
-        adj_c_new = jnp.where(accel, c_new, adj_c / restart_tol)
-        # The engine skips the momentum update on the converging
-        # iteration (reference breaks before applying acceleration).
-        hold = now_done > 0.5
-        adj_z_new = jnp.where(hold, adj_z, adj_z_new)
-        adj_y_new = jnp.where(hold, adj_y, adj_y_new)
-        adj_a_new = jnp.where(hold, adj_a, adj_a_new)
-        adj_c_new = jnp.where(hold, adj_c, adj_c_new)
+        # Nesterov acceleration with restart, held on the converging
+        # iteration (shared helper, reference: src/FADMMBase.h:240-256).
+        adj_z_new, adj_y_new, adj_a_new, adj_c_new = fadmm_momentum(
+            now_done > 0.5, rho, r_pri,
+            jnp.sum((z_new - adj_z) ** 2, axis=1, keepdims=True),
+            z_new, y_new, z, y, adj_z, adj_y, adj_a, adj_c, restart_tol)
 
         # Freeze lanes that converged on an earlier iteration.
         frozen = done > 0.5
@@ -245,25 +230,12 @@ def _scan_kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
             y_new = adj_y + rho * r
             now_done = jnp.logical_and(r_pri < eps_pri, r_dua < eps_dua)
 
-            # Nesterov acceleration with restart
-            # (reference: src/FADMMBase.h:240-256); momentum held on the
-            # converging iteration.
-            c_new = rho * r_pri * r_pri + rho * jnp.sum(
-                (z_new - adj_z) ** 2)
-            accel = c_new < restart_tol * adj_c
-            a_acc = 0.5 + 0.5 * jnp.sqrt(1.0 + 4.0 * adj_a * adj_a)
-            ratio = (adj_a - 1.0) / a_acc
-            hold = jnp.logical_or(now_done, jnp.logical_not(accel))
-            adjz_ref[:] = jnp.where(
-                now_done, adj_z,
-                jnp.where(accel, (1.0 + ratio) * z_new - ratio * z, z))
-            adjy_ref[:] = jnp.where(
-                now_done, adj_y,
-                jnp.where(accel, (1.0 + ratio) * y_new - ratio * y, y))
-            adj_a_new = jnp.where(hold, 1.0, a_acc)
-            adj_a_new = jnp.where(now_done, adj_a, adj_a_new)
-            adj_c_new = jnp.where(accel, c_new, adj_c / restart_tol)
-            adj_c_new = jnp.where(now_done, adj_c, adj_c_new)
+            adj_z_new, adj_y_new, adj_a_new, adj_c_new = fadmm_momentum(
+                now_done, rho, r_pri, jnp.sum((z_new - adj_z) ** 2),
+                z_new, y_new, z, y, adj_z, adj_y, adj_a, adj_c,
+                restart_tol)
+            adjz_ref[:] = adj_z_new
+            adjy_ref[:] = adj_y_new
 
             x_ref[:] = x_new
             z_ref[:] = z_new
@@ -300,8 +272,8 @@ def tall_path_scan_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
     """
     p = Minv.shape[0]
     k = ilams.shape[0]
-    P = _round_up(max(p, 8), LANE)
-    K = _round_up(max(k, 8), 8)
+    P = round_up(max(p, 8), LANE)
+    K = round_up(max(k, 8), 8)
 
     minv_pad = jnp.zeros((P, P), jnp.float32).at[:p, :p].set(
         Minv.astype(jnp.float32))
@@ -348,8 +320,8 @@ def tall_path_batch_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
     """
     p = Minv.shape[0]
     k = ilams.shape[0]
-    P = _round_up(max(p, 8), LANE)
-    K = _round_up(max(k, 8), 8)
+    P = round_up(max(p, 8), LANE)
+    K = round_up(max(k, 8), 8)
 
     minv_pad = jnp.zeros((P, P), jnp.float32).at[:p, :p].set(
         Minv.astype(jnp.float32))

@@ -27,20 +27,17 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+from ._common import LANE, round_up
+
 # See admm_tpu/ops/tall_path.py for the budget/cap calibration.
 _VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def supports_wide(n: int, p: int, k: int) -> bool:
     """Whether the (n, p, k) wide problem fits the kernel's VMEM budget."""
-    N = _round_up(max(n, 8), 8)
-    P = _round_up(max(p, 8), LANE)
-    K = _round_up(max(k, 8), 8)
+    N = round_up(max(n, 8), 8)
+    P = round_up(max(p, 8), LANE)
+    K = round_up(max(k, 8), 8)
     need = 4 * (N * P + 2 * K * P + 3 * K * N + N + 8 * K)
     return need <= _VMEM_BUDGET_BYTES
 
@@ -114,10 +111,10 @@ def _wide_kernel(x_ref_in, ys_ref, lam_ref, rho_ref, scal_ref,
                        precision=lax.Precision.HIGHEST)   # (K, P) = tmp X
         v = x - grad / sprad
         x_new = prox(v, lam / (rho * sprad))
-        # Early exit: lam >= lambda0 keeps beta = 0
-        # (reference: src/ADMMLassoWide.h:131-135).
-        x_new = jnp.where(lam > lambda0 - 1e-5, jnp.zeros_like(x_new),
-                          x_new)
+        # Early exit: lam >= lambda0 keeps beta = 0; relative slack
+        # (see admm_tpu/models/lasso.py::_wide_ops).
+        x_new = jnp.where(lam > lambda0 * (1.0 - 1e-5),
+                          jnp.zeros_like(x_new), x_new)
 
         # z-update with cached Ax (reference: src/ADMMLassoWide.h:156-165).
         ax = lax.dot_general(x_new, x_ref_in[:], (((1,), (1,)), ((), ())),
@@ -175,9 +172,9 @@ def wide_path_batch_pallas(X, ys, ilams, rhos, sprad, lambda0, eps_abs,
     """
     n, p = X.shape
     k = ilams.shape[0]
-    N = _round_up(max(n, 8), 8)
-    P = _round_up(max(p, 8), LANE)
-    K = _round_up(max(k, 8), 8)
+    N = round_up(max(n, 8), 8)
+    P = round_up(max(p, 8), LANE)
+    K = round_up(max(k, 8), 8)
 
     X_pad = jnp.zeros((N, P), jnp.float32).at[:n, :p].set(
         X.astype(jnp.float32))

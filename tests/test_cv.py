@@ -84,3 +84,13 @@ def test_cv_rejects_empty_fold():
     bad[0] = 5  # folds 1..4 empty
     with pytest.raises(ValueError, match="at least one row"):
         cv_lasso_path(X, y, foldid=bad, nlambda=5)
+
+
+def test_cv_explicit_foldid_small_n():
+    """An explicit foldid must not be rejected by the (ignored) default
+    nfolds range check on small n."""
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(8, 3))
+    y = X @ np.ones(3) + 0.1 * rng.normal(size=8)
+    cv = cv_lasso_path(X, y, foldid=np.arange(8) % 2, nlambda=4)
+    assert np.all(np.isfinite(cv.cvm))

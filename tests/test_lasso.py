@@ -219,3 +219,20 @@ def test_kkt_enet_at_convergence(tall_problem):
     support = np.abs(b) > 1e-6
     np.testing.assert_allclose(g[support], lam * a * np.sign(b[support]),
                                atol=1e-4)
+
+
+def test_wide_early_exit_small_scale_data():
+    """The lambda >= lambda0 early exit must use a RELATIVE slack: data
+    on a tiny raw scale makes the internal lambda0 < 1e-5, and the
+    reference's absolute slack then zeroes every solution."""
+    rng = np.random.default_rng(13)
+    n, p = 40, 80
+    X = 1e-4 * rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:5] = rng.normal(size=5)
+    y = X @ b + 1e-5 * rng.normal(size=n)
+    lam0 = np.abs(X.T @ y).max() / n
+    res = lasso_path(X, y, lambdas=np.array([lam0 / 3, lam0 / 10]),
+                     standardize=False, intercept=False,
+                     path_mode="batch")
+    assert np.abs(np.asarray(res.coef)).max() > 0.0
