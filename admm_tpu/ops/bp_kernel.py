@@ -21,19 +21,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ._common import LANE, fadmm_momentum, round_up
 
-# Same gating logic as the LAD kernel: VMEM residency wins for the
-# small-matrix class; very large single-row matvecs tile worse in Mosaic
-# than XLA's gemv.
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supports_bp(n: int, p: int) -> bool:
-    """Whether the (n, p) BP problem fits the kernel's VMEM budget."""
-    N = round_up(max(n, 8), LANE)
-    P = round_up(max(p, 8), LANE)
-    need = 4 * (N * P + N * N + 10 * P + 2 * N)
-    return need <= _VMEM_BUDGET_BYTES
+    """Gate for the BP kernel — currently always False.
+
+    Measured head-to-head at the reference benchmark size (1000 x 2000,
+    5-repeat amortized timing): the kernel runs 1.8x SLOWER than the XLA
+    solver (2.1 ms vs 1.2 ms).  Unlike LAD — whose hat-matrix iteration
+    is one (1, N) x (N, N) matvec that Mosaic tiles well — BP's
+    projection needs (1, P) x (P, N) products with p > n, which Mosaic
+    tiles poorly at these aspect ratios while XLA's gemv pipeline wins.
+    The kernel is kept (and pinned by interpret-mode tests) as the
+    starting point if future Mosaic versions close the gap.
+    """
+    return False
 
 
 def _bp_pallas_kernel(a_ref, winv_ref, aaab_ref, scal_ref,

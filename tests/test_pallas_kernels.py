@@ -231,7 +231,9 @@ def test_bp_kernel_matches_xla_solver():
     from admm_tpu.core.engine import make_fadmm_solver, make_state
     from admm_tpu.ops.bp_kernel import bp_solve_pallas, supports_bp
 
-    assert supports_bp(1000, 2000)
+    # The BP kernel is currently gated OFF everywhere (measured slower
+    # than the XLA solver at all practical sizes — see supports_bp).
+    assert not supports_bp(1000, 2000)
     assert not supports_bp(1000, 10000)
 
     rng = np.random.default_rng(12)
