@@ -110,3 +110,70 @@ def bp_fit(A, b, *, maxit: int = 10000, eps_abs: float = 1e-4,
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
     return _bp_fit(A, b, rho, maxit, eps_abs, eps_rel)
+
+
+def _bp_batch_ops(A, K, n, p) -> ProblemOps:
+    """Per-lane BP ops for the batched solver: the lane's cached
+    ``A'(AA')^{-1} b`` rides in ``st.aux`` (constant per lane)."""
+    def next_x(st):
+        v = st.adj_z - st.adj_y / st.rho
+        return v + st.aux - dot(A.T, dot(K, v))
+
+    def next_z(st, x_new):
+        v = x_new + st.adj_y / st.rho
+        return soft_threshold(v, 1.0 / st.rho), st.aux
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: x - z,
+        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.x), l2norm(st.z)),
+        eps_dual_scale=lambda st: l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
+        combined_extra=lambda st, z_new: sqnorm(z_new - st.adj_z),
+        dim_main=p, dim_dual=p,
+    )
+
+
+@jax.jit
+def _bp_fit_batch(A, B, rho, maxit, eps_abs, eps_rel):
+    from ..core.engine import make_batched_solver
+    from .lasso import _batched_cold_states
+
+    n, p = A.shape
+    m = B.shape[0]
+    dtype = A.dtype
+    AAt = tgram(A)
+    jitter = 1e-6 if dtype == jnp.float32 else 0.0
+    Winv = chol_inverse(AAt, jitter=jitter)
+    K = dot(Winv, A)
+    # (m, p) per-signal caches A'(AA')^{-1} b_i — one matmul for all.
+    AAAB = dot(B, dot(Winv, A))
+
+    ops = _bp_batch_ops(A, K, n, p)
+    solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
+    st = _batched_cold_states(m, p, rho, jnp.zeros((m,), dtype), dtype,
+                              aux_dim=p)
+    st = st._replace(aux=AAAB)
+    st = solve(st, maxit, eps_abs, eps_rel)
+    return BPResult(coef=st.z, niter=st.it)
+
+
+def bp_fit_batch(A, B, *, maxit: int = 10000, eps_abs: float = 1e-4,
+                 eps_rel: float = 1e-4, rho: float = 1.0,
+                 dtype=None) -> BPResult:
+    """Recover MANY sparse signals against one measurement matrix.
+
+    Extension beyond the reference (which solves one b at a time): all m
+    right-hand sides share the one-time ``(AA')^{-1}`` factorization and
+    solve simultaneously as MXU lanes (the batched-lane engine of the
+    lambda-path solvers, admm_tpu/core/engine.py::make_batched_solver) —
+    the standard compressed-sensing serving workload.
+
+    ``B`` is (m, n); returns ``coef`` (m, p) and ``niter`` (m,).
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A = jnp.asarray(A, dtype)
+    B = jnp.atleast_2d(jnp.asarray(B, dtype))
+    return _bp_fit_batch(A, B, rho, maxit, eps_abs, eps_rel)

@@ -187,3 +187,26 @@ def test_dantzig_path_runs():
     res = dantzig_path(X, y, nlambda=10, maxit=5000)
     assert np.asarray(res.coef).shape == (10, 15)
     np.testing.assert_allclose(np.asarray(res.coef[0]), 0.0, atol=1e-5)
+
+
+def test_bp_batch_matches_serial():
+    """Many right-hand sides as MXU lanes == m serial solves."""
+    from admm_tpu.models.bp import bp_fit, bp_fit_batch
+
+    rng = np.random.default_rng(31)
+    n, p, m, k = 80, 200, 5, 10
+    A = rng.normal(size=(n, p)) / np.sqrt(n)
+    X0 = np.zeros((m, p))
+    for i in range(m):
+        X0[i, rng.choice(p, k, replace=False)] = rng.normal(size=k)
+    B = X0 @ A.T
+
+    batch = bp_fit_batch(A, B, eps_abs=1e-6, eps_rel=1e-6)
+    assert batch.coef.shape == (m, p)
+    for i in range(m):
+        ser = bp_fit(A, B[i], eps_abs=1e-6, eps_rel=1e-6)
+        np.testing.assert_allclose(np.asarray(batch.coef[i]),
+                                   np.asarray(ser.coef), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(batch.coef[i]), X0[i],
+                                   atol=1e-3)
+        assert abs(int(batch.niter[i]) - int(ser.niter)) <= 1
