@@ -24,6 +24,9 @@ _TRIED = False
 _SRC = Path(__file__).resolve().parent.parent / "native" / "admm_host.cpp"
 _BUILD_DIR = Path(__file__).resolve().parent / "_build"
 _SO = _BUILD_DIR / "libadmm_host.so"
+# Bump together with admm_native_version() in the C++ source; a cached
+# .so from an older source is rebuilt, not silently used.
+_EXPECTED_VERSION = 2
 
 
 def _build() -> Optional[ctypes.CDLL]:
@@ -61,7 +64,8 @@ def _load_so() -> Optional[ctypes.CDLL]:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """The native library, building it on first call; None on failure."""
+    """The native library, building it on first call; None on failure.
+    A cached .so with a stale ``admm_native_version`` is rebuilt."""
     global _LIB, _TRIED
     with _LOCK:
         if _LIB is not None or _TRIED:
@@ -69,8 +73,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _TRIED = True
         if _SO.exists():
             _LIB = _load_so()
+            if (_LIB is not None
+                    and _LIB.admm_native_version() != _EXPECTED_VERSION):
+                _LIB = None
         if _LIB is None:
             _LIB = _build()
+        if (_LIB is not None
+                and _LIB.admm_native_version() != _EXPECTED_VERSION):
+            _LIB = None
         return _LIB
 
 
@@ -122,16 +132,21 @@ def standardize_host(X: np.ndarray, y: np.ndarray, flag: int):
         lib.admm_standardize_vec(_dptr(y), n, flag, ctypes.byref(my),
                                  ctypes.byref(sy))
         return mean_x, scale_x, my.value, sy.value
-    # NumPy fallback, same semantics
+    # NumPy fallback, same semantics (two-pass centered variance +
+    # relative zero-variance guard, matching the native and JAX paths)
     center = bool(flag & 2)
     scale = bool(flag & 1)
-    mean_x = X.mean(0) if center else np.zeros(p)
-    sd = np.sqrt(np.mean(X * X, axis=0) - X.mean(0) ** 2)
-    scale_x = np.where(sd > 0, sd, 1.0) if scale else np.ones(p)
+    mx = X.mean(0)
+    sd = np.sqrt(np.mean((X - mx) ** 2, axis=0))
+    floor_x = 8.0 * np.finfo(np.float64).eps * np.abs(mx)
+    mean_x = mx if center else np.zeros(p)
+    scale_x = np.where(sd > floor_x, sd, 1.0) if scale else np.ones(p)
     X -= mean_x
     X /= scale_x
     my = y.mean() if center else 0.0
-    sdy = float(np.sqrt(np.mean(y * y) - y.mean() ** 2)) if flag else 1.0
+    sdy_c = float(np.sqrt(np.mean((y - y.mean()) ** 2)))
+    floor_y = 8.0 * np.finfo(np.float64).eps * abs(float(y.mean()))
+    sdy = (sdy_c if sdy_c > floor_y else 1.0) if flag else 1.0
     y -= my
-    y /= (sdy if sdy > 0 else 1.0)
-    return mean_x, scale_x, float(my), (sdy if sdy > 0 else 1.0)
+    y /= sdy
+    return mean_x, scale_x, float(my), sdy

@@ -30,8 +30,15 @@ from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
 
 
 def _check_xy(x, y):
-    x = np.asarray(x, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64).ravel()
+    # No dtype forced: a float array is used as-is (the solvers cast to
+    # their working dtype exactly once); forcing float64 here would pin
+    # an extra full-size host copy for the builder's lifetime.
+    x = np.asarray(x)
+    y = np.asarray(y).ravel()
+    if not np.issubdtype(x.dtype, np.floating):
+        x = x.astype(np.float64)
+    if not np.issubdtype(y.dtype, np.floating):
+        y = y.astype(np.float64)
     if x.ndim != 2:
         raise ValueError("x must be a 2-D matrix")
     if x.shape[0] != y.shape[0]:
@@ -341,6 +348,12 @@ class ADMMLAD(ADMMBP):
             raise ValueError("nrow(x) must be greater than ncol(x)")
         self.intercept = bool(intercept)
         self.nthread = 1
+
+    def parallel(self, nthread: int = 2, **kw):
+        raise NotImplementedError(
+            "parallel computing is not supported for LAD (the reference "
+            "accepts nthread but silently runs serial; failing loudly "
+            "is kinder)")
         self.maxit = 10000
         self.eps_abs = 1e-4
         self.eps_rel = 1e-4

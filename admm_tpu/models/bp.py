@@ -36,10 +36,13 @@ class BPResult(NamedTuple):
     niter: jnp.ndarray  # int32
 
 
-def _bp_ops(A, K, AAAb, n, p) -> ProblemOps:
+def _bp_ops(A, K, n, p, aaab_of) -> ProblemOps:
+    """``aaab_of(st)`` supplies the cached ``A'(AA')^{-1} b``: a closure
+    constant for the single-signal solver, the lane state ``st.aux`` for
+    the batched multi-signal solver — one factory for both."""
     def next_x(st):
         v = st.adj_z - st.adj_y / st.rho
-        return v + AAAb - dot(A.T, dot(K, v))
+        return v + aaab_of(st) - dot(A.T, dot(K, v))
 
     def next_z(st, x_new):
         v = x_new + st.adj_y / st.rho
@@ -83,7 +86,7 @@ def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
         return BPResult(coef=z, niter=niter)
 
     K = dot(Winv, A)                              # (AA')^-1 A, n x p
-    ops = _bp_ops(A, K, AAAb, n, p)
+    ops = _bp_ops(A, K, n, p, lambda st: AAAb)
     # Fixed rho: FADMM's restart analysis (Goldstein et al. 2014) assumes
     # a constant penalty; with the adaptive ladder active the combined
     # residual can cycle without converging (observed on small p/n ~ 2.5
@@ -112,29 +115,6 @@ def bp_fit(A, b, *, maxit: int = 10000, eps_abs: float = 1e-4,
     return _bp_fit(A, b, rho, maxit, eps_abs, eps_rel)
 
 
-def _bp_batch_ops(A, K, n, p) -> ProblemOps:
-    """Per-lane BP ops for the batched solver: the lane's cached
-    ``A'(AA')^{-1} b`` rides in ``st.aux`` (constant per lane)."""
-    def next_x(st):
-        v = st.adj_z - st.adj_y / st.rho
-        return v + st.aux - dot(A.T, dot(K, v))
-
-    def next_z(st, x_new):
-        v = x_new + st.adj_y / st.rho
-        return soft_threshold(v, 1.0 / st.rho), st.aux
-
-    return ProblemOps(
-        next_x=next_x,
-        next_z=next_z,
-        primal_residual=lambda st, x, z, aux: x - z,
-        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.x), l2norm(st.z)),
-        eps_dual_scale=lambda st: l2norm(st.y),
-        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
-        combined_extra=lambda st, z_new: sqnorm(z_new - st.adj_z),
-        dim_main=p, dim_dual=p,
-    )
-
-
 @jax.jit
 def _bp_fit_batch(A, B, rho, maxit, eps_abs, eps_rel):
     from ..core.engine import make_batched_solver
@@ -150,7 +130,7 @@ def _bp_fit_batch(A, B, rho, maxit, eps_abs, eps_rel):
     # (m, p) per-signal caches A'(AA')^{-1} b_i — one matmul for all.
     AAAB = dot(B, dot(Winv, A))
 
-    ops = _bp_batch_ops(A, K, n, p)
+    ops = _bp_ops(A, K, n, p, lambda st: st.aux)
     solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
     st = _batched_cold_states(m, p, rho, jnp.zeros((m,), dtype), dtype,
                               aux_dim=p)

@@ -35,6 +35,7 @@ class CVResult(NamedTuple):
 
 def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                   lambda_min_ratio: Optional[float] = None,
+                  lambdas: Optional[np.ndarray] = None,
                   alpha: float = 1.0, _enet_scale: bool = False,
                   standardize: bool = True, intercept: bool = True,
                   seed: int = 0, foldid: Optional[np.ndarray] = None,
@@ -68,8 +69,10 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                 "foldid must assign at least one row to each of >= 2 "
                 f"folds (got counts {counts.tolist()})")
 
-    # Shared lambda grid from the full data (glmnet convention).
-    full = lasso_path(X, y, nlambda=nlambda,
+    # Shared lambda grid: user-supplied, or from the full data (glmnet
+    # convention).  ``lambdas`` is a named parameter so it cannot collide
+    # with the per-fold calls' grid argument.
+    full = lasso_path(X, y, lambdas=lambdas, nlambda=nlambda,
                       lambda_min_ratio=lambda_min_ratio, alpha=alpha,
                       _enet_scale=_enet_scale, standardize=standardize,
                       intercept=intercept, path_mode=path_mode,

@@ -27,6 +27,20 @@ def pallas_enabled(dtype) -> bool:
     return dtype == jnp.float32 and jax.default_backend() == "tpu"
 
 
+def soft_threshold(v, pen):
+    """Elementwise soft-threshold (canonical version:
+    admm_tpu/core/prox.py; repeated here in plain jnp so every kernel
+    traces the same expression)."""
+    return jnp.sign(v) * jnp.maximum(jnp.abs(v) - pen, 0.0)
+
+
+def enet_prox(v, pen, alpha):
+    """Elastic-net prox (reference: src/ADMMEnet.h:24-40); ``alpha=1``
+    reduces to the soft-threshold."""
+    denom = 1.0 + pen * (1.0 - alpha)
+    return soft_threshold(v, alpha * pen) / denom
+
+
 def fadmm_momentum(now_done, rho, r_pri, extra_sq, z_new, y_new, z_old,
                    y_old, adj_z, adj_y, adj_a, adj_c, restart_tol):
     """One FADMM momentum/restart step; pure function of the iterates.

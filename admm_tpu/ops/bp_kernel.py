@@ -19,7 +19,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._common import LANE, fadmm_momentum, round_up
+from ._common import LANE, fadmm_momentum, round_up, soft_threshold
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -54,8 +54,7 @@ def _bp_pallas_kernel(a_ref, winv_ref, aaab_ref, scal_ref,
 
     rnorm = lambda v: jnp.sqrt(jnp.sum(v * v))
 
-    def soft(v, pen):
-        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - pen, 0.0)
+    soft = soft_threshold
 
     def affine_project(v):
         """v + A'(AA')^{-1} b - A'(AA')^{-1} A v, refs read per use

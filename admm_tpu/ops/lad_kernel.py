@@ -22,7 +22,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._common import LANE, fadmm_momentum, round_up
+from ._common import LANE, fadmm_momentum, round_up, soft_threshold
 
 # The resident hat matrix is n x n: 4 MB at n = 1000, 36 MB at n = 3000.
 # Large single-row matvecs tile worse in Mosaic than XLA's gemv, so the
@@ -55,8 +55,7 @@ def _lad_pallas_kernel(hat_ref, ys_ref, scal_ref,
 
     rnorm = lambda v: jnp.sqrt(jnp.sum(v * v))
 
-    def soft(v, pen):
-        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - pen, 0.0)
+    soft = soft_threshold
 
     def project(v):
         """v @ H (H symmetric).  H is read from its VMEM ref AT THE USE:

@@ -33,7 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._common import LANE, fadmm_momentum, round_up
+from ._common import LANE, enet_prox, fadmm_momentum, round_up
 
 # Static-estimate budget for the supports() gates.  Mosaic's peak scoped
 # allocation runs ~3-4x the sum of resident buffers (live matmul
@@ -86,10 +86,7 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
 
     rnorm = lambda v: jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
 
-    def prox(v, pen):
-        thresh = alpha * pen
-        denom = 1.0 + pen * (1.0 - alpha)
-        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0) / denom
+    prox = lambda v, pen: enet_prox(v, pen, alpha)
 
     # Cold start (reference: src/ADMMLassoTall.h:179-216).  Padding lanes
     # (index >= num_real) start frozen at done=1 with x=z=0 so they never
@@ -191,10 +188,7 @@ def _scan_kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
 
     rnorm = lambda v: jnp.sqrt(jnp.sum(v * v))
 
-    def prox(v, pen):
-        thresh = alpha * pen
-        denom = 1.0 + pen * (1.0 - alpha)
-        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0) / denom
+    prox = lambda v, pen: enet_prox(v, pen, alpha)
 
     # Cold start (reference: src/ADMMLassoTall.h:179-216).
     for ref in (x_ref, z_ref, y_ref, adjz_ref, adjy_ref):

@@ -27,7 +27,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ._common import LANE, round_up
+from ._common import LANE, enet_prox, round_up
 
 # See admm_tpu/ops/tall_path.py for the budget/cap calibration.
 _VMEM_BUDGET_BYTES = 24 * 1024 * 1024
@@ -69,10 +69,7 @@ def _wide_kernel(x_ref_in, ys_ref, lam_ref, rho_ref, scal_ref,
 
     rnorm = lambda v: jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
 
-    def prox(v, pen):
-        thresh = alpha * pen
-        denom = 1.0 + pen * (1.0 - alpha)
-        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0) / denom
+    prox = lambda v, pen: enet_prox(v, pen, alpha)
 
     # Cold start; padding lanes (>= num_real) begin frozen.
     for ref in (x_out, z_ref, y_ref, aux_ref):

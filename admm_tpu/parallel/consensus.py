@@ -88,10 +88,6 @@ class _ConsensusState(NamedTuple):
     y: jnp.ndarray        # (Wl, p) local duals
     z: jnp.ndarray        # (p,) consensus variable (replicated by psum)
     r2_local: jnp.ndarray  # sum over local workers of ||x_i - z||^2
-    sx2: jnp.ndarray      # global sum_i ||x_i||^2 (from last psum)
-    sy2: jnp.ndarray      # global sum_i ||y_i||^2
-    sr2: jnp.ndarray      # global sum_i ||r_i||^2 (lagged one iteration)
-    r_dua: jnp.ndarray
     rho: jnp.ndarray
     lam: jnp.ndarray
     it: jnp.ndarray
@@ -222,14 +218,6 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
     x_update = make_x_update(Xi, yi, rho)
 
     def body(st: _ConsensusState) -> _ConsensusState:
-        # Tolerances from the previous iteration's fused reductions
-        # (reference: src/PADMMBase.h:117-137).
-        eps_pri = (jnp.maximum(jnp.sqrt(st.sx2),
-                               jnp.sqrt(jnp.sum(st.z * st.z)) * sqrtW)
-                   * eps_rel + sqrt_pW * eps_abs)
-        eps_dua = jnp.sqrt(st.sy2) * eps_rel + sqrt_pW * eps_abs
-        done = (jnp.sqrt(st.sr2) < eps_pri) & (st.r_dua < eps_dua)
-
         x = x_update(st.z, st.y, st.rho)
         # THE one fused collective of the iteration.
         packed = jnp.concatenate([
@@ -239,14 +227,23 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
         g = allsum(packed)
         zbar = g[:p] / W
         sx2, sy2, sr2 = g[p], g[p + 1], g[p + 2]
+        # Tolerances from the just-reduced norms; the primal residual in
+        # sr2 is the previous iteration's (it rode this psum), so the
+        # test lags the primal by exactly one refining iteration
+        # (reference reduces it separately, src/PADMMBase.h:200-214,
+        # which would cost a second collective).
+        eps_pri = (jnp.maximum(jnp.sqrt(sx2),
+                               jnp.sqrt(jnp.sum(st.z * st.z)) * sqrtW)
+                   * eps_rel + sqrt_pW * eps_abs)
+        eps_dua = jnp.sqrt(sy2) * eps_rel + sqrt_pW * eps_abs
         # Master z-update (reference: src/PADMMLasso.h:99-108).
         z_new = master_prox(zbar, st.lam, st.rho)
         r_dua = st.rho * sqrtW * jnp.sqrt(jnp.sum((z_new - st.z) ** 2))
         r = x - z_new[None, :]
         y = st.y + st.rho * r
+        done = (jnp.sqrt(sr2) < eps_pri) & (r_dua < eps_dua)
         return st._replace(
             x=x, y=y, z=z_new, r2_local=jnp.sum(r * r),
-            sx2=sx2, sy2=sy2, sr2=sr2, r_dua=r_dua,
             it=st.it + 1, done=done,
         )
 
@@ -260,7 +257,6 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
     st0 = _ConsensusState(
         x=jnp.zeros((Wl, p), dtype), y=jnp.zeros((Wl, p), dtype),
         z=jnp.zeros((p,), dtype), r2_local=f(BIG),
-        sx2=f(0.0), sy2=f(0.0), sr2=f(BIG), r_dua=f(BIG),
         rho=rho, lam=f(lam_first),
         it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
     )
@@ -268,8 +264,7 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
     def step(st, lam):
         # Warm start: keep x, y, z, rho; reset sentinels
         # (reference: src/PADMMLasso.h:215-223).
-        st = st._replace(lam=lam, r2_local=f(BIG), sx2=f(0.0), sy2=f(0.0),
-                         sr2=f(BIG), r_dua=f(BIG),
+        st = st._replace(lam=lam, r2_local=f(BIG),
                          it=jnp.asarray(0, jnp.int32),
                          done=jnp.asarray(False))
         st = solve(st)

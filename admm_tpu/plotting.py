@@ -44,7 +44,8 @@ def plot_stem(coef, ax=None):
     ax = _get_ax(ax)
     idx = np.arange(coef.size)
     nz = coef != 0
-    ax.stem(idx[nz], coef[nz])
+    if nz.any():  # matplotlib's stem rejects empty arrays
+        ax.stem(idx[nz], coef[nz])
     ax.axhline(0.0, color="black", lw=0.5)
     ax.set_xlabel("Index")
     ax.set_ylabel("Coefficient")

@@ -39,20 +39,28 @@ void admm_standardize_cols(double* X, int64_t n, int64_t p, int flag,
 #endif
     for (int64_t j = 0; j < p; ++j) {
         double* col = X + j * n;
-        double s = 0.0, ss = 0.0;
-        for (int64_t i = 0; i < n; ++i) {  // auto-vectorized fused pass
-            s += col[i];
-            ss += col[i] * col[i];
-        }
+        double s = 0.0;
+        for (int64_t i = 0; i < n; ++i) s += col[i];
         const double mean = s / double(n);
-        const double var = ss / double(n) - mean * mean;
-        const double sd = std::sqrt(var > 0 ? var : 0.0);
+        // Centered two-pass variance: E[x^2]-E[x]^2 cancels
+        // catastrophically for large-mean columns (same fix as the
+        // device path, admm_tpu/data/standardize.py::_sd_n).
+        double css = 0.0;
+        for (int64_t i = 0; i < n; ++i) {
+            const double c = col[i] - mean;
+            css += c * c;
+        }
+        const double sd = std::sqrt(css / double(n));
+        // Relative zero-variance guard: a constant column's computed sd
+        // is rounding noise ~eps*|mean|, not exactly 0.
+        const double floor_ = 8.0 * 2.220446049250313e-16 * std::fabs(mean);
         const bool center = (flag & 2) != 0;
         const bool scale = (flag & 1) != 0;
+        const bool sd_ok = sd > floor_;
         const double m = center ? mean : 0.0;
-        const double inv = scale && sd > 0 ? 1.0 / sd : 1.0;
+        const double inv = scale && sd_ok ? 1.0 / sd : 1.0;
         mean_out[j] = m;
-        scale_out[j] = scale && sd > 0 ? sd : 1.0;
+        scale_out[j] = scale && sd_ok ? sd : 1.0;
         for (int64_t i = 0; i < n; ++i)
             col[i] = (col[i] - m) * inv;
     }
@@ -61,17 +69,22 @@ void admm_standardize_cols(double* X, int64_t n, int64_t p, int flag,
 // Vector mean/sd with the same convention; standardizes in place per flag.
 void admm_standardize_vec(double* y, int64_t n, int flag, double* mean_out,
                           double* scale_out) {
-    double s = 0.0, ss = 0.0;
-    for (int64_t i = 0; i < n; ++i) { s += y[i]; ss += y[i] * y[i]; }
+    double s = 0.0;
+    for (int64_t i = 0; i < n; ++i) s += y[i];
     const double mean = s / double(n);
+    double css = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double c = y[i] - mean;
+        css += c * c;
+    }
+    const double sd_c = std::sqrt(css / double(n));
+    const double floor_ = 8.0 * 2.220446049250313e-16 * std::fabs(mean);
     double m = 0.0, sd = 1.0;
     if (flag == 1) {  // scale by sd about the mean, do not center
-        const double var = ss / double(n) - mean * mean;
-        sd = std::sqrt(var > 0 ? var : 1.0);
+        sd = sd_c > floor_ ? sd_c : 1.0;
     } else if (flag >= 2) {  // center, then scale by rms of centered
         m = mean;
-        const double var = ss / double(n) - mean * mean;
-        sd = std::sqrt(var > 0 ? var : 1.0);
+        sd = sd_c > floor_ ? sd_c : 1.0;
     }
     *mean_out = m;
     *scale_out = sd;
@@ -106,6 +119,6 @@ int64_t admm_pack_beta_csc(const double* dense, int64_t nlambda,
     return nnz;
 }
 
-int admm_native_version() { return 1; }
+int admm_native_version() { return 2; }
 
 }  // extern "C"

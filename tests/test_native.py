@@ -10,7 +10,7 @@ def test_native_builds_and_loads():
     lib = _native.get_lib()
     if lib is None:
         pytest.skip("no native toolchain available")
-    assert lib.admm_native_version() == 1
+    assert lib.admm_native_version() == _native._EXPECTED_VERSION
 
 
 def test_pack_beta_csc_matches_scipy():
@@ -52,3 +52,19 @@ def test_standardize_host_matches_jax_standardize(flag):
     np.testing.assert_allclose(scale_x, np.asarray(st.scale_x), atol=1e-10)
     np.testing.assert_allclose(my, float(st.mean_y), atol=1e-10)
     np.testing.assert_allclose(sy, float(st.scale_y), atol=1e-10)
+
+
+def test_host_standardize_large_mean_stable():
+    """Host paths (native and NumPy fallback) use the two-pass variance
+    with the relative guard, matching the device path for huge-mean
+    columns (previously off by ~50x at mean 1e9)."""
+    rng = np.random.default_rng(0)
+    X = np.asfortranarray(rng.normal(loc=1e9, scale=1.0, size=(4000, 3)))
+    y = rng.normal(size=4000)
+    mean_x, scale_x, _, _ = _native.standardize_host(X.copy(order="F"),
+                                                     y.copy(), 3)
+    np.testing.assert_allclose(scale_x, [1.0, 1.0, 1.0], rtol=0.1)
+    # constant column at a large value -> guard leaves it unscaled
+    X2 = np.asfortranarray(np.ones((100, 2)) * 3e6)
+    m2, s2, _, _ = _native.standardize_host(X2, np.arange(100.0), 3)
+    np.testing.assert_array_equal(s2, [1.0, 1.0])

@@ -246,7 +246,7 @@ def test_bp_kernel_matches_xla_solver():
     Winv = chol_inverse(tgram(A), jitter=1e-6)
     K = pdot(Winv, A)
     AAAb = pdot(A.T, pdot(Winv, b))
-    ops = _bp_ops(A, K, AAAb, n, p)
+    ops = _bp_ops(A, K, n, p, lambda st: AAAb)
     solve = make_fadmm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((p,), jnp.float32)
     st = solve(make_state(zeros, zeros, zeros, 1.0, 0.0,
