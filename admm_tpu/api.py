@@ -146,6 +146,7 @@ class ADMMLasso:
         self.eps_abs = self._eps_default
         self.eps_rel = self._eps_default
         self.rho = self._rho_default
+        self.path_mode = "batch"
 
     # -- chainable setters ------------------------------------------------
     def penalty(self, lambda_=None, nlambda: int = 100,
@@ -177,8 +178,16 @@ class ADMMLasso:
 
     def opts(self, maxit: int = 10000, eps_abs: Optional[float] = None,
              eps_rel: Optional[float] = None,
-             rho: Optional[float] = None, **kw):
-        """(reference: R/30_admm_lasso.R:115-133)"""
+             rho: Optional[float] = None, path_mode: str = "batch",
+             **kw):
+        """(reference: R/30_admm_lasso.R:115-133).
+
+        ``path_mode`` (TPU extension): "batch" (default) solves all
+        lambdas simultaneously as MXU lanes; "scan" solves them
+        sequentially with warm starts — the reference's own protocol,
+        whose per-lambda ``niter`` matches the reference's counters.
+        The two agree on the solutions to solver tolerance.
+        """
         if maxit <= 0:
             raise ValueError("maxit should be positive")
         eps_abs = self._eps_default if eps_abs is None else eps_abs
@@ -187,10 +196,13 @@ class ADMMLasso:
             raise ValueError("eps_abs and eps_rel should be nonnegative")
         if rho is not None and rho <= 0:
             raise ValueError("rho should be positive")
+        if path_mode not in ("batch", "scan"):
+            raise ValueError("path_mode must be 'batch' or 'scan'")
         self.maxit = int(maxit)
         self.eps_abs = float(eps_abs)
         self.eps_rel = float(eps_rel)
         self.rho = -1.0 if rho is None else float(rho)
+        self.path_mode = path_mode
         return self
 
     # -- fitting ----------------------------------------------------------
@@ -205,7 +217,8 @@ class ADMMLasso:
         """(reference: R/30_admm_lasso.R:136-160 — dispatches the serial
         or the consensus-parallel solver on nthread)"""
         if self.nthread <= 1:
-            res = lasso_path(self.x, self.y, **self._path_kwargs())
+            res = lasso_path(self.x, self.y, path_mode=self.path_mode,
+                             **self._path_kwargs())
         else:
             res = parallel_lasso_path(self.x, self.y,
                                       nworkers=self.nthread,
@@ -249,6 +262,7 @@ class ADMMEnet(ADMMLasso):
         (admm_tpu/parallel/consensus.py)."""
         if self.nthread <= 1:
             res = enet_path(self.x, self.y, alpha=self.alpha,
+                            path_mode=self.path_mode,
                             **self._path_kwargs())
         else:
             res = parallel_enet_path(self.x, self.y, alpha=self.alpha,
@@ -269,7 +283,8 @@ class ADMMDantzig(ADMMLasso):
             "parallel computing is not supported for the Dantzig selector")
 
     def fit(self) -> ADMMLassoFit:
-        res = dantzig_path(self.x, self.y, **self._path_kwargs())
+        res = dantzig_path(self.x, self.y, path_mode=self.path_mode,
+                           **self._path_kwargs())
         return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
                             res.niter)
 

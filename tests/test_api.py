@@ -147,3 +147,16 @@ def test_tiny_problems():
     A = rng.normal(size=(2, 6)); x0 = np.zeros(6); x0[1] = 1.0
     fitb = admm_tpu.admm_bp(A, A @ x0).fit()
     assert np.isfinite(fitb.beta.toarray()).all()
+
+
+def test_builder_path_mode_option(data):
+    x, y, _ = data
+    import pytest
+
+    a = admm_tpu.admm_lasso(x, y).penalty(nlambda=6).fit()  # batch default
+    b = (admm_tpu.admm_lasso(x, y).penalty(nlambda=6)
+         .opts(path_mode="scan").fit())
+    np.testing.assert_allclose(a.beta.toarray(), b.beta.toarray(),
+                               atol=1e-3)
+    with pytest.raises(ValueError, match="path_mode"):
+        admm_tpu.admm_lasso(x, y).opts(path_mode="nope")
