@@ -1,0 +1,119 @@
+"""Group Lasso (extension): KKT optimality, group sparsity, objective.
+
+No in-image oracle package solves group lasso, so correctness is pinned
+by the KKT conditions (necessary AND sufficient for this convex
+problem) plus an independent proximal-gradient (FISTA-free, plain ISTA)
+solve for objective comparison.
+"""
+import numpy as np
+import pytest
+
+from admm_tpu.models.grouplasso import group_lasso_path
+
+
+def _problem(n=300, p=24, G=8, seed=7):
+    rng = np.random.default_rng(seed)
+    groups = np.repeat(np.arange(G), p // G)
+    b = np.zeros(p)
+    for g in (1, 4):  # two active groups
+        b[groups == g] = rng.normal(size=(groups == g).sum()) * 2.0
+    X = rng.normal(size=(n, p))
+    y = X @ b + 0.5 * rng.normal(size=n)
+    return X, y, groups, b
+
+
+def _objective(X, y, groups, w, lam, b):
+    n = len(y)
+    gnorms = np.array([np.linalg.norm(b[groups == g])
+                       for g in range(groups.max() + 1)])
+    return (0.5 / n * np.sum((y - X @ b) ** 2)
+            + lam * np.sum(w * gnorms))
+
+
+def _ista(X, y, groups, w, lam, iters=20000):
+    """Independent prox-gradient oracle."""
+    n, p = X.shape
+    L = np.linalg.norm(X, 2) ** 2 / n
+    b = np.zeros(p)
+    for _ in range(iters):
+        g = X.T @ (X @ b - y) / n
+        v = b - g / L
+        for gi in range(groups.max() + 1):
+            m = groups == gi
+            nv = np.linalg.norm(v[m])
+            v[m] *= max(0.0, 1.0 - lam * w[gi] / (L * max(nv, 1e-30)))
+        b = v
+    return b
+
+
+def test_group_kkt_and_objective_tall():
+    X, y, groups, _ = _problem()
+    G = groups.max() + 1
+    w = np.sqrt(np.bincount(groups))
+    lam = 0.15
+    res = group_lasso_path(X, y, groups, lambdas=np.array([lam]),
+                           standardize=False, intercept=False,
+                           eps_abs=1e-7, eps_rel=1e-7)
+    b = np.asarray(res.coef[0], np.float64)
+    n = len(y)
+    grad = X.T @ (y - X @ b) / n
+    for g in range(G):
+        m = groups == g
+        bg = b[m]
+        if np.linalg.norm(bg) > 1e-5:   # active: gradient aligns with bg
+            np.testing.assert_allclose(
+                grad[m], lam * w[g] * bg / np.linalg.norm(bg), atol=2e-4)
+        else:                            # inactive: within the ball
+            assert np.linalg.norm(grad[m]) <= lam * w[g] + 2e-4
+    # objective no worse than the independent prox-gradient oracle
+    b_or = _ista(X, y, groups, w, lam)
+    assert (_objective(X, y, groups, w, lam, b)
+            <= _objective(X, y, groups, w, lam, b_or) * 1.001)
+
+
+def test_group_sparsity_structure():
+    """Groups die together: within any group, coefficients are all zero
+    or all (generically) nonzero."""
+    X, y, groups, b_true = _problem()
+    res = group_lasso_path(X, y, groups, nlambda=12, standardize=False,
+                           intercept=False)
+    coef = np.asarray(res.coef)
+    for i in range(coef.shape[0]):
+        for g in range(groups.max() + 1):
+            cg = coef[i][groups == g]
+            assert (np.all(np.abs(cg) < 1e-6)
+                    or np.all(np.abs(cg) > 0)), (i, g)
+    # the truly active groups are selected at moderate lambda
+    mid = coef[6]
+    active = {g for g in range(groups.max() + 1)
+              if np.linalg.norm(mid[groups == g]) > 1e-3}
+    assert {1, 4} <= active
+
+
+def test_group_lasso_wide_regime():
+    X, y, groups, _ = _problem(n=40, p=80, G=10, seed=3)
+    w = np.sqrt(np.bincount(groups))
+    lam = 0.1
+    res = group_lasso_path(X, y, groups, lambdas=np.array([lam]),
+                           standardize=False, intercept=False,
+                           eps_abs=1e-7, eps_rel=1e-7)
+    b = np.asarray(res.coef[0], np.float64)
+    b_or = _ista(X, y, groups, w, lam)
+    assert (_objective(X, y, groups, w, lam, b)
+            <= _objective(X, y, groups, w, lam, b_or) * 1.005)
+
+
+def test_group_lasso_first_lambda_zero():
+    X, y, groups, _ = _problem()
+    res = group_lasso_path(X, y, groups, nlambda=8, standardize=False,
+                           intercept=False)
+    np.testing.assert_allclose(np.asarray(res.coef[0]), 0.0, atol=1e-5)
+
+
+def test_group_validation():
+    X, y, groups, _ = _problem()
+    with pytest.raises(ValueError, match="one entry per column"):
+        group_lasso_path(X, y, groups[:-1])
+    # arbitrary group labels are relabelled
+    res = group_lasso_path(X, y, groups * 10 + 3, nlambda=4)
+    assert np.isfinite(np.asarray(res.coef)).all()
