@@ -38,7 +38,7 @@ from .lasso import (PathResult, _scan_path, _tall_ops, _tall_setup,
                     _wide_ops, _wide_setup)
 
 
-def _group_prox_fn(groups, weights, p):
+def _group_prox_fn(groups, weights):
     """Block soft-threshold: per-group l2 shrinkage.
 
     ``groups``: (p,) int32 group ids in [0, G); ``weights``: (G,).
@@ -72,7 +72,7 @@ def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
     n, p = Xs.shape
     dtype = Xs.dtype
     Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
-    prox = _group_prox_fn(gp.groups, gp.weights, p)
+    prox = _group_prox_fn(gp.groups, gp.weights)
 
     # The Lasso tall ops with the z-update's prox swapped.
     base = _tall_ops(Minv, Xty, 1.0, p)
@@ -96,7 +96,7 @@ def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
     lambda0_l1, sprad, rho = _wide_setup(Xs, ys, ilams[0], rho0, 1.0,
                                          False)
     lambda0 = _gl_lambda0(Xs, ys, gp.groups, gp.weights)
-    prox = _group_prox_fn(gp.groups, gp.weights, p)
+    prox = _group_prox_fn(gp.groups, gp.weights)
 
     base = _wide_ops(Xs, ys, sprad, lambda0, 1.0, n, p)
 

@@ -178,6 +178,20 @@ def _enet_master_prox(W: int, alpha: float):
     return prox
 
 
+def _group_master_prox(W: int, groups, weights):
+    """Block soft-threshold of the consensus mean: argmin_z
+    lam sum_g w_g||z_g|| + W rho/2 ||z - m||^2 (extension; completes the
+    consensus family for the group-Lasso model,
+    admm_tpu/models/grouplasso.py)."""
+    from ..models.grouplasso import _group_prox_fn
+
+    prox = _group_prox_fn(groups, weights)
+
+    def master(zbar, lam, rho):
+        return prox(zbar, lam / (rho * W))
+    return master
+
+
 def _bp_master_prox(W: int):
     """z = soft_threshold(mean, 1/(rho W)): the consensus split puts the
     whole ||.||_1 objective in g (serial analog reference: src/ADMMBP.h:84-88
@@ -278,10 +292,17 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
 
 def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
                            axis: Optional[str], nworkers: int,
-                           tall_block: bool, alpha: float = 1.0):
-    """Lasso/Enet instantiation of the generic consensus engine."""
-    master = (_lasso_master_prox(nworkers) if alpha >= 1.0
-              else _enet_master_prox(nworkers, alpha))
+                           tall_block: bool, alpha: float = 1.0,
+                           group_prox=None):
+    """Lasso/Enet/group-Lasso instantiation of the generic consensus
+    engine (same worker ridge solves; the master prox selects the
+    penalty)."""
+    if group_prox is not None:
+        master = _group_master_prox(nworkers, *group_prox)
+    elif alpha >= 1.0:
+        master = _lasso_master_prox(nworkers)
+    else:
+        master = _enet_master_prox(nworkers, alpha)
     return _consensus_shard(
         Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel,
         axis=axis, nworkers=nworkers,
@@ -366,6 +387,7 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
                         maxit: int = 10000, eps_abs: float = 1e-5,
                         eps_rel: float = 1e-5, rho: float = -1.0,
                         alpha: float = 1.0, _enet_scale: bool = False,
+                        _master_prox_override=None,
                         dtype=jnp.float32) -> PathResult:
     """Consensus-ADMM Lasso/Enet lambda path over W = D * W_local workers.
 
@@ -389,7 +411,13 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
-        lam0 = jnp.max(jnp.abs(dot(Xs.T, ys)))
+        if _master_prox_override is not None:
+            # group-Lasso KKT boundary (admm_tpu/models/grouplasso.py).
+            from ..models.grouplasso import _gl_lambda0
+
+            lam0 = _gl_lambda0(Xs, ys, *_master_prox_override)
+        else:
+            lam0 = jnp.max(jnp.abs(dot(Xs.T, ys)))
         if _enet_scale:
             # Enet lambda0 inflation (reference: src/ADMMEnet.h:56).
             lam0 = lam0 / (alpha + 1e-4)
@@ -401,13 +429,40 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
 
     Xb, yb, rows_w = _partition_rows(Xs, ys, W)
     solver = partial(_consensus_lasso_shard, nworkers=W,
-                     tall_block=rows_w >= p, alpha=float(alpha))
+                     tall_block=rows_w >= p, alpha=float(alpha),
+                     group_prox=_master_prox_override)
     coefs, niter = _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs,
                                   eps_rel, mesh=mesh, axis=axis, D=D,
                                   solver=solver)
     beta0, coef = recover(stats, coefs, standardize_x=standardize,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def parallel_group_lasso_path(X, y, groups, *,
+                              weights: Optional[jnp.ndarray] = None,
+                              **kw) -> PathResult:
+    """Consensus group-Lasso path (extension): the Lasso consensus
+    scheme with the master prox swapped for the block soft-threshold.
+    ``groups``/``weights`` as in
+    :func:`admm_tpu.models.grouplasso.group_lasso_path`."""
+    import numpy as _np
+
+    p = _np.asarray(X).shape[1]
+    groups_np = _np.asarray(groups)
+    if groups_np.shape != (p,):
+        raise ValueError("groups must have one entry per column of x")
+    uniq = _np.unique(groups_np)
+    if not _np.array_equal(uniq, _np.arange(uniq.size)):
+        groups_np = _np.searchsorted(uniq, groups_np)
+    G = int(groups_np.max()) + 1
+    if weights is None:
+        weights = _np.sqrt(_np.bincount(groups_np, minlength=G)
+                           .astype(_np.float64))
+    return parallel_lasso_path(
+        X, y, _master_prox_override=(jnp.asarray(groups_np, jnp.int32),
+                                     jnp.asarray(weights, jnp.float32)),
+        **kw)
 
 
 def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:

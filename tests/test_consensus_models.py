@@ -136,3 +136,33 @@ def test_parallel_enet_via_builder():
            .parallel(nthread=4).fit())
     assert fit.beta.shape == (X.shape[1] + 1, 8)
     assert np.all(np.isfinite(fit.beta.toarray()))
+
+
+def test_parallel_group_lasso_matches_serial():
+    """Consensus group-Lasso (master block-prox swap) == serial solver."""
+    from admm_tpu.models.grouplasso import group_lasso_path
+    from admm_tpu.parallel.consensus import parallel_group_lasso_path
+
+    rng = np.random.default_rng(17)
+    n, p, G = 400, 24, 8
+    groups = np.arange(p) % G
+    b = np.zeros(p)
+    b[groups == 2] = 1.5
+    b[groups == 5] = -1.0
+    X = rng.normal(size=(n, p))
+    y = X @ b + 0.3 * rng.normal(size=n)
+    lams = np.array([0.3, 0.1, 0.03])
+    par = parallel_group_lasso_path(X, y, groups, nworkers=4,
+                                    mesh=make_mesh(4), lambdas=lams,
+                                    standardize=False, intercept=False,
+                                    eps_abs=1e-6, eps_rel=1e-6)
+    ser = group_lasso_path(X, y, groups, lambdas=lams, standardize=False,
+                           intercept=False, eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef), np.asarray(ser.coef),
+                               atol=3e-3)
+    # auto grid agrees too (group lambda0 rule shared)
+    par2 = parallel_group_lasso_path(X, y, groups, nworkers=4,
+                                     mesh=make_mesh(4), nlambda=6)
+    ser2 = group_lasso_path(X, y, groups, nlambda=6)
+    np.testing.assert_allclose(np.asarray(par2.lambdas),
+                               np.asarray(ser2.lambdas), rtol=1e-5)
