@@ -29,7 +29,7 @@ from __future__ import annotations
 from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
                   admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
 from .models.bp import bp_fit_batch
-from .models.cv import cv_enet_path, cv_lasso_path
+from .models.cv import cv_enet_path, cv_group_lasso_path, cv_lasso_path
 from .models.grouplasso import group_lasso_path
 
 __version__ = "0.1.0"
@@ -38,6 +38,6 @@ __all__ = [
     "admm_lasso", "admm_enet", "admm_lad", "admm_bp", "admm_dantzig",
     "ADMMLasso", "ADMMEnet", "ADMMLAD", "ADMMBP", "ADMMDantzig",
     "cv_lasso_path", "cv_enet_path", "bp_fit_batch",
-    "group_lasso_path",
+    "group_lasso_path", "cv_group_lasso_path",
     "__version__",
 ]

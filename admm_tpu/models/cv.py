@@ -39,7 +39,8 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                   alpha: float = 1.0, _enet_scale: bool = False,
                   standardize: bool = True, intercept: bool = True,
                   seed: int = 0, foldid: Optional[np.ndarray] = None,
-                  path_mode: str = "batch", **solver_kw) -> CVResult:
+                  path_mode: str = "batch", _path_fn=None,
+                  **solver_kw) -> CVResult:
     """Cross-validated Lasso/Elastic-Net path.
 
     Rows are randomly permuted and split into ``nfolds`` equal folds
@@ -72,11 +73,16 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     # Shared lambda grid: user-supplied, or from the full data (glmnet
     # convention).  ``lambdas`` is a named parameter so it cannot collide
     # with the per-fold calls' grid argument.
-    full = lasso_path(X, y, lambdas=lambdas, nlambda=nlambda,
-                      lambda_min_ratio=lambda_min_ratio, alpha=alpha,
-                      _enet_scale=_enet_scale, standardize=standardize,
-                      intercept=intercept, path_mode=path_mode,
-                      **solver_kw)
+    if _path_fn is None:
+        def _path_fn(Xf, yf, lambdas, nlambda=nlambda,
+                     lambda_min_ratio=lambda_min_ratio):
+            return lasso_path(Xf, yf, lambdas=lambdas, nlambda=nlambda,
+                              lambda_min_ratio=lambda_min_ratio,
+                              alpha=alpha, _enet_scale=_enet_scale,
+                              standardize=standardize,
+                              intercept=intercept, path_mode=path_mode,
+                              **solver_kw)
+    full = _path_fn(X, y, lambdas)
     lams = np.asarray(full.lambdas, np.float64)
 
     if foldid is None:
@@ -91,10 +97,7 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     for f in range(nfolds):
         tr = foldid != f
         va = foldid == f
-        res = lasso_path(X[tr], y[tr], lambdas=lams, alpha=alpha,
-                         _enet_scale=_enet_scale, standardize=standardize,
-                         intercept=intercept, path_mode=path_mode,
-                         **solver_kw)
+        res = _path_fn(X[tr], y[tr], lams)
         pred = (np.asarray(res.beta0)[:, None]
                 + np.asarray(res.coef) @ X[va].T)   # (nlambda, n_va)
         mse[f] = np.mean((pred - y[va][None, :]) ** 2, axis=1)
@@ -115,3 +118,25 @@ def cv_enet_path(X, y, *, alpha: float = 1.0, **kw) -> CVResult:
     """Cross-validated Elastic-Net path (lambda0 inflation as in
     reference: src/ADMMEnet.h:56)."""
     return cv_lasso_path(X, y, alpha=alpha, _enet_scale=True, **kw)
+
+
+def cv_group_lasso_path(X, y, groups, *, weights=None, nlambda: int = 100,
+                        lambda_min_ratio: Optional[float] = None,
+                        standardize: bool = True, intercept: bool = True,
+                        **kw) -> CVResult:
+    """Cross-validated group-Lasso path (extension; same fold protocol
+    as :func:`cv_lasso_path`)."""
+    from .grouplasso import group_lasso_path
+
+    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+                lambda_min_ratio=lambda_min_ratio):
+        return group_lasso_path(Xf, yf, groups, weights=weights,
+                                lambdas=lambdas, nlambda=nlambda,
+                                lambda_min_ratio=lambda_min_ratio,
+                                standardize=standardize,
+                                intercept=intercept)
+
+    return cv_lasso_path(X, y, nlambda=nlambda,
+                         lambda_min_ratio=lambda_min_ratio,
+                         standardize=standardize, intercept=intercept,
+                         _path_fn=path_fn, **kw)

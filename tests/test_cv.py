@@ -94,3 +94,20 @@ def test_cv_explicit_foldid_small_n():
     y = X @ np.ones(3) + 0.1 * rng.normal(size=8)
     cv = cv_lasso_path(X, y, foldid=np.arange(8) % 2, nlambda=4)
     assert np.all(np.isfinite(cv.cvm))
+
+
+def test_cv_group_lasso():
+    from admm_tpu.models.cv import cv_group_lasso_path
+
+    rng = np.random.default_rng(19)
+    n, p, G = 240, 24, 8
+    groups = np.arange(p) % G
+    b = np.zeros(p)
+    b[groups == 2] = 2.0
+    X = rng.normal(size=(n, p))
+    y = X @ b + 0.5 * rng.normal(size=n)
+    cv = cv_group_lasso_path(X, y, groups, nfolds=4, nlambda=20)
+    assert np.all(np.isfinite(cv.cvm))
+    i = int(np.argmin(np.abs(cv.lambdas - cv.lambda_min)))
+    coef = np.asarray(cv.fit.coef[i])
+    assert np.linalg.norm(coef[groups == 2]) > 0.5
