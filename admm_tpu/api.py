@@ -363,16 +363,16 @@ class ADMMLAD(ADMMBP):
             raise ValueError("nrow(x) must be greater than ncol(x)")
         self.intercept = bool(intercept)
         self.nthread = 1
+        self.maxit = 10000
+        self.eps_abs = 1e-4
+        self.eps_rel = 1e-4
+        self.rho = 1.0
 
     def parallel(self, nthread: int = 2, **kw):
         raise NotImplementedError(
             "parallel computing is not supported for LAD (the reference "
             "accepts nthread but silently runs serial; failing loudly "
             "is kinder)")
-        self.maxit = 10000
-        self.eps_abs = 1e-4
-        self.eps_rel = 1e-4
-        self.rho = 1.0
 
     def fit(self) -> ADMMLADFit:
         res = lad_fit(self.x, self.y, intercept=self.intercept,

@@ -160,3 +160,18 @@ def test_builder_path_mode_option(data):
                                atol=1e-3)
     with pytest.raises(ValueError, match="path_mode"):
         admm_tpu.admm_lasso(x, y).opts(path_mode="nope")
+
+
+def test_lad_defaults_without_opts():
+    """admm_lad(...).fit() must work without calling .opts() first
+    (regression: an edit once truncated ADMMLAD.__init__)."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(60, 8))
+    y = X @ np.ones(8) + rng.normal(size=60)
+    m = admm_tpu.admm_lad(X, y)
+    assert (m.maxit, m.eps_abs, m.eps_rel, m.rho) == (10000, 1e-4, 1e-4,
+                                                      1.0)
+    fit = m.fit()
+    assert np.isfinite(fit.beta).all()
+    with pytest.raises(NotImplementedError):
+        m.parallel(2)
