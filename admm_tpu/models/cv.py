@@ -123,9 +123,13 @@ def cv_enet_path(X, y, *, alpha: float = 1.0, **kw) -> CVResult:
 def cv_group_lasso_path(X, y, groups, *, weights=None, nlambda: int = 100,
                         lambda_min_ratio: Optional[float] = None,
                         standardize: bool = True, intercept: bool = True,
+                        maxit: int = 10000, eps_abs: float = 1e-5,
+                        eps_rel: float = 1e-5, rho: float = -1.0,
                         **kw) -> CVResult:
     """Cross-validated group-Lasso path (extension; same fold protocol
-    as :func:`cv_lasso_path`)."""
+    as :func:`cv_lasso_path`).  Solver options are named explicitly so
+    they reach the group solver (generic **kw would be consumed by the
+    lasso path this wraps)."""
     from .grouplasso import group_lasso_path
 
     def path_fn(Xf, yf, lambdas, nlambda=nlambda,
@@ -134,7 +138,8 @@ def cv_group_lasso_path(X, y, groups, *, weights=None, nlambda: int = 100,
                                 lambdas=lambdas, nlambda=nlambda,
                                 lambda_min_ratio=lambda_min_ratio,
                                 standardize=standardize,
-                                intercept=intercept)
+                                intercept=intercept, maxit=maxit,
+                                eps_abs=eps_abs, eps_rel=eps_rel, rho=rho)
 
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,

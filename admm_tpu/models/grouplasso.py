@@ -27,15 +27,12 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
-from ..core.engine import make_admm_solver, make_fadmm_solver, make_state, \
-    warm_start
-from ..core.prox import l2norm, sqnorm
+from ..core.engine import make_admm_solver, make_fadmm_solver, make_state
 from ..data.standardize import recover, standardize
-from ..linalg import dot
+from ..linalg import dot, spectral_radius_gram
 from .lasso import (PathResult, _scan_path, _tall_ops, _tall_setup,
-                    _wide_ops, _wide_setup)
+                    _wide_ops)
 
 
 def _group_prox_fn(groups, weights):
@@ -55,17 +52,49 @@ def _group_prox_fn(groups, weights):
     return prox
 
 
+def normalize_groups(groups, p, weights, dtype):
+    """Validate/relabel group ids to 0..G-1 and resolve weights.
+
+    Shared by the serial, consensus, and CV drivers.  Weights default to
+    sqrt(group size) (Yuan & Lin); zero weights mean "unpenalized";
+    negative weights are rejected.
+    """
+    import numpy as np
+
+    groups_np = np.asarray(groups)
+    if groups_np.shape != (p,):
+        raise ValueError("groups must have one entry per column of x")
+    uniq = np.unique(groups_np)
+    if not np.array_equal(uniq, np.arange(uniq.size)):
+        groups_np = np.searchsorted(uniq, groups_np)  # relabel to 0..G-1
+    G = int(groups_np.max()) + 1
+    if weights is None:
+        sizes = np.bincount(groups_np, minlength=G)
+        weights = np.sqrt(sizes.astype(np.float64))
+    weights_np = np.asarray(weights, np.float64)
+    if weights_np.shape != (G,):
+        raise ValueError(f"weights must have one entry per group ({G})")
+    if np.any(weights_np < 0):
+        raise ValueError("group weights must be nonnegative")
+    return jnp.asarray(groups_np, jnp.int32), jnp.asarray(weights_np,
+                                                          dtype)
+
+
 class _GroupProblem(NamedTuple):
     groups: jnp.ndarray   # (p,) int32
     weights: jnp.ndarray  # (G,)
 
 
 def _gl_lambda0(Xs, ys, groups, weights):
-    """KKT boundary for beta = 0: max_g ||X_g'y||_2 / w_g."""
+    """KKT boundary for beta = 0: max over PENALIZED groups of
+    ||X_g'y||_2 / w_g.  Zero-weight groups are unpenalized (glmnet
+    convention) and never gate the grid (dividing by them would make
+    lambda0 inf/NaN and poison the whole path)."""
     G = int(weights.shape[0])
     Xty = dot(Xs.T, ys)
     gn = jnp.sqrt(jax.ops.segment_sum(Xty * Xty, groups, num_segments=G))
-    return jnp.max(gn / weights)
+    ratios = jnp.where(weights > 0, gn / jnp.maximum(weights, 1e-30), 0.0)
+    return jnp.max(ratios)
 
 
 def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
@@ -93,8 +122,10 @@ def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
 def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
     n, p = Xs.shape
     dtype = Xs.dtype
-    lambda0_l1, sprad, rho = _wide_setup(Xs, ys, ilams[0], rho0, 1.0,
-                                         False)
+    sprad = spectral_radius_gram(Xs)
+    # Auto-rho (as reference: src/ADMMLassoWide.h:227-228).
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.cbrt(ilams[0] / sprad))
     lambda0 = _gl_lambda0(Xs, ys, gp.groups, gp.weights)
     prox = _group_prox_fn(gp.groups, gp.weights)
 
@@ -159,26 +190,10 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
     ``weights`` defaults to sqrt(group size) (Yuan & Lin).  Other
     arguments mirror :func:`admm_tpu.models.lasso.lasso_path`.
     """
-    import numpy as np
-
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
-    groups_np = np.asarray(groups)
-    if groups_np.shape != (p,):
-        raise ValueError("groups must have one entry per column of x")
-    uniq = np.unique(groups_np)
-    if not np.array_equal(uniq, np.arange(uniq.size)):
-        # relabel arbitrary ids to 0..G-1
-        groups_np = np.searchsorted(uniq, groups_np)
-    G = int(groups_np.max()) + 1
-    if weights is None:
-        sizes = np.bincount(groups_np, minlength=G)
-        weights = np.sqrt(sizes.astype(np.float64))
-    weights = jnp.asarray(weights, dtype)
-    if weights.shape != (G,):
-        raise ValueError(f"weights must have one entry per group ({G})")
-    groups_j = jnp.asarray(groups_np, jnp.int32)
+    groups_j, weights = normalize_groups(groups, p, weights, dtype)
     if lambda_min_ratio is None:
         lambda_min_ratio = 0.01 if n < p else 1e-4
     lams = (None if lambdas is None

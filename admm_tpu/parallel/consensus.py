@@ -446,23 +446,13 @@ def parallel_group_lasso_path(X, y, groups, *,
     scheme with the master prox swapped for the block soft-threshold.
     ``groups``/``weights`` as in
     :func:`admm_tpu.models.grouplasso.group_lasso_path`."""
-    import numpy as _np
+    from ..models.grouplasso import normalize_groups
 
-    p = _np.asarray(X).shape[1]
-    groups_np = _np.asarray(groups)
-    if groups_np.shape != (p,):
-        raise ValueError("groups must have one entry per column of x")
-    uniq = _np.unique(groups_np)
-    if not _np.array_equal(uniq, _np.arange(uniq.size)):
-        groups_np = _np.searchsorted(uniq, groups_np)
-    G = int(groups_np.max()) + 1
-    if weights is None:
-        weights = _np.sqrt(_np.bincount(groups_np, minlength=G)
-                           .astype(_np.float64))
+    p = np.asarray(X).shape[1]
+    dtype = kw.get("dtype", jnp.float32)
+    groups_j, weights_j = normalize_groups(groups, p, weights, dtype)
     return parallel_lasso_path(
-        X, y, _master_prox_override=(jnp.asarray(groups_np, jnp.int32),
-                                     jnp.asarray(weights, jnp.float32)),
-        **kw)
+        X, y, _master_prox_override=(groups_j, weights_j), **kw)
 
 
 def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:

@@ -117,3 +117,28 @@ def test_group_validation():
     # arbitrary group labels are relabelled
     res = group_lasso_path(X, y, groups * 10 + 3, nlambda=4)
     assert np.isfinite(np.asarray(res.coef)).all()
+
+
+def test_zero_weight_group_unpenalized():
+    """w_g = 0 leaves the group unpenalized (glmnet convention) and the
+    auto grid finite (previously lambda0 = max ||X_g'y||/0 = inf)."""
+    X, y, groups, _ = _problem()
+    w = np.sqrt(np.bincount(groups)).astype(float)
+    w[0] = 0.0
+    res = group_lasso_path(X, y, groups, weights=w, nlambda=6,
+                           standardize=False, intercept=False)
+    assert np.all(np.isfinite(np.asarray(res.lambdas)))
+    assert np.all(np.isfinite(np.asarray(res.coef)))
+    # the unpenalized group stays active even at the largest lambda
+    first = np.asarray(res.coef[0])
+    assert np.linalg.norm(first[groups == 0]) > 1e-6
+    with pytest.raises(ValueError, match="nonnegative"):
+        group_lasso_path(X, y, groups, weights=-w, nlambda=4)
+
+
+def test_cv_group_lasso_honors_solver_options():
+    from admm_tpu.models.cv import cv_group_lasso_path
+
+    X, y, groups, _ = _problem(n=120, p=24)
+    cv = cv_group_lasso_path(X, y, groups, nfolds=3, nlambda=5, maxit=1)
+    assert np.asarray(cv.fit.niter).max() <= 1  # option actually reached
