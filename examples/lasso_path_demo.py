@@ -44,6 +44,16 @@ def main():
     print(f"cv:       lambda_min={cv.lambda_min:.4f} "
           f"lambda_1se={cv.lambda_1se:.4f}")
 
+    # Group Lasso (extension): groups enter or leave the model together.
+    # Contiguous blocks of 5 features; the signal (features 0..9) lives
+    # in groups 0 and 1.
+    groups = np.repeat(np.arange(20), p // 20)
+    gl = admm_tpu.group_lasso_path(X, y, groups, nlambda=30)
+    mid = np.asarray(gl.coef[6])
+    active = sorted(int(g) for g in range(20)
+                    if np.linalg.norm(mid[groups == g]) > 1e-3)
+    print(f"group:    active groups at mid-path: {active} (true: 0, 1)")
+
     ax = fit.plot()
     ax.figure.savefig(os.path.join(os.path.dirname(__file__),
                                    "lasso_path.png"), dpi=120)
