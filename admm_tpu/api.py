@@ -46,12 +46,15 @@ def _check_xy(x, y):
     # The solvers iterate to a tolerance; NaN/Inf inputs would silently
     # spin to maxit and return garbage — fail loudly instead (the
     # reference inherits R's NA propagation and does the same in spirit).
-    # One-pass check: NaN/Inf propagate through the sum (sklearn's
-    # trick), avoiding a full boolean copy of a possibly-huge matrix.
-    if not np.isfinite(x.sum()):
-        raise ValueError("x contains NaN or Inf")
-    if not np.isfinite(y.sum()):
-        raise ValueError("y contains NaN or Inf")
+    # Fast path: NaN/Inf propagate through the sum (sklearn's trick) —
+    # but a finite large-magnitude f32 matrix can legitimately overflow
+    # the sum, so a non-finite sum is only a trigger for the exact
+    # (full-scan) check, never a verdict by itself.
+    with np.errstate(over="ignore"):
+        if not np.isfinite(x.sum()) and not np.isfinite(x).all():
+            raise ValueError("x contains NaN or Inf")
+        if not np.isfinite(y.sum()) and not np.isfinite(y).all():
+            raise ValueError("y contains NaN or Inf")
     return x, y
 
 

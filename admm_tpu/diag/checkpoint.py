@@ -85,18 +85,32 @@ def load_pytree(path: str, like):
 
 def _fingerprint(Xs, ys, lams, alpha, maxit, eps_abs, eps_rel, rho,
                  standardize_x, intercept, enet_scale):
-    """Cheap problem identity so a checkpoint is never resumed against a
+    """Problem identity so a checkpoint is never resumed against a
     different problem or options.  Every option that changes solver
     behavior must appear here — including the static flags (enet_scale
-    changes the wide regime's lambda0 early-exit threshold)."""
-    return np.array([
+    changes the wide regime's lambda0 early-exit threshold).  The data
+    and the full lambda grid enter as a SHA-256 over their bytes: shape
+    plus a couple of sample sums is not identity (a change to an interior
+    row of X, or a different interior grid with the same endpoints, must
+    refuse to resume).  The hash is one streaming pass over host memory —
+    negligible next to a single solve chunk."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for arr in (Xs, ys, lams):
+        a = np.ascontiguousarray(np.asarray(arr))
+        h.update(str(a.dtype).encode())
+        h.update(np.asarray(a.shape, dtype=np.int64).tobytes())
+        h.update(a.tobytes())
+    # Fold the 256-bit digest into four float64 lanes so the fingerprint
+    # stays a flat float array (backwards-compatible container format).
+    digest = np.frombuffer(h.digest(), dtype=np.uint64).astype(np.float64)
+    return np.concatenate([np.array([
         Xs.shape[0], Xs.shape[1], lams.shape[0],
-        float(np.asarray(lams[0])), float(np.asarray(lams[-1])),
         float(alpha), float(maxit), float(eps_abs), float(eps_rel),
         float(rho), float(standardize_x), float(intercept),
         float(enet_scale),
-        float(jnp.sum(Xs[0]) + jnp.sum(ys[: min(8, ys.shape[0])])),
-    ], dtype=np.float64)
+    ], dtype=np.float64), digest])
 
 
 def checkpointed_lasso_path(
@@ -119,6 +133,12 @@ def checkpointed_lasso_path(
     ``_stop_after_chunks`` is a fault-injection hook for tests: abandon
     the run (returning None) after that many chunks.
     """
+    if int(chunk_size) < 1:
+        raise ValueError("chunk_size must be >= 1")
+    chunk_size = int(chunk_size)
+    lambdas = np.asarray(lambdas)
+    if lambdas.size < 1:
+        raise ValueError("lambdas must be non-empty")
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
@@ -177,5 +197,6 @@ def checkpointed_lasso_path(
     niter = jnp.asarray(np.concatenate(niter_done, axis=0))
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
-    os.unlink(checkpoint)
+    if os.path.exists(checkpoint):
+        os.unlink(checkpoint)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)

@@ -3,9 +3,9 @@
 The reference has no model selection at all — users eyeball the solution
 path plot (reference: R/30_admm_lasso.R:189-214).  On TPU the batched
 lambda-path solver makes CV nearly free: every fold solves its whole
-path as MXU lanes, and all folds share one compiled program (fold sizes
-are equalised by construction), so a 10-fold CV costs ~10 batched path
-solves.
+path as MXU lanes, and folds share compiled programs (fold sizes differ
+by at most one, so at most two train shapes exist), so a 10-fold CV
+costs ~10 batched path solves and <= 2 compiles.
 
 Conventions follow glmnet's ``cv.glmnet``: the lambda grid is computed
 once on the full data; per-fold models are fit on the training split and
@@ -30,7 +30,7 @@ class CVResult(NamedTuple):
     lambda_min: float       # grid point minimising cvm
     lambda_1se: float       # largest lambda with cvm <= min + 1 se
     fit: PathResult         # full-data path fit on the same grid
-    foldid: np.ndarray      # (n,) fold assignment used (-1 = dropped row)
+    foldid: np.ndarray      # (n,) fold assignment (-1 = train-only row)
 
 
 def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
@@ -43,13 +43,20 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                   **solver_kw) -> CVResult:
     """Cross-validated Lasso/Elastic-Net path.
 
-    Rows are randomly permuted and split into ``nfolds`` equal folds
-    (``n mod nfolds`` rows are dropped from CV scoring — but never from
-    the final full-data fit — so every fold's train set has the same
-    shape and XLA compiles the path solver exactly once).  When an
-    explicit ``foldid`` is given it defines the folds and ``nfolds`` is
-    derived from it (glmnet convention); entries of -1 are excluded from
-    CV scoring.
+    Fold assignment and scoring follow ``cv.glmnet`` exactly: rows are
+    randomly assigned round-robin over a permutation, so fold sizes
+    differ by at most one and EVERY row is scored (when ``nfolds`` does
+    not divide ``n`` the train sets take two distinct shapes, costing at
+    most two XLA compiles instead of one).  Errors are aggregated per
+    OBSERVATION, not per fold: ``cvm`` is the mean squared prediction
+    error over all scored rows and ``cvsd`` its standard error
+    (glmnet's ``cvraw``/``cvsd`` formula with unit weights), so unequal
+    explicit folds are weighted by their size automatically.
+
+    When an explicit ``foldid`` is given it defines the folds and
+    ``nfolds`` is derived from it (glmnet convention).  Entries of -1
+    (an extension; glmnet has no such sentinel) are excluded from CV
+    scoring but still participate in EVERY fold's training set.
     """
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64).ravel()
@@ -86,24 +93,28 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     lams = np.asarray(full.lambdas, np.float64)
 
     if foldid is None:
+        # glmnet: foldid = sample(rep(seq(nfolds), length = N)) — every
+        # row gets a fold, sizes differ by at most one.
         rng = np.random.default_rng(seed)
-        perm = rng.permutation(n)
-        fold_size = n // nfolds
-        foldid = np.full(n, -1, np.int64)
-        for f in range(nfolds):
-            foldid[perm[f * fold_size:(f + 1) * fold_size]] = f
+        foldid = np.resize(np.arange(nfolds, dtype=np.int64), n)
+        foldid = foldid[rng.permutation(n)]
 
-    mse = np.empty((nfolds, lams.shape[0]))
+    # Per-observation squared errors (glmnet's cvraw), each row scored by
+    # the model trained without its fold.
+    sqerr = np.full((n, lams.shape[0]), np.nan)
     for f in range(nfolds):
         tr = foldid != f
         va = foldid == f
         res = _path_fn(X[tr], y[tr], lams)
         pred = (np.asarray(res.beta0)[:, None]
                 + np.asarray(res.coef) @ X[va].T)   # (nlambda, n_va)
-        mse[f] = np.mean((pred - y[va][None, :]) ** 2, axis=1)
+        sqerr[va] = ((pred - y[va][None, :]) ** 2).T
 
-    cvm = mse.mean(axis=0)
-    cvsd = mse.std(axis=0, ddof=1) / np.sqrt(nfolds)
+    scored = foldid >= 0
+    n_sc = int(scored.sum())
+    cvm = sqerr[scored].mean(axis=0)
+    # glmnet: cvsd = sqrt(weighted.mean((cvraw - cvm)^2) / (N - 1))
+    cvsd = np.sqrt(((sqerr[scored] - cvm) ** 2).mean(axis=0) / (n_sc - 1))
     i_min = int(np.argmin(cvm))
     lambda_min = float(lams[i_min])
     within = cvm <= cvm[i_min] + cvsd[i_min]

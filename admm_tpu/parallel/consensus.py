@@ -317,6 +317,14 @@ def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
 # ---------------------------------------------------------------------------
 
 def _resolve_mesh(nworkers: Optional[int], mesh: Optional[Mesh]):
+    """Resolve (W, mesh, axis, D) from the user's worker count / mesh.
+
+    Any mesh rank is accepted: a multi-axis mesh (e.g. a two-level
+    ``(hosts, chips)`` layout) shards the worker axis over ALL its axes
+    and the per-iteration psum reduces over the axis tuple — XLA lowers
+    that to the hierarchical collective (ICI within the chip axis, DCN
+    across the host axis) with no change to the math.
+    """
     if nworkers is None and mesh is None:
         nworkers = len(jax.devices())
     if mesh is None:
@@ -328,13 +336,39 @@ def _resolve_mesh(nworkers: Optional[int], mesh: Optional[Mesh]):
         D = max(d for d in range(1, min(nworkers, ndev) + 1)
                 if nworkers % d == 0)
         mesh = make_mesh(D)
-    axis = mesh.axis_names[0]
-    D = mesh.shape[axis]
+    axes = tuple(mesh.axis_names)
+    axis = axes if len(axes) > 1 else axes[0]
+    D = math.prod(mesh.shape[a] for a in axes)
     W = nworkers if nworkers is not None else D
     if W % D != 0:
         raise ValueError(f"nworkers={W} must be a multiple of the "
                          f"explicit mesh size {D}")
     return W, mesh, axis, D
+
+
+def _to_global(mesh, spec, arr):
+    """Make an input usable under a possibly multi-process mesh.
+
+    Single-process: return as-is (jit handles placement).  Multi-process
+    (``jax.distributed``): every process holds the full host value and
+    contributes its addressable shards, producing one global
+    ``jax.Array`` — replicated inputs via process-local data, row-sharded
+    inputs by slicing the leading axis per device.
+    """
+    if jax.process_count() == 1:
+        return arr
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    arr = np.asarray(arr)
+    if spec == P():
+        return jax.make_array_from_process_local_data(sh, arr)
+    flat = list(mesh.devices.flat)
+    per = arr.shape[0] // len(flat)
+    pieces = [jax.device_put(arr[i * per:(i + 1) * per], d)
+              for i, d in enumerate(flat)
+              if d.process_index == jax.process_index()]
+    return jax.make_array_from_single_device_arrays(arr.shape, sh, pieces)
 
 
 def _partition_rows(Xs, ys, W):
@@ -397,6 +431,12 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
     (all workers batched on one chip).  ``alpha < 1`` solves the Elastic
     Net by consensus — an extension; the reference parallelizes only the
     Lasso (reference: src/ParLasso.cpp).
+
+    Convergence note: to keep the iteration at ONE collective, the
+    primal-residual norm rides the fused psum one iteration late (module
+    docstring), so the Boyd primal test certifies the *previous* iterate;
+    the returned iterate has run one further refining iteration but its
+    own primal residual is not re-tested.
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -475,6 +515,10 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
     (cached ``(A_i A_i')^{-1}``); the master soft-thresholds the consensus
     mean.  Defaults mirror the serial BP (eps 1e-4, rho 1.0,
     reference: R/10_admm_bp.R:38-41).
+
+    Convergence note: as in :func:`parallel_lasso_path`, the primal test
+    lags one iteration (single-psum protocol); the returned iterate is
+    one refining step past the certified one.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

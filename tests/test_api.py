@@ -127,6 +127,15 @@ def test_rejects_nonfinite_inputs():
                           ybad)
 
 
+def test_accepts_large_finite_inputs():
+    """All-finite f32 data whose SUM overflows to inf must not be
+    rejected: the fast sum check is only a trigger for the exact scan."""
+    X = np.full((16, 3), 3e38, np.float32)  # sum -> inf, entries finite
+    assert not np.isfinite(X.sum())
+    b = admm_tpu.admm_lasso(X, np.ones(16, np.float32))
+    assert b is not None
+
+
 def test_square_matrix_dispatches_wide():
     """n == p goes to the wide (linearized) formulation
     (reference dispatch is n > p for tall, src/Lasso.cpp:73-76)."""

@@ -118,6 +118,49 @@ def test_refuses_foreign_checkpoint(tmp_path):
                                 chunk_size=7)
 
 
+def test_fingerprint_detects_interior_row_change(tmp_path):
+    """A change to any interior row of X (with standardize_x=False, so
+    the standardized matrix is X itself) must refuse to resume — the
+    fingerprint hashes the full data, not a sample."""
+    X, y = _problem()
+    lams = _lams()
+    ck = str(tmp_path / "row.npz")
+    assert checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                   chunk_size=7, standardize_x=False,
+                                   _stop_after_chunks=1) is None
+    X2 = X.copy()
+    X2[137, 11] += 1.0  # interior entry, first row untouched
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_lasso_path(X2, y, lambdas=lams, checkpoint=ck,
+                                chunk_size=7, standardize_x=False)
+
+
+def test_fingerprint_detects_interior_grid_change(tmp_path):
+    """Two grids with the same endpoints and count but different interior
+    spacing must not share a checkpoint."""
+    X, y = _problem()
+    geo = np.geomspace(0.5, 0.005, 20)
+    lin = np.linspace(0.5, 0.005, 20)
+    ck = str(tmp_path / "grid.npz")
+    assert checkpointed_lasso_path(X, y, lambdas=geo, checkpoint=ck,
+                                   chunk_size=7,
+                                   _stop_after_chunks=1) is None
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_lasso_path(X, y, lambdas=lin, checkpoint=ck,
+                                chunk_size=7)
+
+
+def test_validates_chunk_size_and_lambdas(tmp_path):
+    X, y = _problem(n=60, p=10)
+    ck = str(tmp_path / "bad.npz")
+    with pytest.raises(ValueError, match="chunk_size"):
+        checkpointed_lasso_path(X, y, lambdas=_lams(), checkpoint=ck,
+                                chunk_size=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        checkpointed_lasso_path(X, y, lambdas=np.array([]), checkpoint=ck,
+                                chunk_size=5)
+
+
 def test_refuses_different_options(tmp_path):
     """Options that change solver behavior (here the Enet lambda0
     inflation flag) must invalidate a checkpoint."""

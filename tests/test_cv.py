@@ -57,6 +57,45 @@ def test_cv_custom_foldid_reproducible():
     assert a.lambda_min == b.lambda_min
 
 
+def test_cv_ragged_folds_glmnet_scoring():
+    """nfolds not dividing n: every row is scored (no dropped rows), fold
+    sizes differ by at most one, and cvm/cvsd follow glmnet's
+    per-OBSERVATION aggregation — verified against independent sklearn
+    Lasso fits per fold."""
+    from sklearn.linear_model import Lasso
+
+    n = 150
+    X, y, _ = _problem(n=n, p=15)
+    nfolds = 4  # 150 = 4*37 + 2 -> ragged
+    cv = cv_lasso_path(X, y, nfolds=nfolds, nlambda=8, seed=7,
+                       standardize=False)
+    counts = np.bincount(cv.foldid, minlength=nfolds)
+    assert counts.sum() == n and counts.max() - counts.min() <= 1
+
+    sq = np.empty((n, len(cv.lambdas)))
+    for f in range(nfolds):
+        tr, va = cv.foldid != f, cv.foldid == f
+        for j, lam in enumerate(np.asarray(cv.lambdas)):
+            m = Lasso(alpha=float(lam), fit_intercept=True, tol=1e-10,
+                      max_iter=200000).fit(X[tr], y[tr])
+            sq[va, j] = (m.predict(X[va]) - y[va]) ** 2
+    cvm = sq.mean(axis=0)
+    cvsd = np.sqrt(((sq - cvm) ** 2).mean(axis=0) / (n - 1))
+    np.testing.assert_allclose(cv.cvm, cvm, rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(cv.cvsd, cvsd, rtol=2e-2, atol=1e-3)
+
+
+def test_cv_foldid_minus_one_trains_every_fold():
+    """Extension: foldid == -1 rows are excluded from scoring but still
+    train every fold (documented behavior)."""
+    X, y, _ = _problem(n=120, p=12)
+    foldid = np.arange(120) % 3
+    foldid[100:] = -1
+    cv = cv_lasso_path(X, y, foldid=foldid, nlambda=6)
+    assert np.all(np.isfinite(cv.cvm)) and np.all(cv.cvsd >= 0)
+    assert np.array_equal(cv.foldid, foldid)
+
+
 def test_cv_enet():
     X, y, _ = _problem()
     cv = cv_enet_path(X, y, alpha=0.6, nfolds=4, nlambda=25)
