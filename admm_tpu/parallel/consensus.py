@@ -390,7 +390,13 @@ def _partition_rows(Xs, ys, W):
 
 def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
                    mesh, axis, D, solver):
-    """jit (+ shard_map over the mesh when D > 1) and run one solver."""
+    """jit (+ shard_map over the mesh when D > 1) and run one solver.
+
+    ``axis`` may be an axis-name tuple (multi-axis mesh): the worker
+    blocks are sharded over all axes jointly and the per-iteration psum
+    reduces over the tuple.  Under ``jax.distributed`` (multi-process)
+    the inputs are assembled into global arrays first.
+    """
     dtype = Xb.dtype
     if D > 1:
         fn = shard_map(
@@ -404,12 +410,17 @@ def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
             # construction).
             check_vma=False,
         )
+        g_row = partial(_to_global, mesh, P(axis))
+        g_rep = partial(_to_global, mesh, P())
     else:
         fn = partial(solver, axis=None)
+        g_row = g_rep = lambda a: a
     run = jax.jit(fn)
-    return run(Xb, yb, ilams, jnp.asarray(rho, dtype),
-               jnp.asarray(maxit, jnp.int32), jnp.asarray(eps_abs, dtype),
-               jnp.asarray(eps_rel, dtype))
+    return run(g_row(Xb), g_row(yb), g_rep(ilams),
+               g_rep(jnp.asarray(rho, dtype)),
+               g_rep(jnp.asarray(maxit, jnp.int32)),
+               g_rep(jnp.asarray(eps_abs, dtype)),
+               g_rep(jnp.asarray(eps_rel, dtype)))
 
 
 def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,

@@ -88,36 +88,127 @@ def test_consensus_full_path_standardized():
                                np.asarray(ser.coef[-1]), atol=5e-3)
 
 
-def test_single_psum_per_iteration():
-    """The compiled consensus program must contain exactly ONE all-reduce
-    in the iteration body (SURVEY.md section 5: 'one fused psum')."""
+def _compiled_consensus_hlo(solver_factory, Xb, yb, nlam=3):
+    """Compile a consensus shard body over the 8-device mesh and return
+    its post-optimization HLO text."""
     import jax.numpy as jnp
     from functools import partial
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
-    from admm_tpu.parallel import consensus as C
 
     mesh = make_mesh(8)
     axis = mesh.axis_names[0]
+    solver = solver_factory(axis)
+    fn = shard_map(solver, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
+                   out_specs=(P(), P()), check_vma=False)
+    lowered = jax.jit(fn).lower(
+        Xb, yb, jnp.ones((nlam,), Xb.dtype),
+        Xb.dtype.type(-1.0), np.int32(50), Xb.dtype.type(1e-5),
+        Xb.dtype.type(1e-5))
+    return lowered.compile().as_text()
+
+
+def _allreduce_shapes(hlo):
+    """Result shapes of every all-reduce instruction in an HLO module
+    (async -done halves and name references excluded)."""
+    import re
+    return re.findall(r"= *(\S+) all-reduce(?:-start)?\(", hlo)
+
+
+@pytest.mark.parametrize("variant", ["lasso", "bp", "group"])
+def test_exactly_one_psum_per_iteration(variant):
+    """THE central distributed invariant (consensus.py module docstring):
+    the whole compiled consensus program contains exactly ONE all-reduce,
+    and its operand is the packed (p+3) vector — a regression to a second
+    collective anywhere in the iteration fails here."""
+    import jax.numpy as jnp
+    from functools import partial
+    from admm_tpu.parallel import consensus as C
+
+    if variant == "lasso":
+        X, y = _problem(n=160, p=16)
+        p = 16
+        Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, p)
+        yb = jnp.asarray(y, jnp.float32).reshape(8, 20)
+        factory = lambda ax: partial(C._consensus_lasso_shard, axis=ax,
+                                     nworkers=8, tall_block=True)
+    elif variant == "bp":
+        p = 64
+        rng = np.random.default_rng(5)
+        A = rng.normal(size=(32, p))
+        x0 = np.zeros(p); x0[:6] = 1.0
+        Xb = jnp.asarray(A, jnp.float32).reshape(8, 4, p)
+        yb = jnp.asarray(A @ x0, jnp.float32).reshape(8, 4)
+        factory = lambda ax: partial(
+            C._consensus_shard, axis=ax, nworkers=8,
+            make_x_update=partial(C._bp_x_update, jitter=1e-6),
+            master_prox=C._bp_master_prox(8),
+            auto_rho=lambda lam: 1.0)
+    else:
+        from admm_tpu.models.grouplasso import normalize_groups
+        X, y = _problem(n=160, p=16)
+        p = 16
+        Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, p)
+        yb = jnp.asarray(y, jnp.float32).reshape(8, 20)
+        gj, wj = normalize_groups(np.arange(p) % 4, p, None, jnp.float32)
+        factory = lambda ax: partial(C._consensus_lasso_shard, axis=ax,
+                                     nworkers=8, tall_block=True,
+                                     group_prox=(gj, wj))
+
+    hlo = _compiled_consensus_hlo(factory, Xb, yb)
+    shapes = _allreduce_shapes(hlo)
+    assert len(shapes) == 1, (
+        f"expected exactly one all-reduce, found {len(shapes)}: {shapes}")
+    assert shapes[0].startswith(f"f32[{p + 3}]"), shapes[0]
+
+
+def test_two_level_host_chip_mesh_matches_flat():
+    """A two-axis (hosts, chips) mesh — the multi-host layout, psum over
+    the axis tuple — must reproduce the 1-D mesh run bit-for-bit."""
+    from jax.sharding import Mesh
+
+    X, y = _problem()
+    lam = np.array([0.3, 0.1, 0.03])
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                 ("hosts", "chips"))
+    a = parallel_lasso_path(X, y, nworkers=8, mesh=mesh2, lambdas=lam,
+                            standardize=False, intercept=False)
+    b = parallel_lasso_path(X, y, nworkers=8, mesh=make_mesh(8),
+                            lambdas=lam, standardize=False,
+                            intercept=False)
+    np.testing.assert_array_equal(np.asarray(a.coef), np.asarray(b.coef))
+    np.testing.assert_array_equal(np.asarray(a.niter), np.asarray(b.niter))
+
+
+def test_two_level_mesh_single_collective():
+    """The two-axis mesh psum must still be ONE collective (a single
+    all-reduce over the full replica group — XLA owns the ICI/DCN
+    hierarchy), not one per axis."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from admm_tpu.parallel import consensus as C
+
     X, y = _problem(n=160, p=16)
     Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, 16)
     yb = jnp.asarray(y, jnp.float32).reshape(8, 20)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("hosts", "chips"))
+    axis = ("hosts", "chips")
     solver = partial(C._consensus_lasso_shard, axis=axis, nworkers=8,
                      tall_block=True)
     fn = shard_map(solver, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
                    out_specs=(P(), P()), check_vma=False)
-    lowered = jax.jit(fn).lower(
-        Xb, yb, jnp.ones((3,), jnp.float32),
-        jnp.float32(-1.0), jnp.int32(50), jnp.float32(1e-5),
-        jnp.float32(1e-5))
-    hlo = lowered.compile().as_text()
-    # one all-reduce inside the while body; tolerate fusion naming
-    n_allreduce = hlo.count("all-reduce-start") or hlo.count("all-reduce(")
-    assert n_allreduce >= 1
-    # the while-loop body region must not contain more than one
-    body = hlo[hlo.find("while"):]
-    assert body.count("all-reduce") <= 4  # start/done pairs + metadata
+    hlo = jax.jit(fn).lower(
+        Xb, yb, jnp.ones((3,), jnp.float32), jnp.float32(-1.0),
+        np.int32(50), jnp.float32(1e-5),
+        jnp.float32(1e-5)).compile().as_text()
+    shapes = _allreduce_shapes(hlo)
+    assert len(shapes) == 1, shapes
+    assert shapes[0].startswith("f32[19]"), shapes[0]
 
 
 def test_nondivisible_nthread_auto_mesh():
