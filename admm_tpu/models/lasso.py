@@ -131,12 +131,13 @@ def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel):
     return st, coefs, niter
 
 
-def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha):
+def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
+                     pallas_ok=True):
     # TPU fast path: the whole warm-started sequential path inside ONE
     # Pallas kernel with the ridge inverse resident in VMEM (the
     # reference's own path protocol, latency-optimised).
-    if _use_pallas_tall(Xs.shape[1], ilams.shape[0], Xs.dtype,
-                        mode="scan"):
+    if pallas_ok and _use_pallas_tall(Xs.shape[1], ilams.shape[0],
+                                      Xs.dtype, mode="scan"):
         from ..ops.tall_path import tall_path_scan_pallas
 
         Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
@@ -167,7 +168,7 @@ def _batched_cold_states(k, dims, rho, ilams, dtype, aux_dim=None):
 
 
 def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
-                           alpha):
+                           alpha, pallas_ok=True):
     """All-lambdas-at-once tall solve (see make_batched_solver).
 
     Uses a single shared rho/factorization across lambdas — exactly the
@@ -180,7 +181,7 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # TPU fast path: the whole batched path solves inside ONE Pallas
     # kernel with the ridge inverse resident in VMEM (no HBM re-reads
     # per iteration).  Bit-compatible with the XLA solver below.
-    if _use_pallas_tall(p, ilams.shape[0], dtype):
+    if pallas_ok and _use_pallas_tall(p, ilams.shape[0], dtype):
         from ..ops.tall_path import tall_path_batch_pallas
 
         return tall_path_batch_pallas(
@@ -228,7 +229,7 @@ def _wide_setup(Xs, ys, rho_lams, rho0, alpha, enet_lambda0_scale):
 
 
 def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
-                           alpha, enet_lambda0_scale):
+                           alpha, enet_lambda0_scale, pallas_ok=True):
     """All-lambdas-at-once wide solve; rho is per-lane (no factorization
     depends on it, so each lambda keeps its own auto-rho + ladder)."""
     n, p = Xs.shape
@@ -239,7 +240,7 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # TPU fast path: X and all lane state resident in VMEM for the whole
     # path (the XLA solver re-reads the n x p matrix from HBM twice per
     # iteration).  Same math as the solver below.
-    if _use_pallas_wide(n, p, ilams.shape[0], dtype):
+    if pallas_ok and _use_pallas_wide(n, p, ilams.shape[0], dtype):
         from ..ops.wide_path import wide_path_batch_pallas
 
         return wide_path_batch_pallas(
@@ -329,10 +330,11 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
-                                   "enet_scale", "path_mode"))
+                                   "enet_scale", "path_mode",
+                                   "shard_data"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
                eps_rel, alpha, *, standardize_x, intercept, enet_scale,
-               path_mode):
+               path_mode, shard_data=False):
     """Auto lambda grid: log-linear from lambda0 down to ratio*lambda0
     (reference: src/Lasso.cpp:78-89)."""
     n = X.shape[0]
@@ -346,39 +348,48 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin), nlambda))
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale, path_mode)
+                           enet_scale, path_mode, shard_data)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "enet_scale", "path_mode"))
+                                   "enet_scale", "path_mode",
+                                   "shard_data"))
 def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha, *,
-               standardize_x, intercept, enet_scale, path_mode):
+               standardize_x, intercept, enet_scale, path_mode,
+               shard_data=False):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale, path_mode)
+                           enet_scale, path_mode, shard_data)
 
 
 def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
                     eps_rel, alpha, standardize_x, intercept, enet_scale,
-                    path_mode="scan"):
+                    path_mode="scan", shard_data=False):
     n, p = Xs.shape
+    # With row-sharded data the Pallas kernels are bypassed: they are
+    # single-chip programs, and under data sharding the iteration math
+    # must stay open to XLA's SPMD partitioner (which turns the Gram /
+    # X'y / matvec reductions into psums over the mesh).
+    pallas_ok = not shard_data
     # Internal penalty scale (reference: src/Lasso.cpp:99).
     ilams = lams * n / stats.scale_y
     if n > p:
         if path_mode == "batch":
             coefs, niter = _solve_path_tall_batch(Xs, ys, ilams, rho,
                                                   maxit, eps_abs, eps_rel,
-                                                  alpha)
+                                                  alpha, pallas_ok)
         else:
             coefs, niter = _solve_path_tall(Xs, ys, ilams, rho, maxit,
-                                            eps_abs, eps_rel, alpha)
+                                            eps_abs, eps_rel, alpha,
+                                            pallas_ok)
     else:
         if path_mode == "batch":
             coefs, niter = _solve_path_wide_batch(Xs, ys, ilams, rho,
                                                   maxit, eps_abs, eps_rel,
-                                                  alpha, enet_scale)
+                                                  alpha, enet_scale,
+                                                  pallas_ok)
         else:
             coefs, niter = _solve_path_wide(Xs, ys, ilams, rho, maxit,
                                             eps_abs, eps_rel, alpha,
@@ -394,7 +405,7 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                maxit: int = 10000, eps_abs: float = 1e-5,
                eps_rel: float = 1e-5, rho: float = -1.0,
                alpha: float = 1.0, _enet_scale: bool = False,
-               path_mode: str = "scan",
+               path_mode: str = "scan", data_mesh=None,
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
 
@@ -407,21 +418,43 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     warm starts, matching the reference's protocol and iteration counts;
     "batch" solves all lambdas simultaneously as MXU lanes (see
     make_batched_solver) — same solutions, usually much faster on TPU.
+
+    ``data_mesh`` (TPU extension — operator parallelism): a
+    ``jax.sharding.Mesh`` over which the data matrix is sharded along
+    its ROW axis.  The serial algorithm is unchanged; XLA's SPMD
+    partitioner turns the data-touching reductions — standardization
+    moments, the Gram ``X'X``, ``X'y``, and the wide path's per-iteration
+    ``X v`` / ``X'r`` matvecs — into per-shard partial computations plus
+    collectives, so an n too large for one device's memory streams
+    through the mesh.  This is the TPU equivalent of the reference's
+    implicit BLAS threading (reference: src/Makevars:3-4); the
+    (p, p)-sized solve state stays replicated.  Results are identical to
+    replicated execution up to reduction order.
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
+    if data_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axes = tuple(data_mesh.axis_names)
+        X = jax.device_put(X, NamedSharding(data_mesh,
+                                            PartitionSpec(axes, None)))
+        y = jax.device_put(y, NamedSharding(data_mesh,
+                                            PartitionSpec(axes)))
+    shard = data_mesh is not None
     if lambda_min_ratio is None:
         lambda_min_ratio = 0.01 if n < p else 1e-4
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
         return _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
                           standardize_x=standardize, intercept=intercept,
-                          enet_scale=_enet_scale, path_mode=path_mode)
+                          enet_scale=_enet_scale, path_mode=path_mode,
+                          shard_data=shard)
     return _path_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
                       eps_abs, eps_rel, alpha, standardize_x=standardize,
                       intercept=intercept, enet_scale=_enet_scale,
-                      path_mode=path_mode)
+                      path_mode=path_mode, shard_data=shard)
 
 
 def enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:
