@@ -69,24 +69,46 @@ def _sparse_beta(beta0, coef):
 
 
 class _FitResult:
+    #: (nlambda, trace_len, 5) or (trace_len, 5) per-iteration
+    #: (eps_pri, r_pri, eps_dua, r_dua, rho), or None when tracing was
+    #: off — the reference's (dead) residual printers as data
+    #: (reference: src/ADMMBase.h:111-146).
+    trace = None
+
     def __repr__(self):
         fields = ", ".join(f"{k}={getattr(self, k)!r}"
                            for k in getattr(self, "_show", ()))
         return f"{type(self).__name__}({fields})"
+
+    def format_trace(self, i: int = 0) -> str:
+        """Render one solve's recorded trace as the reference's debug
+        table (reference: src/ADMMBase.h:111-146).  ``i`` indexes the
+        lambda for path fits; ignored for single-solve fits."""
+        if self.trace is None:
+            raise ValueError(
+                "no trace recorded — fit with .opts(trace=True)")
+        from .diag.trace import format_trace, trace_from_buffer
+
+        buf = self.trace if self.trace.ndim == 2 else self.trace[i]
+        title = ("ADMM iterations" if self.trace.ndim == 2
+                 else f"ADMM iterations (lambda index {i})")
+        return format_trace(trace_from_buffer(buf), title=title)
 
 
 class ADMMLassoFit(_FitResult):
     """Lasso/Enet/Dantzig path fit (reference: R/30_admm_lasso.R:18-22).
 
     Attributes: ``lambda_`` (nlambda,), ``beta`` sparse (p+1) x nlambda
-    with intercepts in row 0, ``niter`` (nlambda,).
+    with intercepts in row 0, ``niter`` (nlambda,), ``trace``
+    (per-iteration residuals when requested via ``.opts(trace=True)``).
     """
     _show = ("lambda_", "niter")
 
-    def __init__(self, lambda_, beta, niter):
+    def __init__(self, lambda_, beta, niter, trace=None):
         self.lambda_ = np.asarray(lambda_)
         self.beta = beta
         self.niter = np.asarray(niter)
+        self.trace = None if trace is None else np.asarray(trace)
 
     def plot(self, ax=None):
         """Solution-path plot (reference: R/30_admm_lasso.R:189-214)."""
@@ -98,9 +120,10 @@ class ADMMLADFit(_FitResult):
     """LAD fit (reference: R/20_admm_lad.R): dense beta incl. intercept."""
     _show = ("niter",)
 
-    def __init__(self, beta, niter, x, y):
+    def __init__(self, beta, niter, x, y, trace=None):
         self.beta = np.asarray(beta)
         self.niter = int(niter)
+        self.trace = None if trace is None else np.asarray(trace)
         self._x, self._y = x, y
 
     def plot(self, ax=None):
@@ -114,11 +137,12 @@ class ADMMBPFit(_FitResult):
     """Basis-Pursuit fit (reference: R/10_admm_bp.R): sparse (p, 1) beta."""
     _show = ("niter",)
 
-    def __init__(self, beta, niter):
+    def __init__(self, beta, niter, trace=None):
         from scipy import sparse
 
         self.beta = sparse.csc_matrix(np.asarray(beta)[:, None])
         self.niter = int(niter)
+        self.trace = None if trace is None else np.asarray(trace)
 
     def plot(self, ax=None):
         """Coefficient stem plot (reference: R/10_admm_bp.R:152-163)."""
@@ -150,6 +174,7 @@ class ADMMLasso:
         self.eps_rel = self._eps_default
         self.rho = self._rho_default
         self.path_mode = "batch"
+        self.trace = False
 
     # -- chainable setters ------------------------------------------------
     def penalty(self, lambda_=None, nlambda: int = 100,
@@ -182,7 +207,7 @@ class ADMMLasso:
     def opts(self, maxit: int = 10000, eps_abs: Optional[float] = None,
              eps_rel: Optional[float] = None,
              rho: Optional[float] = None, path_mode: str = "batch",
-             **kw):
+             trace=False, **kw):
         """(reference: R/30_admm_lasso.R:115-133).
 
         ``path_mode`` (TPU extension): "batch" (default) solves all
@@ -190,6 +215,13 @@ class ADMMLasso:
         sequentially with warm starts — the reference's own protocol,
         whose per-lambda ``niter`` matches the reference's counters.
         The two agree on the solutions to solver tolerance.
+
+        ``trace`` (TPU extension): record the per-iteration
+        (eps_pri, r_pri, eps_dua, r_dua, rho) on the fit result —
+        the reference's residual printers as arrays
+        (reference: src/ADMMBase.h:111-146).  ``True`` records the
+        first 512 iterations per solve, an int sets the length.
+        Tracing follows the reference's sequential (scan) protocol.
         """
         if maxit <= 0:
             raise ValueError("maxit should be positive")
@@ -201,12 +233,21 @@ class ADMMLasso:
             raise ValueError("rho should be positive")
         if path_mode not in ("batch", "scan"):
             raise ValueError("path_mode must be 'batch' or 'scan'")
+        if trace is not False and trace is not True and int(trace) <= 0:
+            raise ValueError("trace must be a bool or a positive int")
         self.maxit = int(maxit)
         self.eps_abs = float(eps_abs)
         self.eps_rel = float(eps_rel)
         self.rho = -1.0 if rho is None else float(rho)
         self.path_mode = path_mode
+        self.trace = trace
         return self
+
+    def _trace_len(self) -> Optional[int]:
+        if self.trace is False:
+            return None
+        n = 512 if self.trace is True else int(self.trace)
+        return min(n, self.maxit)
 
     # -- fitting ----------------------------------------------------------
     def _path_kwargs(self):
@@ -221,13 +262,15 @@ class ADMMLasso:
         or the consensus-parallel solver on nthread)"""
         if self.nthread <= 1:
             res = lasso_path(self.x, self.y, path_mode=self.path_mode,
+                             trace_len=self._trace_len(),
                              **self._path_kwargs())
         else:
             res = parallel_lasso_path(self.x, self.y,
                                       nworkers=self.nthread,
+                                      trace_len=self._trace_len(),
                                       **self._path_kwargs())
         return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
-                            res.niter)
+                            res.niter, trace=res.trace)
 
     def __repr__(self):
         n, p = self.x.shape
@@ -266,13 +309,15 @@ class ADMMEnet(ADMMLasso):
         if self.nthread <= 1:
             res = enet_path(self.x, self.y, alpha=self.alpha,
                             path_mode=self.path_mode,
+                            trace_len=self._trace_len(),
                             **self._path_kwargs())
         else:
             res = parallel_enet_path(self.x, self.y, alpha=self.alpha,
                                      nworkers=self.nthread,
+                                     trace_len=self._trace_len(),
                                      **self._path_kwargs())
         return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
-                            res.niter)
+                            res.niter, trace=res.trace)
 
 
 class ADMMDantzig(ADMMLasso):
@@ -287,9 +332,10 @@ class ADMMDantzig(ADMMLasso):
 
     def fit(self) -> ADMMLassoFit:
         res = dantzig_path(self.x, self.y, path_mode=self.path_mode,
+                           trace_len=self._trace_len(),
                            **self._path_kwargs())
         return ADMMLassoFit(res.lambdas, _sparse_beta(res.beta0, res.coef),
-                            res.niter)
+                            res.niter, trace=res.trace)
 
 
 class ADMMBP:
@@ -308,6 +354,9 @@ class ADMMBP:
         self.eps_abs = 1e-4
         self.eps_rel = 1e-4
         self.rho = 1.0
+        self.trace = False
+
+    _trace_len = ADMMLasso._trace_len
 
     def parallel(self, nthread: int = 2, **kw):
         """(reference: R/10_admm_bp.R:66-75).  The reference's R layer
@@ -319,18 +368,22 @@ class ADMMBP:
         return self
 
     def opts(self, maxit: int = 10000, eps_abs: float = 1e-4,
-             eps_rel: float = 1e-4, rho: float = 1.0, **kw):
-        """(reference: R/10_admm_bp.R:80-97)"""
+             eps_rel: float = 1e-4, rho: float = 1.0, trace=False, **kw):
+        """(reference: R/10_admm_bp.R:80-97).  ``trace`` as in
+        :meth:`ADMMLasso.opts` (TPU extension)."""
         if maxit <= 0:
             raise ValueError("maxit should be positive")
         if eps_abs < 0 or eps_rel < 0:
             raise ValueError("eps_abs and eps_rel should be nonnegative")
         if rho <= 0:
             raise ValueError("rho should be positive")
+        if trace is not False and trace is not True and int(trace) <= 0:
+            raise ValueError("trace must be a bool or a positive int")
         self.maxit = int(maxit)
         self.eps_abs = float(eps_abs)
         self.eps_rel = float(eps_rel)
         self.rho = float(rho)
+        self.trace = trace
         return self
 
     def fit(self) -> ADMMBPFit:
@@ -339,12 +392,13 @@ class ADMMBP:
         if self.nthread <= 1:
             res = bp_fit(self.x, self.y, maxit=self.maxit,
                          eps_abs=self.eps_abs, eps_rel=self.eps_rel,
-                         rho=self.rho)
+                         rho=self.rho, trace_len=self._trace_len())
         else:
             res = parallel_bp_fit(self.x, self.y, nworkers=self.nthread,
                                   maxit=self.maxit, eps_abs=self.eps_abs,
-                                  eps_rel=self.eps_rel, rho=self.rho)
-        return ADMMBPFit(res.coef, res.niter)
+                                  eps_rel=self.eps_rel, rho=self.rho,
+                                  trace_len=self._trace_len())
+        return ADMMBPFit(res.coef, res.niter, trace=res.trace)
 
     def __repr__(self):
         n, p = self.x.shape
@@ -370,6 +424,7 @@ class ADMMLAD(ADMMBP):
         self.eps_abs = 1e-4
         self.eps_rel = 1e-4
         self.rho = 1.0
+        self.trace = False
 
     def parallel(self, nthread: int = 2, **kw):
         raise NotImplementedError(
@@ -380,10 +435,12 @@ class ADMMLAD(ADMMBP):
     def fit(self) -> ADMMLADFit:
         res = lad_fit(self.x, self.y, intercept=self.intercept,
                       maxit=self.maxit, eps_abs=self.eps_abs,
-                      eps_rel=self.eps_rel, rho=self.rho)
+                      eps_rel=self.eps_rel, rho=self.rho,
+                      trace_len=self._trace_len())
         beta = np.concatenate([np.atleast_1d(np.asarray(res.beta0)),
                                np.asarray(res.coef)])
-        return ADMMLADFit(beta, res.niter, self.x, self.y)
+        return ADMMLADFit(beta, res.niter, self.x, self.y,
+                          trace=res.trace)
 
 
 # -- the reference's five exported constructors --------------------------

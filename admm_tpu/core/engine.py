@@ -234,6 +234,48 @@ def make_admm_solver(ops: ProblemOps, *, adapt_rho: bool = True,
     return solve
 
 
+def make_traced_solve(solve, trace_len: int):
+    """Wrap an engine's ``solve`` so a per-iteration residual trace rides
+    the while_loop carry.
+
+    The reference has residual-table printers wired into its engines but
+    commented out of the loops (reference: src/ADMMBase.h:111-146,
+    call sites :196,204,213).  Here the trace is first-class AND free of
+    the printers' cost model: a preallocated ``(trace_len, 5)`` buffer of
+    ``(eps_primal, resid_primal, eps_dual, resid_dual, rho)`` is updated
+    in-place inside the SAME early-exiting ``lax.while_loop`` — no fixed
+    iteration count, no host round-trips.  Rows beyond convergence stay
+    NaN; iterations beyond ``trace_len`` overwrite the last row.
+
+    Returns ``solve_traced(state, maxit, eps_abs, eps_rel) ->
+    (state, buffer)``.
+    """
+
+    def solve_traced(state: ADMMState, maxit, eps_abs, eps_rel):
+        dtype = state.rho.dtype
+        eps_abs = jnp.asarray(eps_abs, dtype)
+        eps_rel = jnp.asarray(eps_rel, dtype)
+        buf0 = jnp.full((trace_len, 5), jnp.nan, dtype)
+
+        def cond(carry):
+            s, _ = carry
+            return jnp.logical_not(s.done) & (s.it < maxit)
+
+        def body(carry):
+            s, buf = carry
+            s2 = solve.body(s, eps_abs, eps_rel)
+            row = jnp.stack([s2.eps_pri, s2.r_pri, s2.eps_dua, s2.r_dua,
+                             s2.rho])
+            idx = jnp.minimum(s.it, trace_len - 1)
+            buf = lax.dynamic_update_slice(
+                buf, row[None, :], (idx, jnp.zeros((), idx.dtype)))
+            return (s2, buf)
+
+        return lax.while_loop(cond, body, (state, buf0))
+
+    return solve_traced
+
+
 def make_batched_solver(solve):
     """Batched-lane variant of an engine: one lane per lambda.
 

@@ -173,7 +173,7 @@ def checkpointed_lasso_path(
         niter_done = [extras["niter"]]
 
     segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
-        st, solve, report, il, m, ea, er))
+        st, solve, report, il, m, ea, er)[:3])
 
     chunks_run = 0
     while k_done < nlam:

@@ -52,6 +52,22 @@ def traced_solve(body_fn, state: ADMMState, num_iters: int):
                         niter=final.it)
 
 
+def trace_from_buffer(buf, niter=None) -> Trace:
+    """Build a :class:`Trace` from a ``(trace_len, 5)`` buffer of
+    (eps_pri, r_pri, eps_dua, r_dua, rho) rows as produced by
+    ``core.engine.make_traced_solve`` / the ``trace_len`` option of the
+    model drivers.  Rows past convergence are NaN; ``niter`` defaults to
+    the number of recorded rows."""
+    import numpy as np
+
+    buf = np.asarray(buf)
+    if niter is None:
+        niter = int(np.sum(~np.isnan(buf[:, 0])))
+    return Trace(eps_primal=buf[:, 0], resid_primal=buf[:, 1],
+                 eps_dual=buf[:, 2], resid_dual=buf[:, 3], rho=buf[:, 4],
+                 niter=niter)
+
+
 def format_trace(trace: Trace, title: str = "ADMM iterations") -> str:
     """Render a trace as the reference's debug table
     (reference: src/ADMMBase.h:111-146)."""

@@ -21,12 +21,14 @@ construction below).  No standardization (reference: src/BP.cpp:24-35).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from functools import partial
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..core.engine import ProblemOps, make_fadmm_solver, make_state
+from ..core.engine import (ProblemOps, make_fadmm_solver, make_state,
+                           make_traced_solve)
 from ..core.prox import l2norm, soft_threshold, sqnorm
 from ..linalg import chol_inverse, dot, tgram
 
@@ -34,6 +36,9 @@ from ..linalg import chol_inverse, dot, tgram
 class BPResult(NamedTuple):
     coef: jnp.ndarray   # (p,) the sparse iterate z (reference: src/BP.cpp:37-43)
     niter: jnp.ndarray  # int32
+    # (trace_len, 5) per-iteration (eps_pri, r_pri, eps_dua, r_dua, rho)
+    # when tracing was requested (admm_tpu.diag.trace).
+    trace: Optional[jnp.ndarray] = None
 
 
 def _bp_ops(A, K, n, p, aaab_of) -> ProblemOps:
@@ -67,8 +72,8 @@ def _use_pallas_bp(n: int, p: int, dtype) -> bool:
     return pallas_enabled(dtype) and supports_bp(n, p)
 
 
-@jax.jit
-def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
+@partial(jax.jit, static_argnames=("trace_len",))
+def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel, trace_len=None):
     n, p = A.shape
     dtype = A.dtype
     AAt = tgram(A)
@@ -76,7 +81,7 @@ def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
     Winv = chol_inverse(AAt, jitter=jitter)       # (AA')^-1
     AAAb = dot(A.T, dot(Winv, b))                 # A'(AA')^-1 b
 
-    if _use_pallas_bp(n, p, dtype):
+    if trace_len is None and _use_pallas_bp(n, p, dtype):
         # TPU fast path: the whole FADMM solve in one Pallas kernel with
         # A and (AA')^{-1} resident in VMEM (admm_tpu/ops/bp_kernel.py).
         from ..ops.bp_kernel import bp_solve_pallas
@@ -96,15 +101,21 @@ def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel):
 
     zeros = jnp.zeros((p,), dtype)
     st = make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype)
-    st = solve(st, maxit, eps_abs, eps_rel)
-    return BPResult(coef=st.z, niter=st.it)
+    if trace_len is None:
+        st = solve(st, maxit, eps_abs, eps_rel)
+        buf = None
+    else:
+        st, buf = make_traced_solve(solve, trace_len)(st, maxit, eps_abs,
+                                                      eps_rel)
+    return BPResult(coef=st.z, niter=st.it, trace=buf)
 
 
 def bp_fit(A, b, *, maxit: int = 10000, eps_abs: float = 1e-4,
            eps_rel: float = 1e-4, rho: float = 1.0,
-           dtype=None) -> BPResult:
+           trace_len: Optional[int] = None, dtype=None) -> BPResult:
     """Solve Basis Pursuit.  Defaults mirror reference: R/10_admm_bp.R:37-41
-    (eps 1e-4, rho = 1).  Requires p > n (validated by the builder API)."""
+    (eps 1e-4, rho = 1).  Requires p > n (validated by the builder API).
+    ``trace_len`` records the per-iteration residual trace."""
     if dtype is None:
         # Match the reference's float64 for this model class when the
         # backend supports it (reference: src/LAD.cpp / src/BP.cpp use
@@ -112,7 +123,9 @@ def bp_fit(A, b, *, maxit: int = 10000, eps_abs: float = 1e-4,
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
-    return _bp_fit(A, b, rho, maxit, eps_abs, eps_rel)
+    return _bp_fit(A, b, rho, maxit, eps_abs, eps_rel,
+                   trace_len=(None if trace_len is None
+                              else int(trace_len)))
 
 
 @jax.jit

@@ -56,7 +56,7 @@ from ..core.engine import (ProblemOps, make_admm_solver,
 from ..core.prox import box_clamp_neg, l2norm, soft_threshold
 from ..data.standardize import recover, standardize
 from ..linalg import dot, gram, spectral_radius_sym
-from .lasso import PathResult, _batched_cold_states
+from .lasso import PathResult, _batched_cold_states, _scan_path
 
 
 def _dantzig_ops(apply_A, Xty, Xty_norm, sprad, lambda0, p) -> ProblemOps:
@@ -112,7 +112,8 @@ def _dantzig_setup(Xs, ys, rho0):
     return ops, rho
 
 
-def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel):
+def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
+                        trace_len=None):
     n, p = Xs.shape
     dtype = Xs.dtype
     ops, rho = _dantzig_setup(Xs, ys, rho0)
@@ -121,14 +122,10 @@ def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel):
     zeros = jnp.zeros((p,), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, ilams[0], aux=zeros,
                      dtype=dtype)
-
-    def step(st, lam):
-        st = warm_start(st, lam)
-        st = solve(st, maxit, eps_abs, eps_rel)
-        return st, (st.x, st.it)
-
-    _, (coefs, niter) = lax.scan(step, st0, ilams)
-    return coefs, niter
+    _, coefs, niter, traces = _scan_path(st0, solve, (lambda st: st.x),
+                                         ilams, maxit, eps_abs, eps_rel,
+                                         trace_len)
+    return coefs, niter, traces
 
 
 def _solve_path_dantzig_batch(Xs, ys, ilams, rho0, maxit, eps_abs,
@@ -144,13 +141,14 @@ def _solve_path_dantzig_batch(Xs, ys, ilams, rho0, maxit, eps_abs,
     st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype,
                               aux_dim=p)
     st = solve(st, maxit, eps_abs, eps_rel)
-    return st.x, st.it
+    return st.x, st.it, None
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
-                                   "path_mode"))
+                                   "path_mode", "trace_len"))
 def _dpath_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
-                eps_rel, *, standardize_x, intercept, path_mode):
+                eps_rel, *, standardize_x, intercept, path_mode,
+                trace_len=None):
     n = X.shape[0]
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
@@ -159,29 +157,34 @@ def _dpath_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     lmin = lambda_min_ratio * lmax
     lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin), nlambda))
     return _dpath_from(Xs, ys, stats, lams, rho, maxit, eps_abs, eps_rel,
-                       standardize_x, intercept, path_mode)
+                       standardize_x, intercept, path_mode, trace_len)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "path_mode"))
+                                   "path_mode", "trace_len"))
 def _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel, *,
-                standardize_x, intercept, path_mode):
+                standardize_x, intercept, path_mode, trace_len=None):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
     return _dpath_from(Xs, ys, stats, lams, rho, maxit, eps_abs, eps_rel,
-                       standardize_x, intercept, path_mode)
+                       standardize_x, intercept, path_mode, trace_len)
 
 
 def _dpath_from(Xs, ys, stats, lams, rho, maxit, eps_abs, eps_rel,
-                standardize_x, intercept, path_mode="scan"):
+                standardize_x, intercept, path_mode="scan",
+                trace_len=None):
     n = Xs.shape[0]
     ilams = lams * n / stats.scale_y
-    solver = (_solve_path_dantzig_batch if path_mode == "batch"
-              else _solve_path_dantzig)
-    coefs, niter = solver(Xs, ys, ilams, rho, maxit, eps_abs, eps_rel)
+    if path_mode == "batch":
+        coefs, niter, traces = _solve_path_dantzig_batch(
+            Xs, ys, ilams, rho, maxit, eps_abs, eps_rel)
+    else:
+        coefs, niter, traces = _solve_path_dantzig(
+            Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, trace_len)
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
-    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
+                      trace=traces)
 
 
 def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
@@ -191,24 +194,30 @@ def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                  maxit: int = 10000, eps_abs: float = 1e-5,
                  eps_rel: float = 1e-5, rho: float = -1.0,
                  path_mode: str = "scan",
+                 trace_len: Optional[int] = None,
                  dtype=jnp.float32) -> PathResult:
     """Solve the Dantzig-selector lambda path on device.
 
     API mirrors the Lasso path (the reference's R class extends
     ADMM_Lasso unchanged, reference: R/50_admm_dantzig.R:2), including
     ``path_mode``: "scan" = sequential warm starts, "batch" = all
-    lambdas simultaneously as MXU lanes.
+    lambdas simultaneously as MXU lanes, and ``trace_len``
+    (per-iteration residual trace; implies "scan").
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
+    if trace_len is not None:
+        path_mode = "scan"
+        trace_len = int(trace_len)
     if lambda_min_ratio is None:
         lambda_min_ratio = 0.01 if n < p else 1e-4
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
         return _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
                            standardize_x=standardize, intercept=intercept,
-                           path_mode=path_mode)
+                           path_mode=path_mode, trace_len=trace_len)
     return _dpath_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
                        eps_abs, eps_rel, standardize_x=standardize,
-                       intercept=intercept, path_mode=path_mode)
+                       intercept=intercept, path_mode=path_mode,
+                       trace_len=trace_len)

@@ -97,7 +97,8 @@ def _gl_lambda0(Xs, ys, groups, weights):
     return jnp.max(ratios)
 
 
-def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
+def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
+                   trace_len=None):
     n, p = Xs.shape
     dtype = Xs.dtype
     Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
@@ -114,12 +115,14 @@ def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
     solve = make_fadmm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((p,), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, ilams[0], dtype=dtype)
-    _, coefs, niter = _scan_path(st0, solve, (lambda st: st.z), ilams,
-                                 maxit, eps_abs, eps_rel)
-    return coefs, niter
+    _, coefs, niter, traces = _scan_path(st0, solve, (lambda st: st.z),
+                                         ilams, maxit, eps_abs, eps_rel,
+                                         trace_len)
+    return coefs, niter, traces
 
 
-def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
+def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
+                   trace_len=None):
     n, p = Xs.shape
     dtype = Xs.dtype
     sprad = spectral_radius_gram(Xs)
@@ -143,15 +146,17 @@ def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp):
     st0 = make_state(jnp.zeros((p,), dtype), jnp.zeros((n,), dtype),
                      jnp.zeros((n,), dtype), rho, ilams[0],
                      aux=jnp.zeros((n,), dtype), dtype=dtype)
-    _, coefs, niter = _scan_path(st0, solve, (lambda st: st.x), ilams,
-                                 maxit, eps_abs, eps_rel)
-    return coefs, niter
+    _, coefs, niter, traces = _scan_path(st0, solve, (lambda st: st.x),
+                                         ilams, maxit, eps_abs, eps_rel,
+                                         trace_len)
+    return coefs, niter, traces
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "nlambda"))
+                                   "nlambda", "trace_len"))
 def _gl_path(X, y, groups, weights, nlambda, lambda_min_ratio, user_lams,
-             rho, maxit, eps_abs, eps_rel, *, standardize_x, intercept):
+             rho, maxit, eps_abs, eps_rel, *, standardize_x, intercept,
+             trace_len=None):
     n, p = X.shape
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
@@ -166,14 +171,17 @@ def _gl_path(X, y, groups, weights, nlambda, lambda_min_ratio, user_lams,
         lams = user_lams
     ilams = lams * n / stats.scale_y
     if n > p:
-        coefs, niter = _solve_gl_tall(Xs, ys, ilams, rho, maxit, eps_abs,
-                                      eps_rel, gp)
+        coefs, niter, traces = _solve_gl_tall(Xs, ys, ilams, rho, maxit,
+                                              eps_abs, eps_rel, gp,
+                                              trace_len)
     else:
-        coefs, niter = _solve_gl_wide(Xs, ys, ilams, rho, maxit, eps_abs,
-                                      eps_rel, gp)
+        coefs, niter, traces = _solve_gl_wide(Xs, ys, ilams, rho, maxit,
+                                              eps_abs, eps_rel, gp,
+                                              trace_len)
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
-    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
+                      trace=traces)
 
 
 def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
@@ -183,12 +191,14 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
                      standardize: bool = True, intercept: bool = True,
                      maxit: int = 10000, eps_abs: float = 1e-5,
                      eps_rel: float = 1e-5, rho: float = -1.0,
+                     trace_len: Optional[int] = None,
                      dtype=jnp.float32) -> PathResult:
     """Solve the group-Lasso lambda path on device.
 
     ``groups`` is a length-p array of group ids (0..G-1, any order);
     ``weights`` defaults to sqrt(group size) (Yuan & Lin).  Other
-    arguments mirror :func:`admm_tpu.models.lasso.lasso_path`.
+    arguments mirror :func:`admm_tpu.models.lasso.lasso_path`,
+    including ``trace_len`` (per-iteration residual trace).
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -200,4 +210,6 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     return _gl_path(X, y, groups_j, weights, int(nlambda),
                     lambda_min_ratio, lams, rho, maxit, eps_abs, eps_rel,
-                    standardize_x=standardize, intercept=intercept)
+                    standardize_x=standardize, intercept=intercept,
+                    trace_len=(None if trace_len is None
+                               else int(trace_len)))

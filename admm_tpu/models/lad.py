@@ -39,12 +39,13 @@ The final coefficients are recovered by one least-squares solve
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..core.engine import ProblemOps, make_fadmm_solver, make_state
+from ..core.engine import (ProblemOps, make_fadmm_solver, make_state,
+                           make_traced_solve)
 from ..core.prox import l2norm, soft_threshold, sqnorm
 from ..data.standardize import recover, standardize
 from ..linalg import chol_inverse, dot, gram
@@ -61,6 +62,9 @@ class LADResult(NamedTuple):
     beta0: jnp.ndarray  # scalar intercept (0 when intercept=False)
     coef: jnp.ndarray   # (p,) coefficients on the original scale
     niter: jnp.ndarray  # int32
+    # (trace_len, 5) per-iteration (eps_pri, r_pri, eps_dua, r_dua, rho)
+    # when tracing was requested (admm_tpu.diag.trace).
+    trace: Optional[jnp.ndarray] = None
 
 
 def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
@@ -89,8 +93,9 @@ def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
     )
 
 
-@partial(jax.jit, static_argnames=("intercept",))
-def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
+@partial(jax.jit, static_argnames=("intercept", "trace_len"))
+def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept,
+             trace_len=None):
     """Deliberate fix over the reference for ``intercept=True``: the
     reference mean-centers X and y and reconstructs ``beta0 = mean(y) -
     sum(coef * mean(x))`` (reference: src/LAD.cpp:34, src/DataStd.h:157),
@@ -119,7 +124,8 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
     Ginv = chol_inverse(XtX, jitter=jitter)
     ynorm = l2norm(ys)
 
-    if _use_pallas_lad(n, Xa.shape[1], dtype):
+    buf = None
+    if trace_len is None and _use_pallas_lad(n, Xa.shape[1], dtype):
         # TPU fast path: the whole FADMM solve in one Pallas kernel with
         # the dense hat matrix resident in VMEM — the reference's own
         # n <= 2000 cache (reference: src/ADMMLAD.h:182-203), built here
@@ -139,8 +145,12 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
         solve = make_fadmm_solver(ops, adapt_rho=False)
 
         zeros = jnp.zeros((n,), dtype)
-        st = solve(make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype),
-                   maxit, eps_abs, eps_rel)
+        st0 = make_state(zeros, zeros, zeros, rho, 0.0, dtype=dtype)
+        if trace_len is None:
+            st = solve(st0, maxit, eps_abs, eps_rel)
+        else:
+            st, buf = make_traced_solve(solve, trace_len)(
+                st0, maxit, eps_abs, eps_rel)
         st_adj_y, st_adj_z, st_rho, st_it = st.adj_y, st.adj_z, st.rho, \
             st.it
 
@@ -158,16 +168,18 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept):
     else:
         beta0, coef = recover(stats, coef_std, standardize_x=True,
                               intercept=False)
-    return LADResult(beta0=beta0, coef=coef, niter=st_it)
+    return LADResult(beta0=beta0, coef=coef, niter=st_it, trace=buf)
 
 
 def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
             eps_abs: float = 1e-4, eps_rel: float = 1e-4,
-            rho: float = 1.0, dtype=None) -> LADResult:
+            rho: float = 1.0, trace_len: Optional[int] = None,
+            dtype=None) -> LADResult:
     """Fit median regression by FADMM.
 
     Defaults mirror the reference R API (reference: R/20_admm_lad.R:28-31:
     eps 1e-4, rho = 1).  Requires n > p (validated by the builder API).
+    ``trace_len`` records the per-iteration residual trace.
     """
     if dtype is None:
         # Match the reference's float64 for this model class when the
@@ -177,4 +189,6 @@ def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     return _lad_fit(X, y, rho, maxit, eps_abs, eps_rel,
-                    intercept=intercept)
+                    intercept=intercept,
+                    trace_len=(None if trace_len is None
+                               else int(trace_len)))

@@ -49,7 +49,7 @@ from jax import lax
 
 from ..core.engine import (ADMMState, ProblemOps, make_admm_solver,
                            make_batched_solver, make_fadmm_solver,
-                           make_state, warm_start)
+                           make_state, make_traced_solve, warm_start)
 from ..core.prox import enet_prox, l2norm, sqnorm
 from ..data.standardize import StdStats, recover, standardize
 from ..linalg import dot, gram, ridge_inverse, spectral_radius_gram, spectral_radius_sym
@@ -61,6 +61,9 @@ class PathResult(NamedTuple):
     beta0: jnp.ndarray    # (nlambda,) intercepts
     coef: jnp.ndarray     # (nlambda, p) coefficients
     niter: jnp.ndarray    # (nlambda,) int32 ADMM iteration counts
+    # (nlambda, trace_len, 5) per-iteration (eps_pri, r_pri, eps_dua,
+    # r_dua, rho) when tracing was requested (admm_tpu.diag.trace).
+    trace: Optional[jnp.ndarray] = None
 
 
 # ---------------------------------------------------------------------------
@@ -120,35 +123,50 @@ def _tall_engine(Xs, ys, lam_first, rho0, alpha):
     return st0, solve, (lambda st: st.z)
 
 
-def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel):
-    """Warm-started scan over the lambda grid (any engine)."""
+def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel,
+               trace_len=None):
+    """Warm-started scan over the lambda grid (any engine).
+
+    With ``trace_len`` set, a per-iteration residual trace rides the
+    while_loop carry (core.engine.make_traced_solve) and is returned per
+    lambda; otherwise ``traces`` is None.
+    """
+    solve_t = None if trace_len is None else make_traced_solve(solve,
+                                                               trace_len)
+
     def step(st, lam):
         st = warm_start(st, lam)
-        st = solve(st, maxit, eps_abs, eps_rel)
-        return st, (report(st), st.it)
+        if trace_len is None:
+            st = solve(st, maxit, eps_abs, eps_rel)
+            buf = None
+        else:
+            st, buf = solve_t(st, maxit, eps_abs, eps_rel)
+        return st, (report(st), st.it, buf)
 
-    st, (coefs, niter) = lax.scan(step, st0, ilams)
-    return st, coefs, niter
+    st, (coefs, niter, traces) = lax.scan(step, st0, ilams)
+    return st, coefs, niter, traces
 
 
 def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
-                     pallas_ok=True):
+                     pallas_ok=True, trace_len=None):
     # TPU fast path: the whole warm-started sequential path inside ONE
     # Pallas kernel with the ridge inverse resident in VMEM (the
     # reference's own path protocol, latency-optimised).
-    if pallas_ok and _use_pallas_tall(Xs.shape[1], ilams.shape[0],
-                                      Xs.dtype, mode="scan"):
+    if (trace_len is None and pallas_ok
+            and _use_pallas_tall(Xs.shape[1], ilams.shape[0],
+                                 Xs.dtype, mode="scan")):
         from ..ops.tall_path import tall_path_scan_pallas
 
         Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
-        return tall_path_scan_pallas(
+        coefs, niter = tall_path_scan_pallas(
             Minv, Xty, ilams, rho, eps_abs, eps_rel,
             jnp.asarray(alpha, Xs.dtype), maxit, true_p=Xs.shape[1])
+        return coefs, niter, None
 
     st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho0, alpha)
-    _, coefs, niter = _scan_path(st0, solve, report, ilams, maxit,
-                                 eps_abs, eps_rel)
-    return coefs, niter
+    _, coefs, niter, traces = _scan_path(st0, solve, report, ilams, maxit,
+                                         eps_abs, eps_rel, trace_len)
+    return coefs, niter, traces
 
 
 def _batched_cold_states(k, dims, rho, ilams, dtype, aux_dim=None):
@@ -184,15 +202,16 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     if pallas_ok and _use_pallas_tall(p, ilams.shape[0], dtype):
         from ..ops.tall_path import tall_path_batch_pallas
 
-        return tall_path_batch_pallas(
+        coefs, niter = tall_path_batch_pallas(
             Minv, Xty, ilams, rho, eps_abs, eps_rel,
             jnp.asarray(alpha, dtype), maxit, true_p=p)
+        return coefs, niter, None
 
     ops = _tall_ops(Minv, Xty, alpha, p)
     solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
     st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype)
     st = solve(st, maxit, eps_abs, eps_rel)
-    return st.z, st.it
+    return st.z, st.it, None
 
 
 def _use_pallas_tall(p: int, k: int, dtype, mode: str = "batch") -> bool:
@@ -243,9 +262,10 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     if pallas_ok and _use_pallas_wide(n, p, ilams.shape[0], dtype):
         from ..ops.wide_path import wide_path_batch_pallas
 
-        return wide_path_batch_pallas(
+        coefs, niter = wide_path_batch_pallas(
             Xs, ys, ilams, rho, sprad, lambda0, eps_abs, eps_rel,
             jnp.asarray(alpha, dtype), maxit, true_n=n, true_p=p)
+        return coefs, niter, None
 
     ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
     solve = make_batched_solver(make_admm_solver(ops, adapt_rho=True))
@@ -257,7 +277,7 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
                      adj_z=jnp.zeros((k, n), dtype),
                      adj_y=jnp.zeros((k, n), dtype))
     st = solve(st, maxit, eps_abs, eps_rel)
-    return st.x, st.it
+    return st.x, st.it, None
 
 
 # ---------------------------------------------------------------------------
@@ -317,12 +337,12 @@ def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale):
 
 
 def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
-                     enet_lambda0_scale):
+                     enet_lambda0_scale, trace_len=None):
     st0, solve, report = _wide_engine(Xs, ys, ilams[0], rho0, alpha,
                                       enet_lambda0_scale)
-    _, coefs, niter = _scan_path(st0, solve, report, ilams, maxit,
-                                 eps_abs, eps_rel)
-    return coefs, niter
+    _, coefs, niter, traces = _scan_path(st0, solve, report, ilams, maxit,
+                                         eps_abs, eps_rel, trace_len)
+    return coefs, niter, traces
 
 
 # ---------------------------------------------------------------------------
@@ -331,10 +351,10 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
                                    "enet_scale", "path_mode",
-                                   "shard_data"))
+                                   "shard_data", "trace_len"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
                eps_rel, alpha, *, standardize_x, intercept, enet_scale,
-               path_mode, shard_data=False):
+               path_mode, shard_data=False, trace_len=None):
     """Auto lambda grid: log-linear from lambda0 down to ratio*lambda0
     (reference: src/Lasso.cpp:78-89)."""
     n = X.shape[0]
@@ -348,25 +368,25 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin), nlambda))
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale, path_mode, shard_data)
+                           enet_scale, path_mode, shard_data, trace_len)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale", "path_mode",
-                                   "shard_data"))
+                                   "shard_data", "trace_len"))
 def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha, *,
                standardize_x, intercept, enet_scale, path_mode,
-               shard_data=False):
+               shard_data=False, trace_len=None):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept)
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale, path_mode, shard_data)
+                           enet_scale, path_mode, shard_data, trace_len)
 
 
 def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
                     eps_rel, alpha, standardize_x, intercept, enet_scale,
-                    path_mode="scan", shard_data=False):
+                    path_mode="scan", shard_data=False, trace_len=None):
     n, p = Xs.shape
     # With row-sharded data the Pallas kernels are bypassed: they are
     # single-chip programs, and under data sharding the iteration math
@@ -377,26 +397,26 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
     ilams = lams * n / stats.scale_y
     if n > p:
         if path_mode == "batch":
-            coefs, niter = _solve_path_tall_batch(Xs, ys, ilams, rho,
-                                                  maxit, eps_abs, eps_rel,
-                                                  alpha, pallas_ok)
+            coefs, niter, traces = _solve_path_tall_batch(
+                Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
+                pallas_ok)
         else:
-            coefs, niter = _solve_path_tall(Xs, ys, ilams, rho, maxit,
-                                            eps_abs, eps_rel, alpha,
-                                            pallas_ok)
+            coefs, niter, traces = _solve_path_tall(
+                Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
+                pallas_ok, trace_len)
     else:
         if path_mode == "batch":
-            coefs, niter = _solve_path_wide_batch(Xs, ys, ilams, rho,
-                                                  maxit, eps_abs, eps_rel,
-                                                  alpha, enet_scale,
-                                                  pallas_ok)
+            coefs, niter, traces = _solve_path_wide_batch(
+                Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
+                enet_scale, pallas_ok)
         else:
-            coefs, niter = _solve_path_wide(Xs, ys, ilams, rho, maxit,
-                                            eps_abs, eps_rel, alpha,
-                                            enet_scale)
+            coefs, niter, traces = _solve_path_wide(
+                Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
+                enet_scale, trace_len)
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
-    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
+                      trace=traces)
 
 
 def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
@@ -406,6 +426,7 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                eps_rel: float = 1e-5, rho: float = -1.0,
                alpha: float = 1.0, _enet_scale: bool = False,
                path_mode: str = "scan", data_mesh=None,
+               trace_len: Optional[int] = None,
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
 
@@ -430,7 +451,16 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     implicit BLAS threading (reference: src/Makevars:3-4); the
     (p, p)-sized solve state stays replicated.  Results are identical to
     replicated execution up to reduction order.
+
+    ``trace_len``: record the first ``trace_len`` iterations'
+    (eps_primal, resid_primal, eps_dual, resid_dual, rho) per lambda in
+    ``result.trace`` — the reference's (dead) residual printers as
+    arrays (reference: src/ADMMBase.h:111-146).  Tracing follows the
+    sequential warm-start protocol, so it implies ``path_mode="scan"``.
     """
+    if trace_len is not None:
+        path_mode = "scan"
+        trace_len = int(trace_len)
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
@@ -450,11 +480,12 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
         return _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
                           standardize_x=standardize, intercept=intercept,
                           enet_scale=_enet_scale, path_mode=path_mode,
-                          shard_data=shard)
+                          shard_data=shard, trace_len=trace_len)
     return _path_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
                       eps_abs, eps_rel, alpha, standardize_x=standardize,
                       intercept=intercept, enet_scale=_enet_scale,
-                      path_mode=path_mode, shard_data=shard)
+                      path_mode=path_mode, shard_data=shard,
+                      trace_len=trace_len)
 
 
 def enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:

@@ -208,14 +208,18 @@ def _bp_master_prox(W: int):
 def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
                      axis: Optional[str], nworkers: int,
                      make_x_update: Callable, master_prox: Callable,
-                     auto_rho: Callable):
+                     auto_rho: Callable, trace_len: Optional[int] = None):
     """Per-device body (under shard_map when ``axis`` is set).
 
     ``Xi``: (W_local, rows_w, p) worker blocks held by this device.
     ``make_x_update(Xi, yi, rho) -> x_update(z, y, rho)`` builds the
     worker solve with its factorizations cached; ``master_prox(zbar, lam,
     rho)`` is the consensus z-update; ``auto_rho(lam_first)`` supplies the
-    model's auto-rho when ``rho0 <= 0``.
+    model's auto-rho when ``rho0 <= 0``.  With ``trace_len`` set, a
+    per-iteration (eps_pri, r_pri, eps_dua, r_dua, rho) buffer rides the
+    while_loop carry per lambda (all five are psum-replicated values, so
+    the trace is identical on every device); the recorded r_pri is the
+    lagged one the convergence test actually used.
     """
     Wl, rows, p = Xi.shape
     dtype = Xi.dtype
@@ -256,16 +260,34 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
         r = x - z_new[None, :]
         y = st.y + st.rho * r
         done = (jnp.sqrt(sr2) < eps_pri) & (r_dua < eps_dua)
-        return st._replace(
+        new = st._replace(
             x=x, y=y, z=z_new, r2_local=jnp.sum(r * r),
             it=st.it + 1, done=done,
         )
+        rec = jnp.stack([eps_pri, jnp.sqrt(sr2), eps_dua, r_dua, st.rho])
+        return new, rec
 
-    def solve(st: _ConsensusState) -> _ConsensusState:
+    def solve(st: _ConsensusState):
         def cond(s):
             return jnp.logical_not(s.done) & (s.it < maxit)
 
-        return lax.while_loop(cond, body, st)
+        if trace_len is None:
+            return lax.while_loop(cond, lambda s: body(s)[0], st), None
+
+        buf0 = jnp.full((trace_len, 5), jnp.nan, dtype)
+
+        def cond_t(c):
+            return cond(c[0])
+
+        def body_t(c):
+            s, buf = c
+            s2, rec = body(s)
+            idx = jnp.minimum(s.it, trace_len - 1)
+            buf = lax.dynamic_update_slice(
+                buf, rec[None, :], (idx, jnp.zeros((), idx.dtype)))
+            return (s2, buf)
+
+        return lax.while_loop(cond_t, body_t, (st, buf0))
 
     f = lambda v: jnp.asarray(v, dtype)
     st0 = _ConsensusState(
@@ -281,19 +303,22 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
         st = st._replace(lam=lam, r2_local=f(BIG),
                          it=jnp.asarray(0, jnp.int32),
                          done=jnp.asarray(False))
-        st = solve(st)
+        st, buf = solve(st)
         # The reported coefficients are the consensus z
         # (reference: src/ParLasso.cpp:99).
-        return st, (st.z, st.it)
+        return st, (st.z, st.it, buf)
 
-    _, (coefs, niter) = lax.scan(step, st0, ilams)
-    return coefs, niter
+    _, (coefs, niter, traces) = lax.scan(step, st0, ilams)
+    if trace_len is None:
+        return coefs, niter
+    return coefs, niter, traces
 
 
 def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
                            axis: Optional[str], nworkers: int,
                            tall_block: bool, alpha: float = 1.0,
-                           group_prox=None):
+                           group_prox=None,
+                           trace_len: Optional[int] = None):
     """Lasso/Enet/group-Lasso instantiation of the generic consensus
     engine (same worker ridge solves; the master prox selects the
     penalty)."""
@@ -309,7 +334,8 @@ def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
         make_x_update=partial(_lasso_x_update, tall_block=tall_block),
         master_prox=master,
         # Auto-rho (reference: src/PADMMLasso.h:199-200).
-        auto_rho=lambda lam_first: lam_first / nworkers)
+        auto_rho=lambda lam_first: lam_first / nworkers,
+        trace_len=trace_len)
 
 
 # ---------------------------------------------------------------------------
@@ -389,13 +415,14 @@ def _partition_rows(Xs, ys, W):
 
 
 def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
-                   mesh, axis, D, solver):
+                   mesh, axis, D, solver, traced=False):
     """jit (+ shard_map over the mesh when D > 1) and run one solver.
 
     ``axis`` may be an axis-name tuple (multi-axis mesh): the worker
     blocks are sharded over all axes jointly and the per-iteration psum
     reduces over the tuple.  Under ``jax.distributed`` (multi-process)
-    the inputs are assembled into global arrays first.
+    the inputs are assembled into global arrays first.  ``traced`` widens
+    the output tree by the (psum-replicated) trace buffers.
     """
     dtype = Xb.dtype
     if D > 1:
@@ -403,7 +430,7 @@ def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
             partial(solver, axis=axis),
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()) if traced else (P(), P()),
             # The while_loop carry mixes device-varying (x, y, r2_local)
             # and psum-replicated values; disable the static varying-axes
             # check (the psum-derived outputs are replicated by
@@ -433,6 +460,7 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
                         eps_rel: float = 1e-5, rho: float = -1.0,
                         alpha: float = 1.0, _enet_scale: bool = False,
                         _master_prox_override=None,
+                        trace_len: Optional[int] = None,
                         dtype=jnp.float32) -> PathResult:
     """Consensus-ADMM Lasso/Enet lambda path over W = D * W_local workers.
 
@@ -479,15 +507,20 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
     ilams = lams * n / stats.scale_y
 
     Xb, yb, rows_w = _partition_rows(Xs, ys, W)
+    trace_len = None if trace_len is None else int(trace_len)
     solver = partial(_consensus_lasso_shard, nworkers=W,
                      tall_block=rows_w >= p, alpha=float(alpha),
-                     group_prox=_master_prox_override)
-    coefs, niter = _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs,
-                                  eps_rel, mesh=mesh, axis=axis, D=D,
-                                  solver=solver)
+                     group_prox=_master_prox_override,
+                     trace_len=trace_len)
+    out = _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs,
+                         eps_rel, mesh=mesh, axis=axis, D=D,
+                         solver=solver, traced=trace_len is not None)
+    coefs, niter = out[0], out[1]
+    traces = out[2] if trace_len is not None else None
     beta0, coef = recover(stats, coefs, standardize_x=standardize,
                           intercept=intercept)
-    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
+                      trace=traces)
 
 
 def parallel_group_lasso_path(X, y, groups, *,
@@ -516,7 +549,8 @@ def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:
 def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
                     mesh: Optional[Mesh] = None, maxit: int = 10000,
                     eps_abs: float = 1e-4, eps_rel: float = 1e-4,
-                    rho: float = 1.0, dtype=None) -> BPResult:
+                    rho: float = 1.0, trace_len: Optional[int] = None,
+                    dtype=None) -> BPResult:
     """Consensus Basis Pursuit: ``min ||z||_1 s.t. A_i z = b_i`` for every
     row block i — the working version of what the reference left dormant
     (reference: src/TODO/ParBP.cppp, src/TODO/PADMMBP.h; the R layer
@@ -545,13 +579,17 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
     # jitter is what keeps them inert (see _bp_x_update).  Negligible at
     # 1e-10 for f64; 1e-6 guards f32 conditioning.
     jitter = 1e-6 if dtype == jnp.float32 else 1e-10
+    trace_len = None if trace_len is None else int(trace_len)
     solver = partial(
         _consensus_shard, nworkers=W,
         make_x_update=partial(_bp_x_update, jitter=jitter),
         master_prox=_bp_master_prox(W),
-        auto_rho=lambda lam_first: 1.0)
+        auto_rho=lambda lam_first: 1.0,
+        trace_len=trace_len)
     lams = jnp.ones((1,), dtype)  # single solve; the BP prox ignores lam
-    coefs, niter = _run_consensus(Ab, bb, lams, rho, maxit, eps_abs,
-                                  eps_rel, mesh=mesh, axis=axis, D=D,
-                                  solver=solver)
-    return BPResult(coef=coefs[0], niter=niter[0])
+    out = _run_consensus(Ab, bb, lams, rho, maxit, eps_abs,
+                         eps_rel, mesh=mesh, axis=axis, D=D,
+                         solver=solver, traced=trace_len is not None)
+    coefs, niter = out[0], out[1]
+    traces = out[2][0] if trace_len is not None else None
+    return BPResult(coef=coefs[0], niter=niter[0], trace=traces)
