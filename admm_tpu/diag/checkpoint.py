@@ -84,20 +84,24 @@ def load_pytree(path: str, like):
 
 
 def _fingerprint(Xs, ys, lams, alpha, maxit, eps_abs, eps_rel, rho,
-                 standardize_x, intercept, enet_scale):
+                 standardize_x, intercept, enet_scale, *, model="lasso",
+                 extra_arrays=()):
     """Problem identity so a checkpoint is never resumed against a
-    different problem or options.  Every option that changes solver
-    behavior must appear here — including the static flags (enet_scale
-    changes the wide regime's lambda0 early-exit threshold).  The data
-    and the full lambda grid enter as a SHA-256 over their bytes: shape
-    plus a couple of sample sums is not identity (a change to an interior
-    row of X, or a different interior grid with the same endpoints, must
-    refuse to resume).  The hash is one streaming pass over host memory —
+    different problem, model or options.  Every option that changes
+    solver behavior must appear here — including the static flags
+    (enet_scale changes the wide regime's lambda0 early-exit threshold)
+    and the ``model`` family tag.  The data and the full lambda grid
+    (plus model-specific ``extra_arrays`` such as group assignments)
+    enter as a SHA-256 over their bytes: shape plus a couple of sample
+    sums is not identity (a change to an interior row of X, or a
+    different interior grid with the same endpoints, must refuse to
+    resume).  The hash is one streaming pass over host memory —
     negligible next to a single solve chunk."""
     import hashlib
 
     h = hashlib.sha256()
-    for arr in (Xs, ys, lams):
+    h.update(model.encode())
+    for arr in (Xs, ys, lams) + tuple(extra_arrays):
         a = np.ascontiguousarray(np.asarray(arr))
         h.update(str(a.dtype).encode())
         h.update(np.asarray(a.shape, dtype=np.int64).tobytes())
@@ -156,6 +160,38 @@ def checkpointed_lasso_path(
 
     fp = _fingerprint(Xs, ys, ilams, alpha, maxit, eps_abs, eps_rel, rho,
                       standardize_x, intercept, _enet_scale)
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
+                          intercept=intercept)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def _validate_chunking(chunk_size, lambdas):
+    if int(chunk_size) < 1:
+        raise ValueError("chunk_size must be >= 1")
+    lambdas = np.asarray(lambdas)
+    if lambdas.size < 1:
+        raise ValueError("lambdas must be non-empty")
+    return int(chunk_size), lambdas
+
+
+def _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel, *, fp,
+                  checkpoint, chunk_size, _stop_after_chunks=None):
+    """The generic chunk/save/resume loop shared by every checkpointed
+    path driver.  ``segment(st, ilams_chunk, maxit, eps_abs, eps_rel) ->
+    (st, coefs, niter)`` advances the warm-start chain over one chunk.
+    Returns ``(coefs, niter)`` jnp arrays, or None if the fault-injection
+    hook abandoned the run.  Deletes the checkpoint on completion.
+    """
+    nlam = int(ilams.shape[0])
     k_done = 0
     coefs_done = []
     niter_done = []
@@ -171,9 +207,6 @@ def checkpointed_lasso_path(
         k_done = int(extras["k_done"])
         coefs_done = [extras["coefs"]]
         niter_done = [extras["niter"]]
-
-    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
-        st, solve, report, il, m, ea, er)[:3])
 
     chunks_run = 0
     while k_done < nlam:
@@ -195,8 +228,150 @@ def checkpointed_lasso_path(
 
     coefs = jnp.asarray(np.concatenate(coefs_done, axis=0))
     niter = jnp.asarray(np.concatenate(niter_done, axis=0))
-    beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
-                          intercept=intercept)
     if os.path.exists(checkpoint):
         os.unlink(checkpoint)
+    return coefs, niter
+
+
+def checkpointed_dantzig_path(
+        X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        standardize_x: bool = True, intercept: bool = True,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """Dantzig-selector lambda path in resumable chunks (same protocol
+    as :func:`checkpointed_lasso_path`; the Dantzig state pytree already
+    exists, only the engine differs —
+    admm_tpu/models/dantzig.py::_dantzig_engine)."""
+    from ..models.dantzig import _dantzig_engine
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    n, p = X.shape
+    Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
+                                intercept=intercept)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n / stats.scale_y
+
+    st0, solve, report = _dantzig_engine(Xs, ys, ilams[0], rho)
+    fp = _fingerprint(Xs, ys, ilams, 1.0, maxit, eps_abs, eps_rel, rho,
+                      standardize_x, intercept, False, model="dantzig")
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
+                          intercept=intercept)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def checkpointed_group_lasso_path(
+        X, y, groups, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        weights=None, standardize_x: bool = True, intercept: bool = True,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """Group-Lasso lambda path in resumable chunks.  ``groups`` and
+    ``weights`` enter the fingerprint (a different grouping must refuse
+    to resume)."""
+    from ..models.grouplasso import (_gl_tall_engine, _gl_wide_engine,
+                                     _GroupProblem, normalize_groups)
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    n, p = X.shape
+    groups_j, weights_j = normalize_groups(groups, p, weights, dtype)
+    gp = _GroupProblem(groups=groups_j, weights=weights_j)
+    Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
+                                intercept=intercept)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n / stats.scale_y
+
+    if n > p:
+        st0, solve, report = _gl_tall_engine(Xs, ys, ilams[0], rho, gp)
+    else:
+        st0, solve, report = _gl_wide_engine(Xs, ys, ilams[0], rho, gp)
+    fp = _fingerprint(Xs, ys, ilams, 1.0, maxit, eps_abs, eps_rel, rho,
+                      standardize_x, intercept, False, model="group",
+                      extra_arrays=(groups_j, weights_j))
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
+                          intercept=intercept)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def checkpointed_parallel_lasso_path(
+        X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        nworkers: Optional[int] = None, mesh=None, alpha: float = 1.0,
+        standardize_x: bool = True, intercept: bool = True,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, _enet_scale: bool = False, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """Consensus (parallel) Lasso/Enet lambda path in resumable chunks.
+
+    The consensus resume state is ``(x (W, p), y (W, p), z (p,), rho)``
+    — gathered from the mesh at each chunk boundary and re-sharded on
+    resume (admm_tpu/parallel/consensus.py::_consensus_shard takes the
+    starting iterates explicitly).  rho is set once at the path's first
+    lambda (reference: src/PADMMLasso.h:199-200) and carried through the
+    checkpoint so a resumed run matches an uninterrupted one.
+    """
+    from functools import partial as _partial
+
+    from ..parallel.consensus import (_consensus_lasso_shard,
+                                      _partition_rows, _resolve_mesh,
+                                      _run_consensus)
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    n, p = X.shape
+    W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
+    Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
+                                intercept=intercept)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n / stats.scale_y
+    Xb, yb, rows_w = _partition_rows(Xs, ys, W)
+    solver = _partial(_consensus_lasso_shard, nworkers=W,
+                      tall_block=rows_w >= p, alpha=float(alpha),
+                      group_prox=None)
+
+    fp = _fingerprint(Xs, ys, ilams, alpha, maxit, eps_abs, eps_rel, rho,
+                      standardize_x, intercept, _enet_scale,
+                      model=f"consensus-lasso-W{W}")
+    st0 = (jnp.zeros((W, p), dtype), jnp.zeros((W, p), dtype),
+           jnp.zeros((p,), dtype), jnp.asarray(rho, dtype))
+
+    def segment(st, il, m, ea, er):
+        x, yd, z, rho_c = st
+        coefs, niter, (x2, y2, z2, rho2) = _run_consensus(
+            Xb, yb, il, rho_c, m, ea, er, mesh=mesh, axis=axis, D=D,
+            solver=solver, init=(x, yd, z))
+        return (np.asarray(x2), np.asarray(y2), np.asarray(z2),
+                np.asarray(rho2)), coefs, niter
+
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
+                          intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)

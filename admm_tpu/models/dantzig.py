@@ -112,17 +112,24 @@ def _dantzig_setup(Xs, ys, rho0):
     return ops, rho
 
 
-def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
-                        trace_len=None):
-    n, p = Xs.shape
+def _dantzig_engine(Xs, ys, lam_first, rho0):
+    """Cold state, solver and reported iterate for the Dantzig path —
+    the engine triple consumed by both the path driver and the chunked
+    checkpoint driver (admm_tpu.diag.checkpoint)."""
+    p = Xs.shape[1]
     dtype = Xs.dtype
     ops, rho = _dantzig_setup(Xs, ys, rho0)
     solve = make_admm_solver(ops, adapt_rho=False)
-
     zeros = jnp.zeros((p,), dtype)
-    st0 = make_state(zeros, zeros, zeros, rho, ilams[0], aux=zeros,
+    st0 = make_state(zeros, zeros, zeros, rho, lam_first, aux=zeros,
                      dtype=dtype)
-    _, coefs, niter, traces = _scan_path(st0, solve, (lambda st: st.x),
+    return st0, solve, (lambda st: st.x)
+
+
+def _solve_path_dantzig(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
+                        trace_len=None):
+    st0, solve, report = _dantzig_engine(Xs, ys, ilams[0], rho0)
+    _, coefs, niter, traces = _scan_path(st0, solve, report,
                                          ilams, maxit, eps_abs, eps_rel,
                                          trace_len)
     return coefs, niter, traces

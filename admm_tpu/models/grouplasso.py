@@ -97,11 +97,12 @@ def _gl_lambda0(Xs, ys, groups, weights):
     return jnp.max(ratios)
 
 
-def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
-                   trace_len=None):
+def _gl_tall_engine(Xs, ys, lam_first, rho0, gp):
+    """Engine triple (cold state, solver, reported iterate) for the
+    tall group-Lasso: the Lasso tall engine with the z-prox swapped."""
     n, p = Xs.shape
     dtype = Xs.dtype
-    Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
+    Minv, Xty, rho = _tall_setup(Xs, ys, lam_first, rho0)
     prox = _group_prox_fn(gp.groups, gp.weights)
 
     # The Lasso tall ops with the z-update's prox swapped.
@@ -114,21 +115,28 @@ def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
     ops = base._replace(next_z=next_z)
     solve = make_fadmm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((p,), dtype)
-    st0 = make_state(zeros, zeros, zeros, rho, ilams[0], dtype=dtype)
-    _, coefs, niter, traces = _scan_path(st0, solve, (lambda st: st.z),
+    st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
+    return st0, solve, (lambda st: st.z)
+
+
+def _solve_gl_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
+                   trace_len=None):
+    st0, solve, report = _gl_tall_engine(Xs, ys, ilams[0], rho0, gp)
+    _, coefs, niter, traces = _scan_path(st0, solve, report,
                                          ilams, maxit, eps_abs, eps_rel,
                                          trace_len)
     return coefs, niter, traces
 
 
-def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
-                   trace_len=None):
+def _gl_wide_engine(Xs, ys, lam_first, rho0, gp):
+    """Engine triple for the wide group-Lasso (linearized x-update with
+    the block prox; adaptive rho as in the wide Lasso)."""
     n, p = Xs.shape
     dtype = Xs.dtype
     sprad = spectral_radius_gram(Xs)
     # Auto-rho (as reference: src/ADMMLassoWide.h:227-228).
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.cbrt(ilams[0] / sprad))
+                    jnp.cbrt(lam_first / sprad))
     lambda0 = _gl_lambda0(Xs, ys, gp.groups, gp.weights)
     prox = _group_prox_fn(gp.groups, gp.weights)
 
@@ -144,9 +152,15 @@ def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
     ops = base._replace(next_x=next_x)
     solve = make_admm_solver(ops, adapt_rho=True)
     st0 = make_state(jnp.zeros((p,), dtype), jnp.zeros((n,), dtype),
-                     jnp.zeros((n,), dtype), rho, ilams[0],
+                     jnp.zeros((n,), dtype), rho, lam_first,
                      aux=jnp.zeros((n,), dtype), dtype=dtype)
-    _, coefs, niter, traces = _scan_path(st0, solve, (lambda st: st.x),
+    return st0, solve, (lambda st: st.x)
+
+
+def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
+                   trace_len=None):
+    st0, solve, report = _gl_wide_engine(Xs, ys, ilams[0], rho0, gp)
+    _, coefs, niter, traces = _scan_path(st0, solve, report,
                                          ilams, maxit, eps_abs, eps_rel,
                                          trace_len)
     return coefs, niter, traces

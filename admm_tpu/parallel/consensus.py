@@ -205,21 +205,27 @@ def _bp_master_prox(W: int):
 # Generic consensus engine (per-device body under shard_map)
 # ---------------------------------------------------------------------------
 
-def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
-                     axis: Optional[str], nworkers: int,
+def _consensus_shard(Xi, yi, x0, y0, z0, ilams, rho0, maxit, eps_abs,
+                     eps_rel, *, axis: Optional[str], nworkers: int,
                      make_x_update: Callable, master_prox: Callable,
                      auto_rho: Callable, trace_len: Optional[int] = None):
     """Per-device body (under shard_map when ``axis`` is set).
 
-    ``Xi``: (W_local, rows_w, p) worker blocks held by this device.
-    ``make_x_update(Xi, yi, rho) -> x_update(z, y, rho)`` builds the
-    worker solve with its factorizations cached; ``master_prox(zbar, lam,
-    rho)`` is the consensus z-update; ``auto_rho(lam_first)`` supplies the
-    model's auto-rho when ``rho0 <= 0``.  With ``trace_len`` set, a
+    ``Xi``: (W_local, rows_w, p) worker blocks held by this device;
+    ``x0``/``y0`` (W_local, p) and ``z0`` (p,) are the starting iterates
+    — zeros for a cold start, a saved state for checkpoint resume
+    (admm_tpu.diag.checkpoint).  ``make_x_update(Xi, yi, rho) ->
+    x_update(z, y, rho)`` builds the worker solve with its
+    factorizations cached; ``master_prox(zbar, lam, rho)`` is the
+    consensus z-update; ``auto_rho(lam_first)`` supplies the model's
+    auto-rho when ``rho0 <= 0``.  With ``trace_len`` set, a
     per-iteration (eps_pri, r_pri, eps_dua, r_dua, rho) buffer rides the
     while_loop carry per lambda (all five are psum-replicated values, so
     the trace is identical on every device); the recorded r_pri is the
     lagged one the convergence test actually used.
+
+    Returns ``(coefs, niter, (x, y, z, rho))`` plus ``traces`` when
+    tracing — the final state tuple is what a resumed path needs.
     """
     Wl, rows, p = Xi.shape
     dtype = Xi.dtype
@@ -291,8 +297,8 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
 
     f = lambda v: jnp.asarray(v, dtype)
     st0 = _ConsensusState(
-        x=jnp.zeros((Wl, p), dtype), y=jnp.zeros((Wl, p), dtype),
-        z=jnp.zeros((p,), dtype), r2_local=f(BIG),
+        x=jnp.asarray(x0, dtype), y=jnp.asarray(y0, dtype),
+        z=jnp.asarray(z0, dtype), r2_local=f(BIG),
         rho=rho, lam=f(lam_first),
         it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
     )
@@ -308,13 +314,15 @@ def _consensus_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
         # (reference: src/ParLasso.cpp:99).
         return st, (st.z, st.it, buf)
 
-    _, (coefs, niter, traces) = lax.scan(step, st0, ilams)
+    fin, (coefs, niter, traces) = lax.scan(step, st0, ilams)
+    state_out = (fin.x, fin.y, fin.z, fin.rho)
     if trace_len is None:
-        return coefs, niter
-    return coefs, niter, traces
+        return coefs, niter, state_out
+    return coefs, niter, state_out, traces
 
 
-def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
+def _consensus_lasso_shard(Xi, yi, x0, y0, z0, ilams, rho0, maxit,
+                           eps_abs, eps_rel, *,
                            axis: Optional[str], nworkers: int,
                            tall_block: bool, alpha: float = 1.0,
                            group_prox=None,
@@ -329,7 +337,7 @@ def _consensus_lasso_shard(Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel, *,
     else:
         master = _enet_master_prox(nworkers, alpha)
     return _consensus_shard(
-        Xi, yi, ilams, rho0, maxit, eps_abs, eps_rel,
+        Xi, yi, x0, y0, z0, ilams, rho0, maxit, eps_abs, eps_rel,
         axis=axis, nworkers=nworkers,
         make_x_update=partial(_lasso_x_update, tall_block=tall_block),
         master_prox=master,
@@ -415,22 +423,34 @@ def _partition_rows(Xs, ys, W):
 
 
 def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
-                   mesh, axis, D, solver, traced=False):
+                   mesh, axis, D, solver, traced=False, init=None):
     """jit (+ shard_map over the mesh when D > 1) and run one solver.
 
     ``axis`` may be an axis-name tuple (multi-axis mesh): the worker
     blocks are sharded over all axes jointly and the per-iteration psum
     reduces over the tuple.  Under ``jax.distributed`` (multi-process)
     the inputs are assembled into global arrays first.  ``traced`` widens
-    the output tree by the (psum-replicated) trace buffers.
+    the output tree by the (psum-replicated) trace buffers.  ``init`` is
+    an optional ``(x0, y0, z0)`` warm state ((W, p), (W, p), (p,)) for
+    checkpoint resume; zeros otherwise.
+
+    Returns ``(coefs, niter, (x, y, z, rho)[, traces])``.
     """
     dtype = Xb.dtype
+    W, _, p = Xb.shape
+    if init is None:
+        init = (jnp.zeros((W, p), dtype), jnp.zeros((W, p), dtype),
+                jnp.zeros((p,), dtype))
+    x0, y0, z0 = (jnp.asarray(a, dtype) for a in init)
+    state_specs = (P(axis), P(axis), P())
     if D > 1:
         fn = shard_map(
             partial(solver, axis=axis),
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
-            out_specs=(P(), P(), P()) if traced else (P(), P()),
+            in_specs=(P(axis), P(axis)) + state_specs
+            + (P(), P(), P(), P(), P()),
+            out_specs=((P(), P(), state_specs + (P(),), P()) if traced
+                       else (P(), P(), state_specs + (P(),))),
             # The while_loop carry mixes device-varying (x, y, r2_local)
             # and psum-replicated values; disable the static varying-axes
             # check (the psum-derived outputs are replicated by
@@ -443,7 +463,8 @@ def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
         fn = partial(solver, axis=None)
         g_row = g_rep = lambda a: a
     run = jax.jit(fn)
-    return run(g_row(Xb), g_row(yb), g_rep(ilams),
+    return run(g_row(Xb), g_row(yb), g_row(x0), g_row(y0), g_rep(z0),
+               g_rep(ilams),
                g_rep(jnp.asarray(rho, dtype)),
                g_rep(jnp.asarray(maxit, jnp.int32)),
                g_rep(jnp.asarray(eps_abs, dtype)),
@@ -516,7 +537,7 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
                          eps_rel, mesh=mesh, axis=axis, D=D,
                          solver=solver, traced=trace_len is not None)
     coefs, niter = out[0], out[1]
-    traces = out[2] if trace_len is not None else None
+    traces = out[3] if trace_len is not None else None
     beta0, coef = recover(stats, coefs, standardize_x=standardize,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
@@ -591,5 +612,5 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
                          eps_rel, mesh=mesh, axis=axis, D=D,
                          solver=solver, traced=trace_len is not None)
     coefs, niter = out[0], out[1]
-    traces = out[2][0] if trace_len is not None else None
+    traces = out[3][0] if trace_len is not None else None
     return BPResult(coef=coefs[0], niter=niter[0], trace=traces)

@@ -173,3 +173,89 @@ def test_refuses_different_options(tmp_path):
     with pytest.raises(ValueError, match="different"):
         checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
                                 chunk_size=5, _enet_scale=False)
+
+
+def test_dantzig_crash_resume(tmp_path):
+    """VERDICT item: checkpoint/resume extended to the Dantzig path —
+    crash-resume is bit-identical to an uninterrupted chunked run."""
+    from admm_tpu.diag.checkpoint import checkpointed_dantzig_path
+    from admm_tpu.models.dantzig import dantzig_path
+
+    X, y = _problem(n=150, p=20)
+    lams = np.geomspace(0.4, 0.02, 12)
+    ck = str(tmp_path / "dz.npz")
+    assert checkpointed_dantzig_path(X, y, lambdas=lams, checkpoint=ck,
+                                     chunk_size=5,
+                                     _stop_after_chunks=1) is None
+    res = checkpointed_dantzig_path(X, y, lambdas=lams, checkpoint=ck,
+                                    chunk_size=5)
+    full = checkpointed_dantzig_path(X, y, lambdas=lams,
+                                     checkpoint=str(ck) + ".2",
+                                     chunk_size=5)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(full.niter))
+    plain = dantzig_path(X, y, lambdas=lams)
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-3)
+
+
+def test_group_lasso_crash_resume_and_group_fingerprint(tmp_path):
+    from admm_tpu.diag.checkpoint import checkpointed_group_lasso_path
+    from admm_tpu.models.grouplasso import group_lasso_path
+
+    rng = np.random.default_rng(11)
+    n, p = 200, 16
+    groups = np.arange(p) % 4
+    b = np.zeros(p)
+    b[groups == 1] = 1.5
+    X = rng.normal(size=(n, p))
+    y = X @ b + 0.3 * rng.normal(size=n)
+    lams = np.geomspace(0.5, 0.01, 12)
+    ck = str(tmp_path / "gl.npz")
+    assert checkpointed_group_lasso_path(
+        X, y, groups, lambdas=lams, checkpoint=ck, chunk_size=5,
+        _stop_after_chunks=1) is None
+    # A DIFFERENT grouping must refuse to resume (groups are part of the
+    # fingerprint).
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_group_lasso_path(X, y, (np.arange(p) % 2),
+                                      lambdas=lams, checkpoint=ck,
+                                      chunk_size=5)
+    res = checkpointed_group_lasso_path(X, y, groups, lambdas=lams,
+                                        checkpoint=ck, chunk_size=5)
+    full = checkpointed_group_lasso_path(X, y, groups, lambdas=lams,
+                                         checkpoint=str(ck) + ".2",
+                                         chunk_size=5)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    plain = group_lasso_path(X, y, groups, lambdas=lams)
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-3)
+
+
+def test_consensus_crash_resume(tmp_path):
+    """Consensus checkpoint: the (x, y, z, rho) worker state is gathered
+    at chunk boundaries and re-sharded on resume; a resumed run is
+    bit-identical to an uninterrupted chunked run and matches the plain
+    consensus path."""
+    from admm_tpu.diag.checkpoint import checkpointed_parallel_lasso_path
+    from admm_tpu.parallel.consensus import parallel_lasso_path
+
+    X, y = _problem(n=320, p=24)
+    lams = np.geomspace(0.5, 0.01, 12)
+    ck = str(tmp_path / "par.npz")
+    kw = dict(lambdas=lams, nworkers=8, chunk_size=5)
+    assert checkpointed_parallel_lasso_path(
+        X, y, checkpoint=ck, _stop_after_chunks=1, **kw) is None
+    res = checkpointed_parallel_lasso_path(X, y, checkpoint=ck, **kw)
+    full = checkpointed_parallel_lasso_path(
+        X, y, checkpoint=str(ck) + ".2", **kw)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(full.niter))
+    plain = parallel_lasso_path(X, y, lambdas=lams, nworkers=8)
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=2e-3)

@@ -88,7 +88,8 @@ def test_consensus_full_path_standardized():
                                np.asarray(ser.coef[-1]), atol=5e-3)
 
 
-def _compiled_consensus_hlo(solver_factory, Xb, yb, nlam=3):
+def _compiled_consensus_hlo(solver_factory, Xb, yb, nlam=3, mesh=None,
+                            axis=None):
     """Compile a consensus shard body over the 8-device mesh and return
     its post-optimization HLO text."""
     import jax.numpy as jnp
@@ -96,14 +97,20 @@ def _compiled_consensus_hlo(solver_factory, Xb, yb, nlam=3):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    mesh = make_mesh(8)
-    axis = mesh.axis_names[0]
+    mesh = make_mesh(8) if mesh is None else mesh
+    axis = mesh.axis_names[0] if axis is None else axis
     solver = solver_factory(axis)
+    W, _, p = Xb.shape
+    state_specs = (P(axis), P(axis), P())
     fn = shard_map(solver, mesh=mesh,
-                   in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
-                   out_specs=(P(), P()), check_vma=False)
+                   in_specs=(P(axis), P(axis)) + state_specs
+                   + (P(), P(), P(), P(), P()),
+                   out_specs=(P(), P(), state_specs + (P(),)),
+                   check_vma=False)
+    zeros = jnp.zeros((W, p), Xb.dtype)
     lowered = jax.jit(fn).lower(
-        Xb, yb, jnp.ones((nlam,), Xb.dtype),
+        Xb, yb, zeros, zeros, zeros[0],
+        jnp.ones((nlam,), Xb.dtype),
         Xb.dtype.type(-1.0), np.int32(50), Xb.dtype.type(1e-5),
         Xb.dtype.type(1e-5))
     return lowered.compile().as_text()
@@ -187,8 +194,7 @@ def test_two_level_mesh_single_collective():
     hierarchy), not one per axis."""
     import jax.numpy as jnp
     from functools import partial
-    from jax.sharding import Mesh, PartitionSpec as P
-    from jax import shard_map
+    from jax.sharding import Mesh
     from admm_tpu.parallel import consensus as C
 
     X, y = _problem(n=160, p=16)
@@ -197,15 +203,9 @@ def test_two_level_mesh_single_collective():
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
                 ("hosts", "chips"))
     axis = ("hosts", "chips")
-    solver = partial(C._consensus_lasso_shard, axis=axis, nworkers=8,
-                     tall_block=True)
-    fn = shard_map(solver, mesh=mesh,
-                   in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
-                   out_specs=(P(), P()), check_vma=False)
-    hlo = jax.jit(fn).lower(
-        Xb, yb, jnp.ones((3,), jnp.float32), jnp.float32(-1.0),
-        np.int32(50), jnp.float32(1e-5),
-        jnp.float32(1e-5)).compile().as_text()
+    factory = lambda ax: partial(C._consensus_lasso_shard, axis=ax,
+                                 nworkers=8, tall_block=True)
+    hlo = _compiled_consensus_hlo(factory, Xb, yb, mesh=mesh, axis=axis)
     shapes = _allreduce_shapes(hlo)
     assert len(shapes) == 1, shapes
     assert shapes[0].startswith("f32[19]"), shapes[0]

@@ -43,7 +43,7 @@ def test_supports_budget():
 
 def test_kernel_matches_xla_batch_solver(problem):
     Xs, ys, ilams, p, k = problem
-    coefs_x, niter_x = _solve_path_tall_batch(Xs, ys, ilams, -1.0, 2000,
+    coefs_x, niter_x, _ = _solve_path_tall_batch(Xs, ys, ilams, -1.0, 2000,
                                               1e-5, 1e-5, 1.0)
     coefs_p, niter_p = _pallas_solve(Xs, ys, ilams, p)
     np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
@@ -56,7 +56,7 @@ def test_kernel_matches_xla_batch_solver(problem):
 
 def test_kernel_enet_alpha(problem):
     Xs, ys, ilams, p, k = problem
-    coefs_x, niter_x = _solve_path_tall_batch(Xs, ys, ilams, -1.0, 2000,
+    coefs_x, niter_x, _ = _solve_path_tall_batch(Xs, ys, ilams, -1.0, 2000,
                                               1e-5, 1e-5, 0.6)
     coefs_p, niter_p = _pallas_solve(Xs, ys, ilams, p, alpha=0.6)
     np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
@@ -78,7 +78,7 @@ def test_scan_kernel_matches_xla_scan_solver(problem):
     """The warm-started sequential kernel must reproduce the XLA
     scan-over-while_loop solver exactly (same math, same warm starts)."""
     Xs, ys, ilams, p, k = problem
-    coefs_x, niter_x = _solve_path_tall(Xs, ys, ilams, -1.0, 2000,
+    coefs_x, niter_x, _ = _solve_path_tall(Xs, ys, ilams, -1.0, 2000,
                                         1e-5, 1e-5, 1.0)
     coefs_p, niter_p = _pallas_scan_solve(Xs, ys, ilams, p)
     np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
@@ -93,7 +93,7 @@ def test_scan_kernel_matches_xla_scan_solver(problem):
 
 def test_scan_kernel_enet(problem):
     Xs, ys, ilams, p, k = problem
-    coefs_x, niter_x = _solve_path_tall(Xs, ys, ilams, -1.0, 2000,
+    coefs_x, niter_x, _ = _solve_path_tall(Xs, ys, ilams, -1.0, 2000,
                                         1e-5, 1e-5, 0.6)
     coefs_p, niter_p = _pallas_scan_solve(Xs, ys, ilams, p, alpha=0.6)
     np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
@@ -148,7 +148,7 @@ def test_wide_kernel_matches_xla_batch(wide_problem):
     from admm_tpu.models.lasso import _solve_path_wide_batch
 
     Xs, ys, ilams, n, p = wide_problem
-    coefs_x, niter_x = _solve_path_wide_batch(Xs, ys, ilams, -1.0, 2000,
+    coefs_x, niter_x, _ = _solve_path_wide_batch(Xs, ys, ilams, -1.0, 2000,
                                               1e-5, 1e-5, 1.0, False)
     coefs_p, niter_p = _pallas_wide_solve(Xs, ys, ilams, n, p)
     np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
@@ -162,7 +162,7 @@ def test_wide_kernel_enet(wide_problem):
     from admm_tpu.models.lasso import _solve_path_wide_batch
 
     Xs, ys, ilams, n, p = wide_problem
-    coefs_x, niter_x = _solve_path_wide_batch(Xs, ys, ilams, -1.0, 2000,
+    coefs_x, niter_x, _ = _solve_path_wide_batch(Xs, ys, ilams, -1.0, 2000,
                                               1e-5, 1e-5, 0.6, False)
     coefs_p, niter_p = _pallas_wide_solve(Xs, ys, ilams, n, p, alpha=0.6)
     np.testing.assert_allclose(np.asarray(coefs_p), np.asarray(coefs_x),
