@@ -338,6 +338,21 @@ class ADMMDantzig(ADMMLasso):
                             res.niter, trace=res.trace)
 
 
+def _f64_class_eps() -> float:
+    """Default Boyd tolerance for the f64-class models (LAD/BP).
+
+    The reference runs these in DOUBLE precision with eps 1e-4
+    (reference: src/LAD.cpp:16, src/BP.cpp:20, R/10_admm_bp.R:38-41) —
+    a tolerance calibrated to f64 solution quality.  On f32 backends
+    (TPU) the f32 solvers tighten the default to 2e-5, which matches or
+    beats the reference's published coefficient accuracy (measured
+    sweep: DESIGN.md "f64-class accuracy").  Under x64 the reference
+    default applies literally.
+    """
+    import jax
+    return 1e-4 if jax.config.jax_enable_x64 else 2e-5
+
+
 class ADMMBP:
     """Basis-Pursuit builder (reference: R/10_admm_bp.R:2-41).
 
@@ -351,8 +366,8 @@ class ADMMBP:
             raise ValueError("ncol(x) must be greater than nrow(x)")
         self.nthread = 1
         self.maxit = 10000
-        self.eps_abs = 1e-4
-        self.eps_rel = 1e-4
+        self.eps_abs = _f64_class_eps()
+        self.eps_rel = _f64_class_eps()
         self.rho = 1.0
         self.trace = False
 
@@ -367,10 +382,14 @@ class ADMMBP:
         self.nthread = max(int(nthread), 1)
         return self
 
-    def opts(self, maxit: int = 10000, eps_abs: float = 1e-4,
-             eps_rel: float = 1e-4, rho: float = 1.0, trace=False, **kw):
+    def opts(self, maxit: int = 10000, eps_abs: Optional[float] = None,
+             eps_rel: Optional[float] = None, rho: float = 1.0,
+             trace=False, **kw):
         """(reference: R/10_admm_bp.R:80-97).  ``trace`` as in
-        :meth:`ADMMLasso.opts` (TPU extension)."""
+        :meth:`ADMMLasso.opts` (TPU extension); eps defaults are
+        precision-aware (see _f64_class_eps)."""
+        eps_abs = _f64_class_eps() if eps_abs is None else eps_abs
+        eps_rel = _f64_class_eps() if eps_rel is None else eps_rel
         if maxit <= 0:
             raise ValueError("maxit should be positive")
         if eps_abs < 0 or eps_rel < 0:
@@ -421,8 +440,8 @@ class ADMMLAD(ADMMBP):
         self.intercept = bool(intercept)
         self.nthread = 1
         self.maxit = 10000
-        self.eps_abs = 1e-4
-        self.eps_rel = 1e-4
+        self.eps_abs = _f64_class_eps()
+        self.eps_rel = _f64_class_eps()
         self.rho = 1.0
         self.trace = False
 

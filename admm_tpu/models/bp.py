@@ -110,17 +110,27 @@ def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel, trace_len=None):
     return BPResult(coef=st.z, niter=st.it, trace=buf)
 
 
-def bp_fit(A, b, *, maxit: int = 10000, eps_abs: float = 1e-4,
-           eps_rel: float = 1e-4, rho: float = 1.0,
+def bp_fit(A, b, *, maxit: int = 10000,
+           eps_abs: Optional[float] = None,
+           eps_rel: Optional[float] = None, rho: float = 1.0,
            trace_len: Optional[int] = None, dtype=None) -> BPResult:
     """Solve Basis Pursuit.  Defaults mirror reference: R/10_admm_bp.R:37-41
-    (eps 1e-4, rho = 1).  Requires p > n (validated by the builder API).
+    (eps 1e-4, rho = 1) — under f64.  As for LAD, the reference's 1e-4
+    is an f64 tolerance (reference: src/BP.cpp:20); on f32 backends the
+    default tightens to 2e-5, which brings the recovery error 3x BELOW
+    the reference's published number (measured sweep: DESIGN.md
+    "f64-class accuracy").  Pass eps explicitly for literal reference
+    semantics.  Requires p > n (validated by the builder API).
     ``trace_len`` records the per-iteration residual trace."""
     if dtype is None:
         # Match the reference's float64 for this model class when the
         # backend supports it (reference: src/LAD.cpp / src/BP.cpp use
         # double); float32 on TPU (SURVEY.md 2.6 caveat 2).
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if eps_abs is None:
+        eps_abs = 1e-4 if dtype == jnp.float64 else 2e-5
+    if eps_rel is None:
+        eps_rel = 1e-4 if dtype == jnp.float64 else 2e-5
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
     return _bp_fit(A, b, rho, maxit, eps_abs, eps_rel,
@@ -152,8 +162,9 @@ def _bp_fit_batch(A, B, rho, maxit, eps_abs, eps_rel):
     return BPResult(coef=st.z, niter=st.it)
 
 
-def bp_fit_batch(A, B, *, maxit: int = 10000, eps_abs: float = 1e-4,
-                 eps_rel: float = 1e-4, rho: float = 1.0,
+def bp_fit_batch(A, B, *, maxit: int = 10000,
+                 eps_abs: Optional[float] = None,
+                 eps_rel: Optional[float] = None, rho: float = 1.0,
                  dtype=None) -> BPResult:
     """Recover MANY sparse signals against one measurement matrix.
 
@@ -167,6 +178,10 @@ def bp_fit_batch(A, B, *, maxit: int = 10000, eps_abs: float = 1e-4,
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if eps_abs is None:
+        eps_abs = 1e-4 if dtype == jnp.float64 else 2e-5
+    if eps_rel is None:
+        eps_rel = 1e-4 if dtype == jnp.float64 else 2e-5
     A = jnp.asarray(A, dtype)
     B = jnp.atleast_2d(jnp.asarray(B, dtype))
     return _bp_fit_batch(A, B, rho, maxit, eps_abs, eps_rel)

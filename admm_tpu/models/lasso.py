@@ -336,6 +336,126 @@ def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale):
     return st0, solve, (lambda st: st.x)
 
 
+def _solve_path_wide_activeset(Xs, ys, ilams, rho0, maxit, eps_abs,
+                               eps_rel, alpha, enet_lambda0_scale,
+                               s_max: Optional[int] = None):
+    """Wide-regime scan path with the reference's 4^k-1 active-set
+    cadence, realised TPU-style.
+
+    The reference's trick (reference: src/ADMMLassoWide.h:86-127): a
+    FULL linearized x-update only on iterations 4^k-1; in between,
+    update only the current nonzeros, each via one column inner product.
+    Its CPU realisation (sparse bookkeeping + per-column AVX dots) is
+    hostile to the MXU, so here the active set is a COMPACT GATHERED
+    column block: at each regular (4^k-1) iteration the top-``s_max``
+    coordinates by |x| are gathered into a dense (n, S) matrix ``Xa``
+    and the iterate is restricted to that support; the in-between
+    iterations run the same linearized update against ``Xa`` — two
+    (n, S) matvecs instead of two (n, p) — with residuals, tolerances,
+    the adaptive-rho ladder and the Boyd test identical to the dense
+    engine (admm_tpu/models/lasso.py::_wide_ops).
+
+    Static-shape price: the reference's active set is unbounded; this
+    one caps support at S = ``s_max`` (default max(256, p/4)), zeroing
+    the smallest coordinates at refresh — exact whenever the solution
+    support fits, which the benchmark checks (benchmarks/wide_activeset
+    section of DESIGN.md records both timing and accuracy).
+    """
+    import math as _math
+
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    lambda0, sprad, rho = _wide_setup(Xs, ys, ilams[0], rho0, alpha,
+                                      enet_lambda0_scale)
+    S = int(s_max) if s_max else min(p, max(256, p // 4))
+    sqrt_sprad = jnp.sqrt(sprad)
+    sq_n = jnp.asarray(_math.sqrt(n), dtype)
+    sq_p = jnp.asarray(_math.sqrt(p), dtype)
+
+    def refresh(x):
+        """Top-S support; returns (x_capped, idx, Xa)."""
+        _, idx = lax.top_k(jnp.abs(x), S)
+        idx = jnp.sort(idx)
+        Xa = jnp.take(Xs, idx, axis=1)
+        x_cap = jnp.zeros_like(x).at[idx].set(x[idx])
+        return x_cap, idx, Xa
+
+    def step(carry, lam):
+        x, z, y, aux, idx, Xa, rho, _ = carry
+        # Warm start: keep iterates + rho; schedule restarts at 0 so the
+        # first iteration of every lambda is a regular (full) update
+        # (reference: src/ADMMLassoWide.h:241-251 keeps iterates too).
+        def cond(c):
+            st = c
+            return jnp.logical_not(st["done"]) & (st["it"] < maxit)
+
+        def body(st):
+            x, z, y, aux = st["x"], st["z"], st["y"], st["aux"]
+            rho = st["rho"]
+            eps_pri = (jnp.maximum(l2norm(aux), l2norm(z)) * eps_rel
+                       + sq_n * eps_abs)
+            eps_dua = sqrt_sprad * l2norm(y) * eps_rel + sq_p * eps_abs
+            tmp = aux + z + y / rho
+            pen = st["lam"] / (rho * sprad)
+            is_reg = st["it"] == st["next_reg"]
+
+            def regular(_):
+                v = x - dot(Xs.T, tmp) / sprad
+                x_new = enet_prox(v, pen, alpha)
+                x_new = jnp.where(st["lam"] > lambda0 * (1.0 - 1e-5),
+                                  jnp.zeros_like(x_new), x_new)
+                x_new, idx, Xa = refresh(x_new)
+                ax = dot(Xa, x_new[idx])
+                return x_new, idx, Xa, ax
+
+            def active(_):
+                idx, Xa = st["idx"], st["Xa"]
+                xa = x[idx]
+                va = xa - dot(Xa.T, tmp) / sprad
+                xa_new = enet_prox(va, pen, alpha)
+                xa_new = jnp.where(st["lam"] > lambda0 * (1.0 - 1e-5),
+                                   jnp.zeros_like(xa_new), xa_new)
+                x_new = jnp.zeros_like(x).at[idx].set(xa_new)
+                ax = dot(Xa, xa_new)
+                return x_new, idx, Xa, ax
+
+            x_new, idx, Xa, ax = lax.cond(is_reg, regular, active,
+                                          operand=None)
+            z_new = -(ys + y + rho * ax) / (1.0 + rho)
+            r_dua = rho * sqrt_sprad * l2norm(z_new - z)
+            r = ax + z_new
+            r_pri = l2norm(r)
+            y_new = y + rho * r
+            done = (r_pri < eps_pri) & (r_dua < eps_dua)
+            # Adaptive ladder, engine-identical gating
+            # (core/engine.py::_adaptive_rho).
+            from ..core.engine import _adaptive_rho
+            rho_a = _adaptive_rho(rho, r_pri, eps_pri, r_dua, eps_dua)
+            rho_new = jnp.where(done | (st["it"] <= 3), rho, rho_a)
+            return dict(st, x=x_new, z=z_new, y=y_new, aux=ax, idx=idx,
+                        Xa=Xa, rho=rho_new, it=st["it"] + 1, done=done,
+                        next_reg=jnp.where(is_reg,
+                                           st["next_reg"] * 4 + 3,
+                                           st["next_reg"]))
+
+        st = dict(x=x, z=z, y=y, aux=aux, idx=idx, Xa=Xa, rho=rho,
+                  lam=lam, it=jnp.asarray(0, jnp.int32),
+                  next_reg=jnp.asarray(0, jnp.int32),
+                  done=jnp.asarray(False))
+        st = lax.while_loop(cond, body, st)
+        carry = (st["x"], st["z"], st["y"], st["aux"], st["idx"],
+                 st["Xa"], st["rho"], st["it"])
+        return carry, (st["x"], st["it"])
+
+    zeros_p = jnp.zeros((p,), dtype)
+    zeros_n = jnp.zeros((n,), dtype)
+    x0, idx0, Xa0 = refresh(zeros_p)
+    carry0 = (x0, zeros_n, zeros_n, zeros_n, idx0, Xa0,
+              jnp.asarray(rho, dtype), jnp.asarray(0, jnp.int32))
+    _, (coefs, niter) = lax.scan(step, carry0, ilams)
+    return coefs, niter, None
+
+
 def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
                      enet_lambda0_scale, trace_len=None):
     st0, solve, report = _wide_engine(Xs, ys, ilams[0], rho0, alpha,

@@ -569,7 +569,8 @@ def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:
 
 def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
                     mesh: Optional[Mesh] = None, maxit: int = 10000,
-                    eps_abs: float = 1e-4, eps_rel: float = 1e-4,
+                    eps_abs: Optional[float] = None,
+                    eps_rel: Optional[float] = None,
                     rho: float = 1.0, trace_len: Optional[int] = None,
                     dtype=None) -> BPResult:
     """Consensus Basis Pursuit: ``min ||z||_1 s.t. A_i z = b_i`` for every
@@ -588,6 +589,11 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # f32 default tolerance tightened as in the serial BP (models/bp.py).
+    if eps_abs is None:
+        eps_abs = 1e-4 if dtype == jnp.float64 else 2e-5
+    if eps_rel is None:
+        eps_rel = 1e-4 if dtype == jnp.float64 else 2e-5
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
     n, p = A.shape
