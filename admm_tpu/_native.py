@@ -9,7 +9,6 @@ host-side throughput parity with the reference's AVX/OpenMP layer
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-from functools import partial
 from typing import Optional
 
 import jax

@@ -16,7 +16,6 @@ tighter than the 10% tolerance the reference requests.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -49,10 +49,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..core.engine import (ProblemOps, make_admm_solver,
-                           make_batched_solver, make_state, warm_start)
+                           make_batched_solver, make_state)
 from ..core.prox import box_clamp_neg, l2norm, soft_threshold
 from ..data.standardize import recover, standardize
 from ..linalg import dot, gram, spectral_radius_sym

@@ -71,22 +71,27 @@ def bp_problem(n, p, k, seed=123):
 # Amortized two-point timer
 # ---------------------------------------------------------------------------
 
-def amortized_ms(make_scalar, k_small, k_large, repeats=3):
-    """Median on-device ms per solve.  ``make_scalar(i)`` runs one full
-    solve (perturbed by repetition index i) and returns a scalar."""
+def amortized_ms(make_scalar, k_small, k_large, repeats=3, args=()):
+    """Median on-device ms per solve.  ``make_scalar(i, *args)`` runs one
+    full solve (perturbed by repetition index i) and returns a scalar.
+
+    Pass large arrays via ``args`` rather than closing over them:
+    closed-over jax Arrays are baked into the HLO as CONSTANTS, and past
+    a few hundred MB the tunnel's remote-compile endpoint rejects the
+    request body (HTTP 413)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def run_k(K):
+    def run_k(K, *args):
         def body(i, acc):
-            return acc + make_scalar(i)
+            return acc + make_scalar(i, *args)
         return lax.fori_loop(0, K, body, jnp.float32(0.0))
 
     def wall(K):
         t0 = time.perf_counter()
-        float(run_k(K))
+        float(run_k(K, *args))
         return (time.perf_counter() - t0) * 1e3
 
     wall(k_small)  # compile + warm-up (K is dynamic: one compile total)
@@ -207,6 +212,59 @@ def bench_bp(fast):
     return out
 
 
+def bench_consensus_scaling(fast):
+    """On-chip batched-worker scaling (the measurable half of the
+    BASELINE north star): W = 1..16 consensus workers on ONE chip, all
+    vectorized as the leading einsum axis — the TPU analog of the
+    reference's OpenMP threads (reference: src/PADMMBase.h:180-188).
+    Fixed problem (8192 x 256, 3 lambdas, eps 1e-6): total row count is
+    constant, so flat time-vs-W means on-chip workers are free (the MXU
+    absorbs the worker axis) and the consensus penalty is iterations,
+    which are reported alongside."""
+    import jax.numpy as jnp
+    from admm_tpu.parallel.consensus import _consensus_lasso_shard
+
+    n, p = 8192, 256
+    X, y, _ = regression_problem(n, p, 32, seed=7)
+    X, y = jnp.asarray(X), jnp.asarray(y)
+    lam0 = float(jnp.max(jnp.abs(X.T @ y)))
+    ilams = jnp.asarray([0.3 * lam0, 0.1 * lam0, 0.03 * lam0],
+                        jnp.float32)
+
+    out = {}
+    scaling = {}
+    for W in (1, 2, 4, 8, 16):
+        Xb = X.reshape(W, n // W, p)
+        yb = y.reshape(W, n // W)
+        x0 = jnp.zeros((W, p), jnp.float32)
+        z0 = jnp.zeros((p,), jnp.float32)
+        solver = partial(_consensus_lasso_shard, axis=None, nworkers=W,
+                         tall_block=True)
+
+        def one(i, Xb=Xb, yb=yb, solver=solver, x0=x0, z0=z0):
+            yy = yb * (1.0 + 1e-6 * (i + 1).astype(yb.dtype))
+            coefs, niter, _ = solver(Xb, yy, x0, x0, z0, ilams,
+                                     jnp.float32(-1.0), 10000,
+                                     jnp.float32(1e-6),
+                                     jnp.float32(1e-6))
+            return jnp.sum(coefs) + jnp.sum(niter).astype(jnp.float32)
+
+        import jax
+        _, niter, _ = jax.jit(lambda: solver(
+            Xb, yb, x0, x0, z0, ilams, jnp.float32(-1.0), 10000,
+            jnp.float32(1e-6), jnp.float32(1e-6)))()
+        ks = (1, 3) if fast else (2, 8)
+        scaling[f"W{W}"] = dict(
+            ms=amortized_ms(one, *ks),
+            total_niter=int(np.sum(np.asarray(niter))))
+    out["consensus_scaling_onchip"] = dict(
+        value=scaling, baseline_ms=None,
+        note="fixed 8192x256 problem, 3 lambdas, W batched workers on "
+             "one chip (reference analog: OpenMP threads, "
+             "src/PADMMBase.h:180-188)")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Oracle agreement (the reference README's correctness columns)
 # ---------------------------------------------------------------------------
@@ -277,7 +335,8 @@ def main():
     results = {}
     for name, fn in [("lasso", bench_lasso_path),
                      ("lasso_wide", bench_lasso_wide),
-                     ("lad", bench_lad), ("bp", bench_bp)]:
+                     ("lad", bench_lad), ("bp", bench_bp),
+                     ("consensus_scaling", bench_consensus_scaling)]:
         t0 = time.time()
         results.update(fn(args.fast))
         print(f"# {name} done in {time.time()-t0:.1f}s", file=sys.stderr)
@@ -286,10 +345,16 @@ def main():
 
     width = max(len(k) for k in results)
     for k, v in results.items():
+        if isinstance(v["value"], dict):   # nested section (scaling)
+            print(f"{k}:")
+            for kk, vv in v["value"].items():
+                print(f"  {kk:<6} {vv['ms']:10.3f} ms  "
+                      f"(total niter {vv['total_niter']})")
+            continue
         base = v.get("baseline_ms", v.get("baseline"))
         speed = (f"  {base / v['value']:8.1f}x vs ref"
-                 if "baseline_ms" in v else
-                 f"  (ref ~{base:g})")
+                 if "baseline_ms" in v and base else
+                 f"  (ref ~{base:g})" if base else "")
         print(f"{k:<{width}}  {v['value']:12.4g}{speed}")
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -38,7 +38,31 @@ def _pallas_solve(Xs, ys, ilams, p, alpha=1.0):
 
 def test_supports_budget():
     assert supports(1000, 100)
-    assert not supports(4000, 100)  # 64 MB inverse cannot fit VMEM
+    # 64 MB inverse exceeds the one-shot budget but fits via the TILED
+    # x-update (column-block dots keep the Mosaic working set small).
+    from admm_tpu.ops.tall_path import n_col_blocks
+    assert supports(4000, 100) and n_col_blocks(4000, 100) > 1
+    assert not supports(5000, 100)  # 105 MB inverse: past physical VMEM
+
+
+def test_tiled_xupdate_matches_one_shot(problem, monkeypatch):
+    """The tiled column-block x-update must be bit-compatible with the
+    one-shot dot (same kernel, n_blocks forced > 1 via a shrunken
+    budget)."""
+    from admm_tpu.ops import tall_path as tp
+
+    Xs, ys, ilams, p, k = problem
+    ref_coefs, ref_niter = _pallas_solve(Xs, ys, ilams, p)
+    monkeypatch.setattr(tp, "_VMEM_BUDGET_BYTES", 1)
+    monkeypatch.setattr(tp, "_TILE_B", 64)  # 40 -> P=128 -> 2 blocks
+    assert tp.n_col_blocks(p, k) > 1
+    tp.tall_path_batch_pallas.clear_cache()
+    try:
+        coefs, niter = _pallas_solve(Xs, ys, ilams, p)
+    finally:
+        tp.tall_path_batch_pallas.clear_cache()
+    np.testing.assert_array_equal(np.asarray(coefs), np.asarray(ref_coefs))
+    np.testing.assert_array_equal(np.asarray(niter), np.asarray(ref_niter))
 
 
 def test_kernel_matches_xla_batch_solver(problem):
@@ -104,7 +128,9 @@ def test_scan_kernel_enet(problem):
 
 def test_supports_scan_budget():
     assert supports_scan(1000, 100)
-    assert not supports_scan(4000, 100)
+    assert supports_scan(4000, 100)      # tiled x-update region
+    assert not supports_scan(5000, 100)  # past physical VMEM
+    assert not supports_scan(1000, 2000)  # K cap
 
 
 def test_kernel_padding_lanes_inert(problem):
