@@ -65,11 +65,11 @@ def _bp_ops(A, K, n, p, aaab_of) -> ProblemOps:
     )
 
 
-def _use_pallas_bp(n: int, p: int, dtype) -> bool:
+def _use_pallas_bp_batch(n: int, p: int, m: int, dtype) -> bool:
     from ..ops._common import pallas_enabled
-    from ..ops.bp_kernel import supports_bp
+    from ..ops.bp_kernel import supports_bp_batch
 
-    return pallas_enabled(dtype) and supports_bp(n, p)
+    return pallas_enabled(dtype) and supports_bp_batch(n, p, m)
 
 
 @partial(jax.jit, static_argnames=("trace_len",))
@@ -81,15 +81,10 @@ def _bp_fit(A, b, rho, maxit, eps_abs, eps_rel, trace_len=None):
     Winv = chol_inverse(AAt, jitter=jitter)       # (AA')^-1
     AAAb = dot(A.T, dot(Winv, b))                 # A'(AA')^-1 b
 
-    if trace_len is None and _use_pallas_bp(n, p, dtype):
-        # TPU fast path: the whole FADMM solve in one Pallas kernel with
-        # A and (AA')^{-1} resident in VMEM (admm_tpu/ops/bp_kernel.py).
-        from ..ops.bp_kernel import bp_solve_pallas
-
-        z, niter = bp_solve_pallas(A, Winv, AAAb, rho, eps_abs, eps_rel,
-                                   maxit, true_n=n, true_p=p)
-        return BPResult(coef=z, niter=niter)
-
+    # No Pallas path for the single-RHS solve: at one lane the
+    # projection is a gemv chain that XLA's pipeline already wins
+    # (measured 1.8x, round 1); the VMEM-resident kernel pays off in the
+    # multi-RHS batched solve below (admm_tpu/ops/bp_kernel.py).
     K = dot(Winv, A)                              # (AA')^-1 A, n x p
     ops = _bp_ops(A, K, n, p, lambda st: AAAb)
     # Fixed rho: FADMM's restart analysis (Goldstein et al. 2014) assumes
@@ -152,6 +147,15 @@ def _bp_fit_batch(A, B, rho, maxit, eps_abs, eps_rel):
     K = dot(Winv, A)
     # (m, p) per-signal caches A'(AA')^{-1} b_i — one matmul for all.
     AAAB = dot(B, dot(Winv, A))
+
+    if _use_pallas_bp_batch(n, p, m, dtype):
+        # TPU fast path: all m lanes solve in one Pallas kernel with A
+        # and (AA')^{-1} resident in VMEM (admm_tpu/ops/bp_kernel.py).
+        from ..ops.bp_kernel import bp_batch_solve_pallas
+
+        z, niter = bp_batch_solve_pallas(A, Winv, AAAB, rho, eps_abs,
+                                         eps_rel, maxit, true_p=p)
+        return BPResult(coef=z, niter=niter)
 
     ops = _bp_ops(A, K, n, p, lambda st: st.aux)
     solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))

@@ -41,86 +41,42 @@ from ._common import LANE, enet_prox, fadmm_momentum, round_up
 # 100 MB (v5e has 128 MB VMEM), a 24 MB static estimate keeps that peak
 # safely under the cap (measured empirically: 22 MB estimate compiles,
 # 38 MB does not).
+#
+# Why there is deliberately NO tiled mode past this ceiling: a
+# column-block x-update that keeps the inverse resident up to p ~ 4.5k
+# was built and raced against the XLA fallback on the real chip
+# (benchmarks/tall_ceiling*.json, DESIGN.md "the tall-kernel ceiling").
+# It LOST everywhere it activated — batch mode is MXU-compute-bound at
+# p >= 2.5k (k = 100 lanes give the XLA matmul full arithmetic
+# intensity; residency saves bandwidth nobody is waiting on: 0.60x at
+# p=2.5k, 0.95x at p=4k), and scan mode's single-row block dots hit the
+# same Mosaic weak spot as the single-RHS BP kernel (0.46-0.61x).  The
+# fallback past the ceiling is not a penalty; it is the faster path.
 _VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
-# Past the one-shot budget the x-update is TILED over column blocks of
-# the resident inverse (each block dot touches only a (P, B) slice, so
-# the Mosaic peak collapses to ~resident + one block), which keeps the
-# inverse VMEM-resident up to p ~ 4.5k.  Measured win over the XLA
-# HBM-bound fallback at p = 2.5k/4k: DESIGN.md "tall kernel past the
-# VMEM ceiling".
-_TILED_RESIDENT_BUDGET = 100 * 1024 * 1024
-_TILED_VMEM_LIMIT = 126 * 1024 * 1024
-_TILE_B = 512
-
-
-def _tiled_resident_bytes(P: int, K: int) -> int:
-    # inverse + 4 (K,P) state refs + (K,P) output + rhs/x_new temporaries
-    # + one (P, B) block operand copy.
-    return 4 * (P * P + 7 * K * P + 2 * P * _TILE_B + 4 * K)
-
-
-def n_col_blocks(p: int, k: int) -> int:
-    """How many column blocks the x-update dot should use: 1 = the
-    one-shot dot (small problems), else P/_TILE_B."""
-    P = round_up(max(p, 8), LANE)
-    K = round_up(max(k, 8), 8)
-    if 4 * (P * P + 8 * K * P + 4 * K) <= _VMEM_BUDGET_BYTES:
-        return 1
-    return max(P // _TILE_B, 1)
-
 
 def supports(p: int, k: int) -> bool:
-    """Whether the (p, k) problem fits the kernel in VMEM (one-shot dot
-    within the conservative budget, or the tiled x-update within
-    physical VMEM)."""
+    """Whether the (p, k) problem fits the kernel's VMEM budget (the
+    measured-crossover gate — see the note above)."""
     P = round_up(max(p, 8), LANE)
     K = round_up(max(k, 8), 8)
-    if n_col_blocks(p, k) == 1:
-        return True
-    return (P % _TILE_B == 0
-            and _tiled_resident_bytes(P, K) <= _TILED_RESIDENT_BUDGET)
+    need = 4 * (P * P + 8 * K * P + 4 * K)
+    return need <= _VMEM_BUDGET_BYTES
 
 
 def supports_scan(p: int, k: int) -> bool:
     """VMEM budget for the scan-mode kernel: the inverse plus one lane of
-    state plus the (K, P) output (one-shot or tiled, as above)."""
+    state plus the (K, P) output."""
     P = round_up(max(p, 8), LANE)
     K = round_up(max(k, 8), 8)
-    if K > 1024:
-        return False
-    if 4 * (P * P + K * P + 8 * P + 2 * K) <= _VMEM_BUDGET_BYTES:
-        return True
-    return (P % _TILE_B == 0
-            and _tiled_resident_bytes(P, K) <= _TILED_RESIDENT_BUDGET)
-
-
-def _xupdate_dot(rhs, minv_ref, n_blocks: int):
-    """``rhs @ Minv`` against the VMEM-resident inverse.
-
-    ``n_blocks == 1``: one MXU dot (minv read at the use site — hoisting
-    spills, see admm_tpu/ops/lad_kernel.py).  Otherwise a static loop of
-    column-block dots so only a (P, B) slice of the inverse is live per
-    step — the working-set trick that keeps p ~ 4k resident.
-    """
-    if n_blocks == 1:
-        return jnp.dot(rhs, minv_ref[:],
-                       preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGHEST)
-    P = minv_ref.shape[1]
-    B = P // n_blocks
-    return jnp.concatenate(
-        [jnp.dot(rhs, minv_ref[:, j * B:(j + 1) * B],
-                 preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)
-         for j in range(n_blocks)], axis=1)
+    need = 4 * (P * P + K * P + 8 * P + 2 * K)
+    return need <= _VMEM_BUDGET_BYTES and K <= 1024
 
 
 def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
             x_ref, y_ref, adjz_ref, adjy_ref, sc_ref,
-            *, true_p: int, restart_tol: float, num_real: int,
-            n_blocks: int = 1):
+            *, true_p: int, restart_tol: float, num_real: int):
     """One program: solves all K lambda lanes to convergence.
 
     All per-lane state lives in VMEM refs (z in the output ref); the
@@ -179,7 +135,12 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
         # (reference: src/ADMMLassoTall.h:70-80; Minv is symmetric so the
         # row-vector form equals Minv @ rhs).
         rhs = xty - adj_y + rho * adj_z
-        x_new = _xupdate_dot(rhs, minv_ref, n_blocks)
+        # minv is read from its VMEM ref at the use site: hoisting it out
+        # of the while_loop makes the register allocator spill the whole
+        # matrix (see admm_tpu/ops/lad_kernel.py).
+        x_new = jnp.dot(rhs, minv_ref[:],
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
         z_new = prox(x_new + adj_y / rho, lam / rho)
         r_dua = rho * rnorm(z_new - z)
         r = x_new - z_new
@@ -217,7 +178,7 @@ def _kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
 def _scan_kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
                  x_ref, z_ref, y_ref, adjz_ref, adjy_ref,
                  *, num_lams: int, true_p: int, restart_tol: float,
-                 K: int, n_blocks: int = 1):
+                 K: int):
     """Sequential warm-started lambda path, one lane, inverse resident.
 
     The reference's own path protocol (reference: src/Lasso.cpp:97-124 —
@@ -265,7 +226,9 @@ def _scan_kernel(minv_ref, xty_ref, lam_ref, scal_ref, z_out, niter_out,
             # x-update against the resident inverse
             # (reference: src/ADMMLassoTall.h:70-80).
             rhs = xty - adj_y + rho * adj_z
-            x_new = _xupdate_dot(rhs, minv_ref, n_blocks)
+            x_new = jnp.dot(rhs, minv_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=lax.Precision.HIGHEST)
             z_new = prox(x_new + adj_y / rho, lam / rho)
             r_dua = rho * rnorm(z_new - z)
             r = x_new - z_new
@@ -327,9 +290,8 @@ def tall_path_scan_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
     scal = jnp.array([[rho, eps_abs, eps_rel, alpha, maxit, 0.0, 0.0, 0.0]],
                      jnp.float32)
 
-    nb = n_col_blocks(p, k)
     kernel = functools.partial(_scan_kernel, num_lams=k, true_p=true_p,
-                               restart_tol=restart_tol, K=K, n_blocks=nb)
+                               restart_tol=restart_tol, K=K)
     z, niter = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((K, P), jnp.float32),
@@ -346,8 +308,7 @@ def tall_path_scan_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
                         pltpu.VMEM((1, P), jnp.float32),   # adj_z
                         pltpu.VMEM((1, P), jnp.float32)],  # adj_y
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(_TILED_VMEM_LIMIT if nb > 1
-                              else _VMEM_LIMIT)),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(minv_pad, xty_pad, lam_pad, scal)
     return z[:k, :p], niter[0, :k].astype(jnp.int32)
@@ -379,10 +340,8 @@ def tall_path_batch_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
     scal = jnp.array([[rho, eps_abs, eps_rel, alpha, maxit, 0.0, 0.0, 0.0]],
                      jnp.float32)
 
-    nb = n_col_blocks(p, k)
     kernel = functools.partial(_kernel, true_p=true_p,
-                               restart_tol=restart_tol, num_real=k,
-                               n_blocks=nb)
+                               restart_tol=restart_tol, num_real=k)
     z, niter = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((K, P), jnp.float32),
@@ -399,8 +358,7 @@ def tall_path_batch_pallas(Minv, Xty, ilams, rho, eps_abs, eps_rel, alpha,
                         pltpu.VMEM((K, P), jnp.float32),   # adj_y
                         pltpu.VMEM((K, 4), jnp.float32)],  # lane scalars
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(_TILED_VMEM_LIMIT if nb > 1
-                              else _VMEM_LIMIT)),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(minv_pad, xty_pad, lam_pad, scal)
     return z[:k, :p], niter[:k, 0].astype(jnp.int32)

@@ -38,31 +38,12 @@ def _pallas_solve(Xs, ys, ilams, p, alpha=1.0):
 
 def test_supports_budget():
     assert supports(1000, 100)
-    # 64 MB inverse exceeds the one-shot budget but fits via the TILED
-    # x-update (column-block dots keep the Mosaic working set small).
-    from admm_tpu.ops.tall_path import n_col_blocks
-    assert supports(4000, 100) and n_col_blocks(4000, 100) > 1
-    assert not supports(5000, 100)  # 105 MB inverse: past physical VMEM
-
-
-def test_tiled_xupdate_matches_one_shot(problem, monkeypatch):
-    """The tiled column-block x-update must be bit-compatible with the
-    one-shot dot (same kernel, n_blocks forced > 1 via a shrunken
-    budget)."""
-    from admm_tpu.ops import tall_path as tp
-
-    Xs, ys, ilams, p, k = problem
-    ref_coefs, ref_niter = _pallas_solve(Xs, ys, ilams, p)
-    monkeypatch.setattr(tp, "_VMEM_BUDGET_BYTES", 1)
-    monkeypatch.setattr(tp, "_TILE_B", 64)  # 40 -> P=128 -> 2 blocks
-    assert tp.n_col_blocks(p, k) > 1
-    tp.tall_path_batch_pallas.clear_cache()
-    try:
-        coefs, niter = _pallas_solve(Xs, ys, ilams, p)
-    finally:
-        tp.tall_path_batch_pallas.clear_cache()
-    np.testing.assert_array_equal(np.asarray(coefs), np.asarray(ref_coefs))
-    np.testing.assert_array_equal(np.asarray(niter), np.asarray(ref_niter))
+    # Past the one-shot ceiling the kernel gates OFF — a tiled
+    # column-block variant was built and MEASURED SLOWER than the XLA
+    # fallback at p = 2.5k/4k (batch mode is compute-bound there;
+    # benchmarks/tall_ceiling*.json, DESIGN.md "the tall-kernel
+    # ceiling"), so the gate is a measured crossover, not a guess.
+    assert not supports(4000, 100)
 
 
 def test_kernel_matches_xla_batch_solver(problem):
@@ -128,8 +109,7 @@ def test_scan_kernel_enet(problem):
 
 def test_supports_scan_budget():
     assert supports_scan(1000, 100)
-    assert supports_scan(4000, 100)      # tiled x-update region
-    assert not supports_scan(5000, 100)  # past physical VMEM
+    assert not supports_scan(4000, 100)   # measured crossover (see above)
     assert not supports_scan(1000, 2000)  # K cap
 
 
@@ -251,38 +231,40 @@ def test_lad_kernel_matches_xla_solver():
     assert obj(c_kernel) <= obj(c_xla) * 1.001
 
 
-def test_bp_kernel_matches_xla_solver():
+def test_bp_batch_kernel_matches_xla_solver():
+    """The batched multi-RHS BP kernel (the lane-batched fix for round
+    1's gated-off single-RHS kernel) must match the XLA batched solver
+    per lane and recover the true signals."""
+    import jax
+    from admm_tpu.models.bp import _bp_fit_batch, bp_fit_batch
+    from admm_tpu.ops.bp_kernel import (bp_batch_solve_pallas,
+                                        supports_bp_batch)
     from admm_tpu.linalg import chol_inverse, dot as pdot, tgram
-    from admm_tpu.models.bp import _bp_ops
-    from admm_tpu.core.engine import make_fadmm_solver, make_state
-    from admm_tpu.ops.bp_kernel import bp_solve_pallas, supports_bp
 
-    # The BP kernel is currently gated OFF everywhere (measured slower
-    # than the XLA solver at all practical sizes — see supports_bp).
-    assert not supports_bp(1000, 2000)
-    assert not supports_bp(1000, 10000)
+    # Gate facts: multi-lane reference size fits; single lane never
+    # uses the kernel; the big 1000x10000 A does not fit VMEM.
+    assert supports_bp_batch(1000, 2000, 100)
+    assert not supports_bp_batch(1000, 2000, 1)
+    assert not supports_bp_batch(1000, 10000, 200)
 
     rng = np.random.default_rng(12)
-    n, p, k = 60, 160, 10
-    x0 = np.zeros(p)
-    x0[rng.choice(p, k, replace=False)] = rng.normal(size=k)
+    n, p, k, m = 60, 160, 6, 5
+    X0 = np.zeros((m, p))
+    for i in range(m):
+        X0[i, rng.choice(p, k, replace=False)] = rng.normal(size=k)
     A = jnp.asarray(rng.normal(size=(n, p)) / np.sqrt(n), jnp.float32)
-    b = A @ jnp.asarray(x0, jnp.float32)
+    B = jnp.asarray(X0, jnp.float32) @ A.T
+
+    # XLA batched solver (the fallback path).
+    ref = _bp_fit_batch(A, B, 1.0, 3000, 1e-6, 1e-6)
 
     Winv = chol_inverse(tgram(A), jitter=1e-6)
-    K = pdot(Winv, A)
-    AAAb = pdot(A.T, pdot(Winv, b))
-    ops = _bp_ops(A, K, n, p, lambda st: AAAb)
-    solve = make_fadmm_solver(ops, adapt_rho=False)
-    zeros = jnp.zeros((p,), jnp.float32)
-    st = solve(make_state(zeros, zeros, zeros, 1.0, 0.0,
-                          dtype=jnp.float32), 3000, 1e-6, 1e-6)
-
-    z, niter = bp_solve_pallas(A, Winv, AAAb, 1.0, 1e-6, 1e-6, 3000,
-                               true_n=n, true_p=p, interpret=True)
-    np.testing.assert_allclose(np.asarray(z), np.asarray(st.z), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(z), x0, atol=1e-3)
-    # Over 1000+ accelerated iterations the restart cascade amplifies
-    # accumulation-order differences into a few-% iteration-count drift;
-    # the solutions above are the invariant.
-    assert abs(int(niter) - int(st.it)) <= max(3, int(0.05 * int(st.it)))
+    AAAB = pdot(B, pdot(Winv, A))
+    z, niter = bp_batch_solve_pallas(A, Winv, AAAB, 1.0, 1e-6, 1e-6,
+                                     3000, true_p=p, interpret=True)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref.coef),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z), X0, atol=1e-3)
+    # Accumulation-order drift bound as elsewhere.
+    for a, b in zip(np.asarray(niter), np.asarray(ref.niter)):
+        assert abs(int(a) - int(b)) <= max(3, int(0.05 * int(b)))
