@@ -368,7 +368,11 @@ class ADMMBP:
         self.maxit = 10000
         self.eps_abs = _f64_class_eps()
         self.eps_rel = _f64_class_eps()
-        self.rho = 1.0
+        # Measured default (DESIGN.md "rho defaults, re-tuned"): rho=5
+        # converges 2-5x faster than the reference's rho=1 with
+        # equal-or-better accuracy; .opts(rho=1.0) restores the
+        # reference's literal default.
+        self.rho = 5.0
         self.trace = False
 
     _trace_len = ADMMLasso._trace_len
@@ -383,13 +387,15 @@ class ADMMBP:
         return self
 
     def opts(self, maxit: int = 10000, eps_abs: Optional[float] = None,
-             eps_rel: Optional[float] = None, rho: float = 1.0,
-             trace=False, **kw):
+             eps_rel: Optional[float] = None,
+             rho: Optional[float] = None, trace=False, **kw):
         """(reference: R/10_admm_bp.R:80-97).  ``trace`` as in
         :meth:`ADMMLasso.opts` (TPU extension); eps defaults are
-        precision-aware (see _f64_class_eps)."""
+        precision-aware (see _f64_class_eps); rho defaults to the
+        measured 5.0 (DESIGN.md)."""
         eps_abs = _f64_class_eps() if eps_abs is None else eps_abs
         eps_rel = _f64_class_eps() if eps_rel is None else eps_rel
+        rho = 5.0 if rho is None else rho
         if maxit <= 0:
             raise ValueError("maxit should be positive")
         if eps_abs < 0 or eps_rel < 0:
@@ -442,7 +448,7 @@ class ADMMLAD(ADMMBP):
         self.maxit = 10000
         self.eps_abs = _f64_class_eps()
         self.eps_rel = _f64_class_eps()
-        self.rho = 1.0
+        self.rho = 5.0  # measured default (see ADMMBP.__init__)
         self.trace = False
 
     def parallel(self, nthread: int = 2, **kw):

@@ -174,7 +174,8 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept,
 def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
             eps_abs: Optional[float] = None,
             eps_rel: Optional[float] = None,
-            rho: float = 1.0, trace_len: Optional[int] = None,
+            rho: Optional[float] = None,
+            trace_len: Optional[int] = None,
             dtype=None) -> LADResult:
     """Fit median regression by FADMM.
 
@@ -199,6 +200,13 @@ def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
         eps_abs = 1e-4 if dtype == jnp.float64 else 2e-5
     if eps_rel is None:
         eps_rel = 1e-4 if dtype == jnp.float64 else 2e-5
+    if rho is None:
+        # The reference defaults rho = 1.0 (R/20_admm_lad.R:28-31), which
+        # is mistuned for its own standardized problem: a measured sweep
+        # across shapes (DESIGN.md "rho defaults, re-tuned") shows
+        # rho = 5 converging 1.5-2.3x faster with an equal-or-better L1
+        # objective.  Pass rho=1.0 for the reference's literal default.
+        rho = 5.0
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     return _lad_fit(X, y, rho, maxit, eps_abs, eps_rel,

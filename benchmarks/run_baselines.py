@@ -174,10 +174,11 @@ def bench_lad(fast):
             yy = y * (1.0 + 1e-6 * (i + 1).astype(y.dtype))
             # intercept=False as in the reference benchmark
             # (README.md:306 "admm_lad(x, y, intercept = FALSE)").
-            # Shipped f32 default eps 2e-5 (the f64-accuracy-matching
-            # tolerance, models/lad.py) so this speed row measures the
-            # same protocol the oracle accuracy row certifies.
-            res = _lad_fit(X, yy, 1.0, 10000, 2e-5, 2e-5, intercept=False)
+            # Shipped f32 defaults: eps 2e-5 (the f64-accuracy-matching
+            # tolerance) and rho 5.0 (measured sweep; both in DESIGN.md)
+            # so this speed row measures the same protocol the oracle
+            # accuracy row certifies.
+            res = _lad_fit(X, yy, 5.0, 10000, 2e-5, 2e-5, intercept=False)
             return (jnp.sum(res.coef) + res.beta0
                     + res.niter.astype(jnp.float32))
 
@@ -201,8 +202,8 @@ def bench_bp(fast):
 
         def one(i, A=A, b=b):
             bb = b * (1.0 + 1e-6 * (i + 1).astype(b.dtype))
-            # Shipped f32 default eps 2e-5 (see models/bp.py).
-            res = _bp_fit(A, bb, 1.0, 10000, 2e-5, 2e-5)
+            # Shipped f32 defaults eps 2e-5, rho 5.0 (see models/bp.py).
+            res = _bp_fit(A, bb, 5.0, 10000, 2e-5, 2e-5)
             return jnp.sum(res.coef) + res.niter.astype(jnp.float32)
 
         ks = (1, 3) if fast else (1, 5)

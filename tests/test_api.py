@@ -178,8 +178,10 @@ def test_lad_defaults_without_opts():
     X = rng.normal(size=(60, 8))
     y = X @ np.ones(8) + rng.normal(size=60)
     m = admm_tpu.admm_lad(X, y)
+    # eps defaults are precision-aware (1e-4 under the x64 test config);
+    # rho defaults to the measured 5.0 (DESIGN.md "rho defaults").
     assert (m.maxit, m.eps_abs, m.eps_rel, m.rho) == (10000, 1e-4, 1e-4,
-                                                      1.0)
+                                                      5.0)
     fit = m.fit()
     assert np.isfinite(fit.beta).all()
     with pytest.raises(NotImplementedError):
