@@ -30,6 +30,8 @@ from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
                   admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
 from .models.bp import bp_fit_batch
 from .models.cv import cv_enet_path, cv_group_lasso_path, cv_lasso_path
+from .models.genlasso import (difference_matrix, fused_lasso_path,
+                              gen_lasso_path)
 from .models.grouplasso import group_lasso_path
 
 __version__ = "0.1.0"
@@ -39,5 +41,6 @@ __all__ = [
     "ADMMLasso", "ADMMEnet", "ADMMLAD", "ADMMBP", "ADMMDantzig",
     "cv_lasso_path", "cv_enet_path", "bp_fit_batch",
     "group_lasso_path", "cv_group_lasso_path",
+    "gen_lasso_path", "fused_lasso_path", "difference_matrix",
     "__version__",
 ]
