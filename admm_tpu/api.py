@@ -368,11 +368,11 @@ class ADMMBP:
         self.maxit = 10000
         self.eps_abs = _f64_class_eps()
         self.eps_rel = _f64_class_eps()
-        # Measured default (DESIGN.md "rho defaults, re-tuned"): rho=5
-        # converges 2-5x faster than the reference's rho=1 with
-        # equal-or-better accuracy; .opts(rho=1.0) restores the
-        # reference's literal default.
-        self.rho = 5.0
+        # None = each solver's own measured default (DESIGN.md "rho
+        # defaults, re-tuned"): 5.0 for the serial solvers, 1.0 for the
+        # consensus BP (different splitting, unmeasured at 5).
+        # .opts(rho=1.0) restores the reference's literal default.
+        self.rho = None
         self.trace = False
 
     _trace_len = ADMMLasso._trace_len
@@ -391,23 +391,22 @@ class ADMMBP:
              rho: Optional[float] = None, trace=False, **kw):
         """(reference: R/10_admm_bp.R:80-97).  ``trace`` as in
         :meth:`ADMMLasso.opts` (TPU extension); eps defaults are
-        precision-aware (see _f64_class_eps); rho defaults to the
-        measured 5.0 (DESIGN.md)."""
+        precision-aware (see _f64_class_eps); rho=None keeps each
+        solver's measured default (DESIGN.md)."""
         eps_abs = _f64_class_eps() if eps_abs is None else eps_abs
         eps_rel = _f64_class_eps() if eps_rel is None else eps_rel
-        rho = 5.0 if rho is None else rho
         if maxit <= 0:
             raise ValueError("maxit should be positive")
         if eps_abs < 0 or eps_rel < 0:
             raise ValueError("eps_abs and eps_rel should be nonnegative")
-        if rho <= 0:
+        if rho is not None and rho <= 0:
             raise ValueError("rho should be positive")
         if trace is not False and trace is not True and int(trace) <= 0:
             raise ValueError("trace must be a bool or a positive int")
         self.maxit = int(maxit)
         self.eps_abs = float(eps_abs)
         self.eps_rel = float(eps_rel)
-        self.rho = float(rho)
+        self.rho = None if rho is None else float(rho)
         self.trace = trace
         return self
 
@@ -448,7 +447,7 @@ class ADMMLAD(ADMMBP):
         self.maxit = 10000
         self.eps_abs = _f64_class_eps()
         self.eps_rel = _f64_class_eps()
-        self.rho = 5.0  # measured default (see ADMMBP.__init__)
+        self.rho = None  # None = measured default (see ADMMBP.__init__)
         self.trace = False
 
     def parallel(self, nthread: int = 2, **kw):

@@ -136,12 +136,7 @@ def checkpointed_lasso_path(
     ``_stop_after_chunks`` is a fault-injection hook for tests: abandon
     the run (returning None) after that many chunks.
     """
-    if int(chunk_size) < 1:
-        raise ValueError("chunk_size must be >= 1")
-    chunk_size = int(chunk_size)
-    lambdas = np.asarray(lambdas)
-    if lambdas.size < 1:
-        raise ValueError("lambdas must be non-empty")
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
@@ -149,7 +144,6 @@ def checkpointed_lasso_path(
                                 intercept=intercept)
     lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     ilams = lams * n / stats.scale_y
-    nlam = int(lams.shape[0])
 
     if n > p:
         st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho, alpha)

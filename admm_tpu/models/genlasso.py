@@ -34,12 +34,11 @@ coordinates, so D's meaning is preserved) and reconstructs
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from ..core.engine import (make_batched_solver, make_fadmm_solver,
                            make_state)
@@ -58,9 +57,8 @@ def difference_matrix(p: int, order: int = 1) -> np.ndarray:
     return D
 
 
-def _genlasso_ops(Xs, ys, D, Minv, Xty, n):
+def _genlasso_ops(D, Minv, Xty):
     m, p = D.shape
-    sprad_D = None  # dual scale uses D'y directly
 
     def next_x(st):
         rhs = Xty + dot(D.T, st.rho * st.adj_z - st.adj_y)
@@ -114,7 +112,7 @@ def _genlasso_engine(Xs, ys, D, lam_first, rho0):
     dtype = Xs.dtype
     m = D.shape[0]
     Minv, Xty, rho = _genlasso_setup(Xs, ys, D, lam_first, rho0)
-    ops = _genlasso_ops(Xs, ys, D, Minv, Xty, n)
+    ops = _genlasso_ops(D, Minv, Xty)
     solve = make_fadmm_solver(ops, adapt_rho=False)
     zp = jnp.zeros((p,), dtype)
     zm = jnp.zeros((m,), dtype)
@@ -137,7 +135,7 @@ def _solve_genlasso_batch(Xs, ys, D, ilams, rho0, maxit, eps_abs,
     m = D.shape[0]
     dtype = Xs.dtype
     Minv, Xty, rho = _genlasso_setup(Xs, ys, D, ilams[0], rho0)
-    ops = _genlasso_ops(Xs, ys, D, Minv, Xty, n)
+    ops = _genlasso_ops(D, Minv, Xty)
     solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
     k = ilams.shape[0]
     st = _batched_cold_states(k, p, rho, ilams, dtype, aux_dim=m)

@@ -571,7 +571,8 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
                     mesh: Optional[Mesh] = None, maxit: int = 10000,
                     eps_abs: Optional[float] = None,
                     eps_rel: Optional[float] = None,
-                    rho: float = 1.0, trace_len: Optional[int] = None,
+                    rho: Optional[float] = None,
+                    trace_len: Optional[int] = None,
                     dtype=None) -> BPResult:
     """Consensus Basis Pursuit: ``min ||z||_1 s.t. A_i z = b_i`` for every
     row block i — the working version of what the reference left dormant
@@ -594,6 +595,11 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
         eps_abs = 1e-4 if dtype == jnp.float64 else 2e-5
     if eps_rel is None:
         eps_rel = 1e-4 if dtype == jnp.float64 else 2e-5
+    if rho is None:
+        # The serial BP's measured rho = 5 does NOT transfer here
+        # untested: the consensus master-prox threshold couples to
+        # rho * W (DESIGN.md "rho defaults, re-tuned").
+        rho = 1.0
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
     n, p = A.shape

@@ -1,12 +1,16 @@
-"""Tall kernel past the old VMEM ceiling (VERDICT item 5).
+"""Tall kernel around the VMEM ceiling (VERDICT item 5), batch mode.
 
-Round 1's tall Pallas kernel gated off above p ~ 2.2k (one-shot (K,P) x
-(P,P) dot: Mosaic's peak runs 3-4x the resident set), silently falling
-back to the HBM-bound XLA solver.  The kernel now tiles the x-update
-over column blocks of the RESIDENT inverse (admm_tpu/ops/tall_path.py::
-_xupdate_dot), keeping p up to ~4.5k in VMEM.  This measures kernel vs
-XLA fallback at p = 1k (one-shot region), 2.5k and 4k (tiled region), on
-the real TPU, batch mode, 100-lambda path.
+Measures the Pallas tall kernel vs the XLA fallback at p = 1k (inside
+the kernel's one-shot region) and p = 2.5k/4k (past it) on the real TPU
+over a 100-lambda batched path.
+
+HISTORY: the recorded tall_ceiling.json rows with ``n_col_blocks > 1``
+were produced at commit 5f9bc66 by a TILED x-update variant that kept
+the inverse VMEM-resident up to p ~ 4.5k.  It measured SLOWER than the
+XLA fallback everywhere it activated (0.60x at p=2.5k, 0.95x at p=4k
+batch; 0.46-0.61x scan — see tall_ceiling_scan.json and DESIGN.md "the
+tall-kernel ceiling") and was removed; past the ceiling this script now
+measures the XLA path only, which IS the shipped behavior.
 
 Run ON THE TPU:  python benchmarks/tall_ceiling_bench.py
 Writes benchmarks/tall_ceiling.json.
@@ -29,7 +33,7 @@ def main():
 
     from admm_tpu.data.standardize import standardize
     from admm_tpu.models.lasso import _solve_path_tall_batch
-    from admm_tpu.ops.tall_path import n_col_blocks, supports
+    from admm_tpu.ops.tall_path import supports
 
     results = {"backend": jax.default_backend(), "sizes": {}}
     k = 100
@@ -40,8 +44,7 @@ def main():
         lam0 = float(jnp.max(jnp.abs(Xs.T @ ys)))
         ilams = jnp.asarray(np.geomspace(lam0, lam0 * 1e-4, k),
                             jnp.float32)
-        row = {"kernel_supported": supports(p, k),
-               "n_col_blocks": n_col_blocks(p, k)}
+        row = {"kernel_supported": supports(p, k)}
 
         # Xs rides through jit arguments, not closures (closed-over
         # arrays become HLO constants; 256 MB overflows remote-compile).

@@ -18,6 +18,10 @@ def main() -> None:
     proc_id, nprocs, port = (int(sys.argv[1]), int(sys.argv[2]),
                              int(sys.argv[3]))
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # repo root on sys.path rather than PYTHONPATH (which breaks the
+    # axon TPU plugin init — CLAUDE.md).
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(f"localhost:{port}", num_processes=nprocs,

@@ -179,9 +179,9 @@ def test_lad_defaults_without_opts():
     y = X @ np.ones(8) + rng.normal(size=60)
     m = admm_tpu.admm_lad(X, y)
     # eps defaults are precision-aware (1e-4 under the x64 test config);
-    # rho defaults to the measured 5.0 (DESIGN.md "rho defaults").
+    # rho None = the solver's measured default (5.0 serial; DESIGN.md).
     assert (m.maxit, m.eps_abs, m.eps_rel, m.rho) == (10000, 1e-4, 1e-4,
-                                                      5.0)
+                                                      None)
     fit = m.fit()
     assert np.isfinite(fit.beta).all()
     with pytest.raises(NotImplementedError):

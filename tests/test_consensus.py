@@ -184,8 +184,14 @@ def test_two_level_host_chip_mesh_matches_flat():
     b = parallel_lasso_path(X, y, nworkers=8, mesh=make_mesh(8),
                             lambdas=lam, standardize=False,
                             intercept=False)
-    np.testing.assert_array_equal(np.asarray(a.coef), np.asarray(b.coef))
-    np.testing.assert_array_equal(np.asarray(a.niter), np.asarray(b.niter))
+    # Tolerance, not bit-equality: a different mesh layout may lower the
+    # all-reduce with a different accumulation order on real hardware
+    # (CLAUDE.md accumulation-reorder rule); on the CPU emulator these
+    # happen to agree exactly, but don't pin that.
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(b.coef),
+                               atol=1e-5)
+    assert np.abs(np.asarray(a.niter).astype(int)
+                  - np.asarray(b.niter).astype(int)).max() <= 1
 
 
 def test_two_level_mesh_single_collective():

@@ -16,9 +16,10 @@ def test_two_process_consensus_matches_serial():
     script = os.path.join(os.path.dirname(__file__),
                           "multiproc_consensus_worker.py")
     port = 12000 + os.getpid() % 2000
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    # No PYTHONPATH: any value breaks the axon TPU plugin init
+    # (CLAUDE.md); the worker script sys.path.inserts the repo root.
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "PYTHONPATH")}
     procs = [subprocess.Popen(
         [sys.executable, script, str(i), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
