@@ -369,9 +369,9 @@ class ADMMBP:
         self.eps_abs = _f64_class_eps()
         self.eps_rel = _f64_class_eps()
         # None = each solver's own measured default (DESIGN.md "rho
-        # defaults, re-tuned"): 5.0 for the serial solvers, 1.0 for the
-        # consensus BP (different splitting, unmeasured at 5).
-        # .opts(rho=1.0) restores the reference's literal default.
+        # defaults, re-tuned"; currently 5.0 for both serial and
+        # consensus solvers).  .opts(rho=1.0) restores the reference's
+        # literal default.
         self.rho = None
         self.trace = False
 

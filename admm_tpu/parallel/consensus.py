@@ -596,10 +596,11 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
     if eps_rel is None:
         eps_rel = 1e-4 if dtype == jnp.float64 else 2e-5
     if rho is None:
-        # The serial BP's measured rho = 5 does NOT transfer here
-        # untested: the consensus master-prox threshold couples to
-        # rho * W (DESIGN.md "rho defaults, re-tuned").
-        rho = 1.0
+        # Measured like the serial BP (DESIGN.md "rho defaults,
+        # re-tuned"): rho = 5 is equal-or-better across shapes AND
+        # worker counts W=2..8 (up to 3.2x fewer iterations with better
+        # recovery at 400x1600); rho = 1.0 is the reference's default.
+        rho = 5.0
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
     n, p = A.shape
