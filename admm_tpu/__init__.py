@@ -33,6 +33,7 @@ from .models.cv import cv_enet_path, cv_group_lasso_path, cv_lasso_path
 from .models.genlasso import (difference_matrix, fused_lasso_path,
                               gen_lasso_path)
 from .models.grouplasso import group_lasso_path
+from .models.logistic import logistic_lasso_path
 
 __version__ = "0.1.0"
 
@@ -42,5 +43,6 @@ __all__ = [
     "cv_lasso_path", "cv_enet_path", "bp_fit_batch",
     "group_lasso_path", "cv_group_lasso_path",
     "gen_lasso_path", "fused_lasso_path", "difference_matrix",
+    "logistic_lasso_path",
     "__version__",
 ]
