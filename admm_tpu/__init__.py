@@ -29,7 +29,8 @@ from __future__ import annotations
 from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
                   admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
 from .models.bp import bp_fit_batch
-from .models.cv import cv_enet_path, cv_group_lasso_path, cv_lasso_path
+from .models.cv import (cv_enet_path, cv_group_lasso_path,
+                        cv_lasso_path, cv_logistic_path)
 from .models.genlasso import (difference_matrix, fused_lasso_path,
                               gen_lasso_path)
 from .models.grouplasso import group_lasso_path
@@ -43,6 +44,6 @@ __all__ = [
     "cv_lasso_path", "cv_enet_path", "bp_fit_batch",
     "group_lasso_path", "cv_group_lasso_path",
     "gen_lasso_path", "fused_lasso_path", "difference_matrix",
-    "logistic_lasso_path",
+    "logistic_lasso_path", "cv_logistic_path",
     "__version__",
 ]

@@ -99,3 +99,20 @@ def test_trace_and_validation():
     assert nrec == min(int(res.niter[0]), 64)
     with pytest.raises(ValueError, match="alpha"):
         logistic_lasso_path(X, y, alpha=0.0)
+
+
+def test_cv_logistic_selects_sensible_lambda():
+    from admm_tpu.models.cv import cv_logistic_path
+
+    X, y, _ = _problem(n=360, p=24, seed=2)
+    cv = cv_logistic_path(X, y, nfolds=4, nlambda=15)
+    assert np.all(np.isfinite(cv.cvm)) and np.all(cv.cvsd >= 0)
+    assert cv.lambda_1se >= cv.lambda_min
+    # Deviance at lambda_min clearly beats the null model's.
+    pbar = y.mean()
+    null_dev = -2 * (pbar * np.log(pbar) + (1 - pbar) * np.log(1 - pbar))
+    assert cv.cvm.min() < 0.75 * null_dev
+    # Coefficients at lambda_min recover the support.
+    i = int(np.argmin(np.abs(cv.lambdas - cv.lambda_min)))
+    coef = np.asarray(cv.fit.coef[i])
+    assert np.all(np.abs(coef[:5]) > 0.1)
