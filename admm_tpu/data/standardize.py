@@ -65,17 +65,44 @@ def _guard(scale: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 
 
 def standardize(X: jnp.ndarray, y: jnp.ndarray, *, standardize_x: bool,
-                intercept: bool) -> Tuple[jnp.ndarray, jnp.ndarray, StdStats]:
+                intercept: bool,
+                weights: jnp.ndarray = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, StdStats]:
     """Transform (X, y) per the reference's flag semantics; jit-safe.
 
     ``standardize_x``/``intercept`` must be Python bools (static under
     jit); the returned stats always carry well-defined values (identity
     means/scales where a mode does not use them) so downstream recovery
     code is branch-free.
+
+    ``weights`` (extension; glmnet's ``weights`` argument): observation
+    weights, normalized so they sum to n (the glmnet convention).  All
+    moments become WEIGHTED moments, and the returned rows are scaled by
+    ``sqrt(w)`` so the downstream unweighted least-squares machinery
+    solves the weighted problem — an integer weight of k is then exactly
+    equivalent to repeating the row k times (tested).  ``recover`` is
+    unchanged (the stats already carry the weighted means/scales).
     """
     flag = int(standardize_x) + 2 * int(intercept)
     dtype = X.dtype
-    p = X.shape[1]
+    n, p = X.shape
+
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))
+
+        def wmean(v, axis=None):
+            ww = w if axis is None or v.ndim == 1 else w[:, None]
+            return jnp.sum(ww * v, axis=axis) / n
+
+        def wsd(v, axis=None):
+            m = wmean(v, axis=axis)
+            c = v - (m if axis is None else jnp.expand_dims(m, axis))
+            ww = w if axis is None or v.ndim == 1 else w[:, None]
+            return jnp.sqrt(jnp.sum(ww * c * c, axis=axis) / n)
+    else:
+        wmean = jnp.mean
+        wsd = _sd_n
 
     mean_x = jnp.zeros((p,), dtype)
     scale_x = jnp.ones((p,), dtype)
@@ -83,27 +110,32 @@ def standardize(X: jnp.ndarray, y: jnp.ndarray, *, standardize_x: bool,
     scale_y = jnp.ones((), dtype)
 
     if flag == 1:
-        scale_y = _guard(_sd_n(y), jnp.mean(y))
+        scale_y = _guard(wsd(y), wmean(y))
         y = y / scale_y
-        scale_x = _guard(_sd_n(X, axis=0), jnp.mean(X, axis=0))
+        scale_x = _guard(wsd(X, axis=0), wmean(X, axis=0))
         X = X / scale_x
     elif flag == 2:
-        my = jnp.mean(y)
+        my = wmean(y)
         mean_y = my
         y = y - my
-        scale_y = _guard(jnp.sqrt(jnp.mean(y * y)), my)
+        scale_y = _guard(wsd(y), my)
         y = y / scale_y
-        mean_x = jnp.mean(X, axis=0)
+        mean_x = wmean(X, axis=0)
         X = X - mean_x
     elif flag == 3:
-        my = jnp.mean(y)
+        my = wmean(y)
         mean_y = my
         y = y - my
-        scale_y = _guard(jnp.sqrt(jnp.mean(y * y)), my)
+        scale_y = _guard(wsd(y), my)
         y = y / scale_y
-        mean_x = jnp.mean(X, axis=0)
-        scale_x = _guard(_sd_n(X, axis=0), mean_x)
+        mean_x = wmean(X, axis=0)
+        scale_x = _guard(wsd(X, axis=0), mean_x)
         X = (X - mean_x) / scale_x
+
+    if weights is not None:
+        sw = jnp.sqrt(w)
+        X = X * sw[:, None]
+        y = y * sw
 
     return X, y, StdStats(mean_x, scale_x, mean_y, scale_y)
 

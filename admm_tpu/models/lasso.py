@@ -473,13 +473,13 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
                                    "enet_scale", "path_mode",
                                    "shard_data", "trace_len"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
-               eps_rel, alpha, *, standardize_x, intercept, enet_scale,
-               path_mode, shard_data=False, trace_len=None):
+               eps_rel, alpha, weights=None, *, standardize_x, intercept,
+               enet_scale, path_mode, shard_data=False, trace_len=None):
     """Auto lambda grid: log-linear from lambda0 down to ratio*lambda0
     (reference: src/Lasso.cpp:78-89)."""
     n = X.shape[0]
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
-                                intercept=intercept)
+                                intercept=intercept, weights=weights)
     lam0_int = jnp.max(jnp.abs(dot(Xs.T, ys)))
     if enet_scale:
         lam0_int = lam0_int / (alpha + 1e-4)
@@ -494,11 +494,11 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale", "path_mode",
                                    "shard_data", "trace_len"))
-def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha, *,
-               standardize_x, intercept, enet_scale, path_mode,
-               shard_data=False, trace_len=None):
+def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
+               weights=None, *, standardize_x, intercept, enet_scale,
+               path_mode, shard_data=False, trace_len=None):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
-                                intercept=intercept)
+                                intercept=intercept, weights=weights)
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
                            enet_scale, path_mode, shard_data, trace_len)
@@ -547,6 +547,7 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                alpha: float = 1.0, _enet_scale: bool = False,
                path_mode: str = "scan", data_mesh=None,
                trace_len: Optional[int] = None,
+               weights: Optional[jnp.ndarray] = None,
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
 
@@ -572,6 +573,11 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     (p, p)-sized solve state stays replicated.  Results are identical to
     replicated execution up to reduction order.
 
+    ``weights`` (extension — glmnet's ``weights`` argument):
+    observation weights, normalized to sum to n; moments, the lambda
+    grid and the quadratic loss all become weighted (an integer weight
+    of k is exactly equivalent to repeating the row k times — tested).
+
     ``trace_len``: record the first ``trace_len`` iterations'
     (eps_primal, resid_primal, eps_dual, resid_dual, rho) per lambda in
     ``result.trace`` — the reference's (dead) residual printers as
@@ -595,14 +601,17 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     shard = data_mesh is not None
     if lambda_min_ratio is None:
         lambda_min_ratio = 0.01 if n < p else 1e-4
+    w = None if weights is None else jnp.asarray(weights, dtype)
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
         return _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
-                          standardize_x=standardize, intercept=intercept,
+                          w, standardize_x=standardize,
+                          intercept=intercept,
                           enet_scale=_enet_scale, path_mode=path_mode,
                           shard_data=shard, trace_len=trace_len)
     return _path_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
-                      eps_abs, eps_rel, alpha, standardize_x=standardize,
+                      eps_abs, eps_rel, alpha, w,
+                      standardize_x=standardize,
                       intercept=intercept, enet_scale=_enet_scale,
                       path_mode=path_mode, shard_data=shard,
                       trace_len=trace_len)
