@@ -123,7 +123,7 @@ def _allreduce_shapes(hlo):
     return re.findall(r"= *(\S+) all-reduce(?:-start)?\(", hlo)
 
 
-@pytest.mark.parametrize("variant", ["lasso", "bp", "group"])
+@pytest.mark.parametrize("variant", ["lasso", "bp", "group", "logistic"])
 def test_exactly_one_psum_per_iteration(variant):
     """THE central distributed invariant (consensus.py module docstring):
     the whole compiled consensus program contains exactly ONE all-reduce,
@@ -152,7 +152,7 @@ def test_exactly_one_psum_per_iteration(variant):
             make_x_update=partial(C._bp_x_update, jitter=1e-6),
             master_prox=C._bp_master_prox(8),
             auto_rho=lambda lam: 1.0)
-    else:
+    elif variant == "group":
         from admm_tpu.models.grouplasso import normalize_groups
         X, y = _problem(n=160, p=16)
         p = 16
@@ -162,6 +162,21 @@ def test_exactly_one_psum_per_iteration(variant):
         factory = lambda ax: partial(C._consensus_lasso_shard, axis=ax,
                                      nworkers=8, tall_block=True,
                                      group_prox=(gj, wj))
+    else:
+        import jax.numpy as jnp2
+        p = 16
+        rng = np.random.default_rng(6)
+        X = rng.normal(size=(160, p))
+        ylab = (rng.uniform(size=160) < 0.5).astype(float)
+        Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, p)
+        yb = jnp.asarray(ylab, jnp.float32).reshape(8, 20)
+        mask = jnp2.ones((p,), jnp.float32)
+        factory = lambda ax: partial(
+            C._consensus_shard, axis=ax, nworkers=8,
+            make_x_update=partial(C._logistic_x_update, n_total=160,
+                                  newton_steps=2),
+            master_prox=C._logistic_master_prox(8, 1.0, mask),
+            auto_rho=lambda lam: 1.0)
 
     hlo = _compiled_consensus_hlo(factory, Xb, yb)
     shapes = _allreduce_shapes(hlo)

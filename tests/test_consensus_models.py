@@ -166,3 +166,30 @@ def test_parallel_group_lasso_matches_serial():
     ser2 = group_lasso_path(X, y, groups, nlambda=6)
     np.testing.assert_allclose(np.asarray(par2.lambdas),
                                np.asarray(ser2.lambdas), rtol=1e-5)
+
+
+def test_consensus_logistic_matches_serial():
+    """Distributed sparse logistic regression (extension): the consensus
+    path over 8 workers must converge to the serial logistic solution
+    (same objective, glmnet semantics)."""
+    from admm_tpu.models.logistic import logistic_lasso_path
+    from admm_tpu.parallel.consensus import parallel_logistic_lasso_path
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    n, p = 480, 24
+    b = np.zeros(p)
+    b[:5] = rng.uniform(1, 2, 5) * rng.choice([-1, 1], 5)
+    X = rng.normal(size=(n, p))
+    y = (rng.uniform(size=n)
+         < 1 / (1 + np.exp(-(0.4 + X @ b)))).astype(float)
+    lams = np.array([0.05, 0.02, 0.008])
+    par = parallel_logistic_lasso_path(X, y, nworkers=8,
+                                       mesh=make_mesh(8), lambdas=lams,
+                                       eps_abs=1e-6, eps_rel=1e-6)
+    ser = logistic_lasso_path(X, y, lambdas=lams, eps_abs=1e-6,
+                              eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef),
+                               np.asarray(ser.coef), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(par.beta0),
+                               np.asarray(ser.beta0), atol=2e-3)
