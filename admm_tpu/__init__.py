@@ -31,6 +31,8 @@ from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
 from .models.bp import bp_fit_batch
 from .models.cv import (cv_enet_path, cv_group_lasso_path,
                         cv_lasso_path, cv_logistic_path)
+from .models.glm import (glm_lasso_path, huber_lasso_path,
+                         poisson_lasso_path)
 from .models.genlasso import (difference_matrix, fused_lasso_path,
                               gen_lasso_path)
 from .models.grouplasso import group_lasso_path
@@ -47,5 +49,6 @@ __all__ = [
     "gen_lasso_path", "fused_lasso_path", "difference_matrix",
     "logistic_lasso_path", "cv_logistic_path",
     "parallel_logistic_lasso_path",
+    "glm_lasso_path", "huber_lasso_path", "poisson_lasso_path",
     "__version__",
 ]

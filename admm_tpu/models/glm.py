@@ -1,0 +1,262 @@
+"""Penalized GLM-style smooth-loss paths by ADMM: the family core.
+
+Extension beyond the reference (gaussian-only): one inexact-Newton ADMM
+engine serves every model of the form ::
+
+    minimize  1/n sum_i loss(eta_i; y_i)
+              + lambda (alpha ||b||_1 + (1-alpha)/2 ||b||_2^2),
+    eta = b0 + X b
+
+where ``loss`` is smooth (or semi-smooth) in the linear predictor eta.
+A family supplies two per-observation callables — ``grad_eta`` (dloss/
+deta) and ``weight_eta`` (d2loss/deta2, the IRLS weight) — plus the
+null-model gradient used for the glmnet lambda_max rule.  Shipped
+families:
+
+* ``binomial()``  — sparse logistic regression (models/logistic.py
+  wraps this; oracle: sklearn saga, tests/test_logistic.py)
+* ``huber(M)``    — robust regression with the Huber loss (the smooth
+  bridge between the reference's gaussian Lasso and its LAD); as
+  M -> inf it reduces EXACTLY to the gaussian Lasso objective (tested)
+* ``poisson()``   — log-linear count regression
+
+ADMM splitting ``b - z = 0`` with f = the smooth loss and g = the
+penalty; the x-update is a fixed-step damped Newton solve (one (q, q)
+MXU Hessian build + Cholesky per step) warm-started from the previous
+iterate, the z-update a masked elastic-net prox with the intercept
+unpenalized (see models/logistic.py's module docstring for the
+engineering details this generalizes).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.engine import (ProblemOps, make_admm_solver,
+                           make_batched_solver, make_state)
+from ..core.prox import l2norm, soft_threshold, sqnorm
+from ..linalg import dot
+from .lasso import PathResult, _batched_cold_states, _scan_path
+
+_NEWTON_STEPS = 2
+
+
+class GLMFamily(NamedTuple):
+    """Per-observation derivatives of the loss in the linear predictor.
+
+    ``grad_eta(eta, y)`` = dloss/deta, ``weight_eta(eta, y)`` =
+    d2loss/deta2 (the IRLS weight), ``null_resid(y, intercept)`` = the
+    null-model -grad used by the lambda_max rule."""
+    name: str
+    grad_eta: Callable
+    weight_eta: Callable
+    null_resid: Callable
+
+
+@lru_cache(maxsize=None)
+def binomial() -> GLMFamily:
+    """Logistic loss: loss(eta; y) = log(1 + e^eta) - y eta."""
+    return GLMFamily(
+        name="binomial",
+        grad_eta=lambda eta, y: jax.nn.sigmoid(eta) - y,
+        weight_eta=lambda eta, y: (lambda p: p * (1.0 - p))(
+            jax.nn.sigmoid(eta)),
+        null_resid=lambda y, intercept: y - (jnp.mean(y) if intercept
+                                             else 0.5),
+    )
+
+
+@lru_cache(maxsize=None)
+def huber(M: float = 1.345) -> GLMFamily:
+    """Huber loss in the residual r = y - eta: r^2/2 for |r| <= M, else
+    M|r| - M^2/2.  Semi-smooth: the IRLS weight is the indicator
+    |r| <= M (the rho-regularized Newton Hessian stays PD).  M -> inf
+    recovers the gaussian Lasso objective exactly."""
+    return GLMFamily(
+        name="huber",
+        grad_eta=lambda eta, y: -jnp.clip(y - eta, -M, M),
+        weight_eta=lambda eta, y: (jnp.abs(y - eta) <= M).astype(
+            eta.dtype),
+        null_resid=lambda y, intercept: jnp.clip(
+            y - (jnp.mean(y) if intercept else 0.0), -M, M),
+    )
+
+
+@lru_cache(maxsize=None)
+def poisson() -> GLMFamily:
+    """Poisson log-likelihood: loss(eta; y) = e^eta - y eta (eta clipped
+    at 30 so a transient Newton overshoot cannot overflow f32)."""
+    return GLMFamily(
+        name="poisson",
+        grad_eta=lambda eta, y: jnp.exp(jnp.minimum(eta, 30.0)) - y,
+        weight_eta=lambda eta, y: jnp.exp(jnp.minimum(eta, 30.0)),
+        null_resid=lambda y, intercept: y - (jnp.mean(y) if intercept
+                                             else 1.0),
+    )
+
+
+def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
+             newton_steps):
+    """ProblemOps for the smooth-loss ADMM; ``Xa`` (n, q) includes the
+    ones column when an intercept is fitted."""
+    import jax.scipy.linalg as jsl
+
+    def newton(v, rho, b0):
+        def step(_, b):
+            eta = dot(Xa, b)
+            g = family.grad_eta(eta, ys)
+            grad = dot(Xa.T, g) / n + rho * (b - v)
+            w = family.weight_eta(eta, ys)
+            H = dot(Xa.T * w[None, :], Xa) / n
+            H = H + rho * jnp.eye(q, dtype=Xa.dtype)
+            c, low = jsl.cho_factor(H)
+            return b - jsl.cho_solve((c, low), grad)
+
+        return jax.lax.fori_loop(0, newton_steps, step, b0)
+
+    def next_x(st):
+        # Plain-ADMM engine: prox center from (z, y), not adj_*.
+        v = st.z - st.y / st.rho
+        return newton(v, st.rho, st.x)
+
+    def next_z(st, x_new):
+        v = x_new + st.y / st.rho
+        pen = st.lam / st.rho * pen_mask
+        zl1 = soft_threshold(v, alpha * pen)
+        z = zl1 / (1.0 + pen * (1.0 - alpha))
+        return z, st.aux
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: x - z,
+        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.x),
+                                                l2norm(st.z)),
+        eps_dual_scale=lambda st: l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
+        combined_extra=lambda st, z_new: sqnorm(z_new - st.adj_z),
+        dim_main=q, dim_dual=q,
+    )
+
+
+def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
+                newton_steps):
+    n, q = Xa.shape
+    dtype = Xa.dtype
+    # rho = 1.0: after standardization the per-observation IRLS weights
+    # are O(1) (<= 1/4 binomial, <= 1 huber), so the loss Hessian and
+    # the prox term are balanced at unit rho.
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.asarray(1.0, dtype))
+    ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps)
+    solve = make_admm_solver(ops, adapt_rho=False)
+    zeros = jnp.zeros((q,), dtype)
+    st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
+    return st0, solve, (lambda st: st.z)
+
+
+@partial(jax.jit, static_argnames=("family", "standardize_x", "intercept",
+                                   "nlambda", "path_mode", "trace_len",
+                                   "newton_steps"))
+def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
+              eps_abs, eps_rel, alpha, *, family, standardize_x,
+              intercept, path_mode, trace_len=None,
+              newton_steps=_NEWTON_STEPS):
+    n, p = X.shape
+    dtype = X.dtype
+    fam = family() if not isinstance(family, GLMFamily) else family
+    if standardize_x:
+        mean_x = jnp.mean(X, axis=0)
+        sd_x = jnp.sqrt(jnp.mean((X - mean_x[None, :]) ** 2, axis=0))
+        sd_x = jnp.where(sd_x > 0, sd_x, 1.0)
+        Xs = (X - mean_x[None, :]) / sd_x[None, :]
+    else:
+        mean_x = jnp.zeros((p,), dtype)
+        sd_x = jnp.ones((p,), dtype)
+        Xs = X
+    if intercept:
+        Xa = jnp.concatenate([jnp.ones((n, 1), dtype), Xs], axis=1)
+        pen_mask = jnp.concatenate([jnp.zeros((1,), dtype),
+                                    jnp.ones((p,), dtype)])
+    else:
+        Xa = Xs
+        pen_mask = jnp.ones((p,), dtype)
+    q = Xa.shape[1]
+
+    if user_lams is None:
+        # glmnet lambda_max rule: the null model's score against X.
+        r0 = fam.null_resid(y, intercept)
+        lam0 = (jnp.max(jnp.abs(dot(Xs.T, r0))) / n
+                / jnp.maximum(alpha, 1e-3))
+        lams = jnp.exp(jnp.linspace(
+            jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
+    else:
+        lams = user_lams
+
+    st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
+                                     alpha, newton_steps)
+    if path_mode == "batch":
+        bsolve = make_batched_solver(solve)
+        st = _batched_cold_states(lams.shape[0], q, st0.rho, lams, dtype)
+        st = bsolve(st, maxit, eps_abs, eps_rel)
+        coefs_a, niter, traces = st.z, st.it, None
+    else:
+        _, coefs_a, niter, traces = _scan_path(st0, solve, report, lams,
+                                               maxit, eps_abs, eps_rel,
+                                               trace_len)
+
+    if intercept:
+        b0_std, slopes_std = coefs_a[:, 0], coefs_a[:, 1:]
+    else:
+        b0_std = jnp.zeros((coefs_a.shape[0],), dtype)
+        slopes_std = coefs_a
+    coef = slopes_std / sd_x[None, :]
+    beta0 = b0_std - slopes_std @ (mean_x / sd_x)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
+                      trace=traces)
+
+
+def glm_lasso_path(X, y, family, *,
+                   lambdas: Optional[jnp.ndarray] = None,
+                   nlambda: int = 50, lambda_min_ratio: float = 1e-2,
+                   alpha: float = 1.0, standardize: bool = True,
+                   intercept: bool = True, maxit: int = 10000,
+                   eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+                   rho: float = -1.0, path_mode: str = "scan",
+                   trace_len: Optional[int] = None,
+                   newton_steps: int = _NEWTON_STEPS,
+                   dtype=jnp.float32) -> PathResult:
+    """Solve a penalized smooth-loss path for any :class:`GLMFamily`.
+
+    ``family`` is a GLMFamily instance (:func:`binomial`,
+    :func:`huber`, :func:`poisson`) or a zero-argument factory.
+    Options as in :func:`admm_tpu.models.logistic.logistic_lasso_path`.
+    """
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype).ravel()
+    if trace_len is not None:
+        path_mode = "scan"
+        trace_len = int(trace_len)
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1] for GLM paths")
+    lams = (None if lambdas is None
+            else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    return _glm_path(X, y, int(nlambda), lambda_min_ratio, lams, rho,
+                     maxit, eps_abs, eps_rel, alpha, family=family,
+                     standardize_x=standardize, intercept=intercept,
+                     path_mode=path_mode, trace_len=trace_len,
+                     newton_steps=int(newton_steps))
+
+
+def huber_lasso_path(X, y, *, M: float = 1.345, **kw) -> PathResult:
+    """Robust (Huber-loss) Lasso/Enet path — the smooth bridge between
+    the reference's gaussian Lasso and its LAD."""
+    return glm_lasso_path(X, y, huber(float(M)), **kw)
+
+
+def poisson_lasso_path(X, y, **kw) -> PathResult:
+    """Sparse log-linear Poisson regression path (y = counts >= 0)."""
+    return glm_lasso_path(X, y, poisson(), **kw)

@@ -1,0 +1,97 @@
+"""Generic smooth-loss GLM families (admm_tpu.models.glm): huber and
+poisson (binomial is oracle-tested in tests/test_logistic.py).
+
+Oracles: huber with M -> inf must reduce EXACTLY to the gaussian Lasso;
+at finite M the KKT subgradient conditions certify optimality directly;
+poisson is checked by KKT plus support recovery on a seeded problem."""
+import numpy as np
+import pytest
+
+from admm_tpu.models.glm import (glm_lasso_path, huber, huber_lasso_path,
+                                 poisson_lasso_path)
+
+
+def _problem(n=300, p=20, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:4] = [1.5, -2.0, 1.0, 0.5]
+    y = 1.0 + X @ b + 0.4 * rng.normal(size=n)
+    return X, y, b, rng
+
+
+def test_huber_large_M_reduces_to_gaussian_lasso():
+    from admm_tpu.models.lasso import lasso_path
+
+    X, y, _, _ = _problem()
+    lams = np.array([0.2, 0.05])
+    h = huber_lasso_path(X, y, M=1e6, lambdas=lams, standardize=False,
+                         eps_abs=1e-7, eps_rel=1e-7)
+    g = lasso_path(X, y, lambdas=lams, standardize=False,
+                   eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(h.coef), np.asarray(g.coef),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h.beta0), np.asarray(g.beta0),
+                               atol=1e-5)
+
+
+def test_huber_kkt_at_finite_M():
+    X, y, _, _ = _problem()
+    n = X.shape[0]
+    lam, M = 0.05, 1.0
+    r = huber_lasso_path(X, y, M=M, lambdas=np.array([lam]),
+                         standardize=False, eps_abs=1e-7, eps_rel=1e-7)
+    b = np.asarray(r.coef[0])
+    eta = float(r.beta0[0]) + X @ b
+    grad = X.T @ (-np.clip(y - eta, -M, M)) / n
+    active = np.abs(b) > 1e-6
+    # Subgradient optimality: |grad_j| <= lam off-support, grad_j =
+    # -lam sign(b_j) on-support (to solver tolerance).
+    assert np.abs(grad[~active]).max() <= lam * 1.001
+    assert np.abs(grad[active] + lam * np.sign(b[active])).max() < 1e-4
+
+
+def test_huber_robust_to_outliers():
+    X, y, b, _ = _problem()
+    yo = y.copy()
+    yo[:10] += 50.0   # gross outliers
+    from admm_tpu.models.lasso import lasso_path
+
+    hr = huber_lasso_path(X, yo, M=1.345, lambdas=np.array([0.05]),
+                          standardize=False)
+    gr = lasso_path(X, yo, lambdas=np.array([0.05]), standardize=False)
+    err_h = np.abs(np.asarray(hr.coef[0]) - b).max()
+    err_g = np.abs(np.asarray(gr.coef[0]) - b).max()
+    assert err_h < 0.2 and err_h < err_g / 3
+
+
+def test_poisson_recovery_and_kkt():
+    X, y, _, rng = _problem()
+    eta_true = 0.3 + X[:, :3] @ np.array([0.4, -0.5, 0.3])
+    yc = rng.poisson(np.exp(eta_true)).astype(float)
+    n = X.shape[0]
+    lam = 0.01
+    r = poisson_lasso_path(X, yc, lambdas=np.array([lam]),
+                           standardize=False, eps_abs=1e-7, eps_rel=1e-7)
+    b = np.asarray(r.coef[0])
+    eta = float(r.beta0[0]) + X @ b
+    grad = X.T @ (np.exp(eta) - yc) / n
+    active = np.abs(b) > 1e-6
+    assert np.abs(grad[~active]).max() <= lam * 1.001
+    assert np.abs(grad[active] + lam * np.sign(b[active])).max() < 2e-4
+    # True support is recovered dominantly.
+    assert np.all(np.abs(b[:3]) > 0.1)
+
+
+def test_glm_family_validation_and_factory_arg():
+    from admm_tpu.models.glm import GLMFamily
+
+    X, y, _, _ = _problem(n=80, p=6)
+    with pytest.raises(ValueError, match="alpha"):
+        glm_lasso_path(X, y, huber(1.0), alpha=0.0)
+    # A zero-arg factory is accepted in place of an instance.
+    res = glm_lasso_path(X, np.clip(y, 0, None), 
+                         __import__("admm_tpu.models.glm",
+                                    fromlist=["poisson"]).poisson,
+                         lambdas=np.array([0.1]))
+    assert np.isfinite(np.asarray(res.coef)).all()
