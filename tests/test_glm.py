@@ -84,14 +84,12 @@ def test_poisson_recovery_and_kkt():
 
 
 def test_glm_family_validation_and_factory_arg():
-    from admm_tpu.models.glm import GLMFamily
+    from admm_tpu.models.glm import poisson
 
     X, y, _, _ = _problem(n=80, p=6)
     with pytest.raises(ValueError, match="alpha"):
         glm_lasso_path(X, y, huber(1.0), alpha=0.0)
     # A zero-arg factory is accepted in place of an instance.
-    res = glm_lasso_path(X, np.clip(y, 0, None), 
-                         __import__("admm_tpu.models.glm",
-                                    fromlist=["poisson"]).poisson,
+    res = glm_lasso_path(X, np.clip(y, 0, None), poisson,
                          lambdas=np.array([0.1]))
     assert np.isfinite(np.asarray(res.coef)).all()
