@@ -75,13 +75,30 @@ def huber(M: float = 1.345) -> GLMFamily:
     M|r| - M^2/2.  Semi-smooth: the IRLS weight is the indicator
     |r| <= M (the rho-regularized Newton Hessian stays PD).  M -> inf
     recovers the gaussian Lasso objective exactly."""
+
+    def null_resid(y, intercept):
+        if not intercept:
+            return jnp.clip(y, -M, M)
+        # The null intercept is the HUBER location M-estimate (the root
+        # of sum clip(y - mu, -M, M) = 0), NOT the mean: with asymmetric
+        # contamination — exactly the regime this loss targets — the
+        # mean-anchored grid top would not null the model.  Newton on
+        # the scalar score, ~30 steps is far past convergence.
+        def step(_, mu):
+            r = jnp.clip(y - mu, -M, M)
+            cnt = jnp.maximum(jnp.sum((jnp.abs(y - mu) <= M)
+                                      .astype(y.dtype)), 1.0)
+            return mu + jnp.sum(r) / cnt
+
+        mu = jax.lax.fori_loop(0, 30, step, jnp.mean(y))
+        return jnp.clip(y - mu, -M, M)
+
     return GLMFamily(
         name="huber",
         grad_eta=lambda eta, y: -jnp.clip(y - eta, -M, M),
         weight_eta=lambda eta, y: (jnp.abs(y - eta) <= M).astype(
             eta.dtype),
-        null_resid=lambda y, intercept: jnp.clip(
-            y - (jnp.mean(y) if intercept else 0.0), -M, M),
+        null_resid=null_resid,
     )
 
 
@@ -96,6 +113,55 @@ def poisson() -> GLMFamily:
         null_resid=lambda y, intercept: y - (jnp.mean(y) if intercept
                                              else 1.0),
     )
+
+
+def prep_design(X, standardize_x: bool, intercept: bool):
+    """Shared GLM design prep (also used by the consensus logistic,
+    admm_tpu/parallel/consensus.py): returns ``(Xa, pen_mask, mean_x,
+    sd_x)`` with the ones column prepended when an intercept is fitted.
+
+    Flag semantics mirror the gaussian path's DataStd modes
+    (data/standardize.py): standardize WITHOUT intercept scales but does
+    NOT center (centering would covertly fit the intercept the caller
+    disabled); the near-constant-column guard is the shared relative
+    ``_guard``, not a bare sd > 0 check.
+    """
+    from ..data.standardize import _guard, _sd_n
+
+    n, p = X.shape
+    dtype = X.dtype
+    mean_x = jnp.zeros((p,), dtype)
+    sd_x = jnp.ones((p,), dtype)
+    if standardize_x:
+        col_mean = jnp.mean(X, axis=0)
+        sd_x = _guard(_sd_n(X, axis=0), col_mean)
+        if intercept:
+            mean_x = col_mean
+            X = (X - mean_x[None, :]) / sd_x[None, :]
+        else:
+            X = X / sd_x[None, :]
+    if intercept:
+        Xa = jnp.concatenate([jnp.ones((n, 1), dtype), X], axis=1)
+        pen_mask = jnp.concatenate([jnp.zeros((1,), dtype),
+                                    jnp.ones((p,), dtype)])
+    else:
+        Xa = X
+        pen_mask = jnp.ones((p,), dtype)
+    return Xa, pen_mask, mean_x, sd_x
+
+
+def recover_glm(coefs_a, mean_x, sd_x, intercept: bool):
+    """Map (nlambda, q) standardized-scale GLM coefficients back to the
+    original scale; returns ``(beta0, coef)``."""
+    dtype = coefs_a.dtype
+    if intercept:
+        b0_std, slopes_std = coefs_a[:, 0], coefs_a[:, 1:]
+    else:
+        b0_std = jnp.zeros((coefs_a.shape[0],), dtype)
+        slopes_std = coefs_a
+    coef = slopes_std / sd_x[None, :]
+    beta0 = b0_std - slopes_std @ (mean_x / sd_x)
+    return beta0, coef
 
 
 def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
@@ -168,22 +234,8 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
     n, p = X.shape
     dtype = X.dtype
     fam = family() if not isinstance(family, GLMFamily) else family
-    if standardize_x:
-        mean_x = jnp.mean(X, axis=0)
-        sd_x = jnp.sqrt(jnp.mean((X - mean_x[None, :]) ** 2, axis=0))
-        sd_x = jnp.where(sd_x > 0, sd_x, 1.0)
-        Xs = (X - mean_x[None, :]) / sd_x[None, :]
-    else:
-        mean_x = jnp.zeros((p,), dtype)
-        sd_x = jnp.ones((p,), dtype)
-        Xs = X
-    if intercept:
-        Xa = jnp.concatenate([jnp.ones((n, 1), dtype), Xs], axis=1)
-        pen_mask = jnp.concatenate([jnp.zeros((1,), dtype),
-                                    jnp.ones((p,), dtype)])
-    else:
-        Xa = Xs
-        pen_mask = jnp.ones((p,), dtype)
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize_x, intercept)
+    Xs = Xa[:, 1:] if intercept else Xa
     q = Xa.shape[1]
 
     if user_lams is None:
@@ -208,13 +260,7 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
                                                maxit, eps_abs, eps_rel,
                                                trace_len)
 
-    if intercept:
-        b0_std, slopes_std = coefs_a[:, 0], coefs_a[:, 1:]
-    else:
-        b0_std = jnp.zeros((coefs_a.shape[0],), dtype)
-        slopes_std = coefs_a
-    coef = slopes_std / sd_x[None, :]
-    beta0 = b0_std - slopes_std @ (mean_x / sd_x)
+    beta0, coef = recover_glm(coefs_a, mean_x, sd_x, intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
                       trace=traces)
 

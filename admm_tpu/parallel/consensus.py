@@ -265,7 +265,7 @@ def _consensus_shard(Xi, yi, x0, y0, z0, ilams, rho0, maxit, eps_abs,
     ``x0``/``y0`` (W_local, p) and ``z0`` (p,) are the starting iterates
     — zeros for a cold start, a saved state for checkpoint resume
     (admm_tpu.diag.checkpoint).  ``make_x_update(Xi, yi, rho) ->
-    x_update(z, y, rho)`` builds the worker solve with its
+    x_update(z, y, rho, x_prev)`` builds the worker solve with its
     factorizations cached; ``master_prox(zbar, lam, rho)`` is the
     consensus z-update; ``auto_rho(lam_first)`` supplies the model's
     auto-rho when ``rho0 <= 0``.  With ``trace_len`` set, a
@@ -705,28 +705,17 @@ def parallel_logistic_lasso_path(
         raise ValueError("alpha must be in (0, 1] for the binomial path")
     W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
 
-    if standardize:
-        mean_x = jnp.mean(X, axis=0)
-        sd_x = jnp.sqrt(jnp.mean((X - mean_x[None, :]) ** 2, axis=0))
-        sd_x = jnp.where(sd_x > 0, sd_x, 1.0)
-        Xs = (X - mean_x[None, :]) / sd_x[None, :]
-    else:
-        mean_x = jnp.zeros((p,), dtype)
-        sd_x = jnp.ones((p,), dtype)
-        Xs = X
-    if intercept:
-        Xa = jnp.concatenate([jnp.ones((n, 1), dtype), Xs], axis=1)
-        pen_mask = jnp.concatenate([jnp.zeros((1,), dtype),
-                                    jnp.ones((p,), dtype)])
-    else:
-        Xa = Xs
-        pen_mask = jnp.ones((p,), dtype)
+    # Shared GLM design prep / lambda rule (models/glm.py) so the
+    # consensus path cannot diverge from the serial semantics.
+    from ..models.glm import binomial, prep_design
 
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize, intercept)
+    Xs = Xa[:, 1:] if intercept else Xa
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
-        pbar = jnp.mean(y) if intercept else jnp.asarray(0.5, dtype)
-        lam0 = (jnp.max(jnp.abs(dot(Xs.T, y - pbar))) / n
+        r0 = binomial().null_resid(y, intercept)
+        lam0 = (jnp.max(jnp.abs(dot(Xs.T, r0))) / n
                 / jnp.maximum(alpha, 1e-3))
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0),
@@ -749,12 +738,8 @@ def parallel_logistic_lasso_path(
     coefs_a, niter = out[0], out[1]
     traces = out[3] if trace_len is not None else None
 
-    if intercept:
-        b0_std, slopes_std = coefs_a[:, 0], coefs_a[:, 1:]
-    else:
-        b0_std = jnp.zeros((coefs_a.shape[0],), dtype)
-        slopes_std = coefs_a
-    coef = slopes_std / sd_x[None, :]
-    beta0 = b0_std - slopes_std @ (mean_x / sd_x)
+    from ..models.glm import recover_glm
+
+    beta0, coef = recover_glm(coefs_a, mean_x, sd_x, intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
                       trace=traces)

@@ -93,3 +93,28 @@ def test_glm_family_validation_and_factory_arg():
     res = glm_lasso_path(X, np.clip(y, 0, None), poisson,
                          lambdas=np.array([0.1]))
     assert np.isfinite(np.asarray(res.coef)).all()
+
+
+def test_no_intercept_standardize_does_not_center():
+    """standardize=True with intercept=False must SCALE ONLY (flag-1
+    semantics, data/standardize.py): centering would covertly fit the
+    intercept the caller disabled.  beta0 must be exactly 0."""
+    from admm_tpu.models.logistic import logistic_lasso_path
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(200, 8)) + 3.0   # strongly off-center columns
+    y = (rng.uniform(size=200) < 0.5).astype(float)
+    r = logistic_lasso_path(X, y, lambdas=np.array([0.02]),
+                            intercept=False, standardize=True)
+    assert float(np.asarray(r.beta0)[0]) == 0.0
+
+
+def test_huber_lambda_max_nulls_under_asymmetric_outliers():
+    """The huber auto-grid top must null the model even with skewed
+    contamination: the null intercept is the huber location M-estimate,
+    not the mean (which the outliers drag)."""
+    X, y, b, rng = _problem()
+    yy = X @ b + 0.3 * rng.normal(size=X.shape[0])
+    yy[:15] += 40.0
+    h = huber_lasso_path(X, yy, M=1.345, nlambda=8)
+    assert np.abs(np.asarray(h.coef[0])).max() < 1e-3
