@@ -30,7 +30,8 @@ from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
                   admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
 from .models.bp import bp_fit_batch
 from .models.cv import (cv_enet_path, cv_group_lasso_path,
-                        cv_lasso_path, cv_logistic_path)
+                        cv_glm_path, cv_lasso_path,
+                        cv_logistic_path)
 from .models.glm import (glm_lasso_path, huber_lasso_path,
                          poisson_lasso_path)
 from .models.genlasso import (difference_matrix, fused_lasso_path,
@@ -50,5 +51,6 @@ __all__ = [
     "logistic_lasso_path", "cv_logistic_path",
     "parallel_logistic_lasso_path",
     "glm_lasso_path", "huber_lasso_path", "poisson_lasso_path",
+    "cv_glm_path",
     "__version__",
 ]

@@ -203,3 +203,37 @@ def cv_logistic_path(X, y, *, nlambda: int = 50,
                          standardize=standardize, intercept=intercept,
                          _path_fn=path_fn, _loss_fn=binomial_deviance,
                          **kw)
+
+
+def cv_glm_path(X, y, family, *, nlambda: int = 50,
+                lambda_min_ratio: float = 1e-2, alpha: float = 1.0,
+                standardize: bool = True, intercept: bool = True,
+                maxit: int = 10000, eps_abs: float = 1e-5,
+                eps_rel: float = 1e-5, rho: float = -1.0,
+                path_mode: str = "scan", loss=None, **kw) -> CVResult:
+    """Cross-validated path for any smooth-loss GLM family (extension;
+    admm_tpu/models/glm.py).  Held-out folds are scored by the FAMILY'S
+    per-observation loss evaluated at the linear predictor — i.e. the
+    deviance-style measure matching the objective being fit — unless an
+    explicit ``loss(eta, y)`` is given.  ``cv_logistic_path`` is the
+    binomial special case."""
+    from .glm import GLMFamily, glm_lasso_path
+
+    fam = family() if not isinstance(family, GLMFamily) else family
+    if loss is None:
+        loss = fam.cv_loss
+
+    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+                lambda_min_ratio=lambda_min_ratio):
+        return glm_lasso_path(Xf, yf, fam, lambdas=lambdas,
+                              nlambda=nlambda,
+                              lambda_min_ratio=lambda_min_ratio,
+                              alpha=alpha, standardize=standardize,
+                              intercept=intercept, maxit=maxit,
+                              eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
+                              path_mode=path_mode)
+
+    return cv_lasso_path(X, y, nlambda=nlambda,
+                         lambda_min_ratio=lambda_min_ratio,
+                         standardize=standardize, intercept=intercept,
+                         _path_fn=path_fn, _loss_fn=loss, **kw)

@@ -34,6 +34,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.engine import (ProblemOps, make_admm_solver,
                            make_batched_solver, make_state)
@@ -42,6 +43,15 @@ from ..linalg import dot
 from .lasso import PathResult, _batched_cold_states, _scan_path
 
 _NEWTON_STEPS = 2
+
+
+def _poisson_deviance(eta, y):
+    """Per-observation Poisson deviance from the linear predictor
+    (numpy; the y log y term follows xlogy semantics: 0 at y = 0)."""
+    mu = np.exp(np.minimum(eta, 30.0))
+    ylogy = np.where(y > 0, y * np.log(np.maximum(y, 1e-12)),
+                     0.0)[None, :]
+    return 2.0 * (ylogy - y[None, :] * eta - (y[None, :] - mu))
 
 
 class GLMFamily(NamedTuple):
@@ -54,6 +64,10 @@ class GLMFamily(NamedTuple):
     grad_eta: Callable
     weight_eta: Callable
     null_resid: Callable
+    # Per-observation CV loss loss(eta (k, n), y (n,)) -> (k, n) in
+    # numpy — the deviance-style measure matching the objective
+    # (models/cv.py::cv_glm_path scores held-out folds with it).
+    cv_loss: Callable
 
 
 @lru_cache(maxsize=None)
@@ -66,6 +80,8 @@ def binomial() -> GLMFamily:
             jax.nn.sigmoid(eta)),
         null_resid=lambda y, intercept: y - (jnp.mean(y) if intercept
                                              else 0.5),
+        cv_loss=lambda eta, y: 2.0 * (np.logaddexp(0.0, eta)
+                                      - y[None, :] * eta),
     )
 
 
@@ -93,12 +109,17 @@ def huber(M: float = 1.345) -> GLMFamily:
         mu = jax.lax.fori_loop(0, 30, step, jnp.mean(y))
         return jnp.clip(y - mu, -M, M)
 
+    def cv_loss(eta, y):
+        r = np.abs(y[None, :] - eta)
+        return np.where(r <= M, 0.5 * r * r, M * r - 0.5 * M * M)
+
     return GLMFamily(
         name="huber",
         grad_eta=lambda eta, y: -jnp.clip(y - eta, -M, M),
         weight_eta=lambda eta, y: (jnp.abs(y - eta) <= M).astype(
             eta.dtype),
         null_resid=null_resid,
+        cv_loss=cv_loss,
     )
 
 
@@ -112,6 +133,7 @@ def poisson() -> GLMFamily:
         weight_eta=lambda eta, y: jnp.exp(jnp.minimum(eta, 30.0)),
         null_resid=lambda y, intercept: y - (jnp.mean(y) if intercept
                                              else 1.0),
+        cv_loss=_poisson_deviance,
     )
 
 

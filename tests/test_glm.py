@@ -118,3 +118,23 @@ def test_huber_lambda_max_nulls_under_asymmetric_outliers():
     yy[:15] += 40.0
     h = huber_lasso_path(X, yy, M=1.345, nlambda=8)
     assert np.abs(np.asarray(h.coef[0])).max() < 1e-3
+
+
+def test_cv_glm_huber_and_poisson():
+    """cv_glm_path scores folds with the family's own loss; selected
+    models are sensible for both new families."""
+    import admm_tpu
+    from admm_tpu.models.glm import poisson
+
+    X, y, b, rng = _problem(n=240, p=16, seed=4)
+    yo = y.copy()
+    yo[:8] += 25.0
+    cvh = admm_tpu.cv_glm_path(X, yo, huber(1.345), nfolds=4, nlambda=10)
+    assert np.isfinite(cvh.cvm).all() and cvh.lambda_1se >= cvh.lambda_min
+    i = int(np.argmin(np.abs(cvh.lambdas - cvh.lambda_min)))
+    assert np.all(np.abs(np.asarray(cvh.fit.coef[i])[:4]) > 0.2)
+
+    eta = 0.2 + X[:, :3] @ np.array([0.4, -0.3, 0.3])
+    yc = rng.poisson(np.exp(eta)).astype(float)
+    cvp = admm_tpu.cv_glm_path(X, yc, poisson, nfolds=4, nlambda=10)
+    assert np.isfinite(cvp.cvm).all()
