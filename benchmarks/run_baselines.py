@@ -213,6 +213,52 @@ def bench_bp(fast):
     return out
 
 
+def bench_glm(fast):
+    """Informational rows (no reference baseline: the reference is
+    gaussian-only): the smooth-loss GLM paths at 2000 x 200, 30 lambdas,
+    warm-started scan — each ADMM iteration is a 2-step Newton solve
+    ((q,q) Hessian build + Cholesky on the MXU)."""
+    import jax.numpy as jnp
+    from admm_tpu.models.glm import binomial, huber, poisson
+    from admm_tpu.models.glm import _glm_path
+
+    rng = np.random.default_rng(123)
+    n, p = 2000, 200
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    b = np.zeros(p); b[:10] = rng.uniform(0.5, 1.5, 10)
+    eta = 0.3 + X @ b * 0.3
+    ys = {
+        "logistic": (rng.uniform(size=n) < 1/(1+np.exp(-eta))).astype(
+            np.float32),
+        "huber": (eta + 0.3 * rng.normal(size=n)).astype(np.float32),
+        "poisson": rng.poisson(np.exp(np.clip(eta * 0.3, None, 3.0))
+                               ).astype(np.float32),
+    }
+    fams = {"logistic": binomial(), "huber": huber(1.345),
+            "poisson": poisson()}
+    Xj = jnp.asarray(X)
+    out = {}
+    for name, fam in fams.items():
+        yj = jnp.asarray(ys[name])
+
+        def one(i, Xj=Xj, yj=yj, fam=fam):
+            # Perturb X (labels must stay 0/1 and counts integral) so
+            # the solve depends on i and cannot be CSE'd out of the
+            # timing loop.
+            XX = Xj * (1.0 + 1e-7 * (i + 1).astype(Xj.dtype))
+            r = _glm_path(XX, yj, 30, 1e-2, None, -1.0, 10000,
+                          1e-5, 1e-5, 1.0, family=fam,
+                          standardize_x=True, intercept=True,
+                          path_mode="scan")
+            return jnp.sum(r.coef) + jnp.sum(r.niter)
+        ks = (1, 3) if fast else (1, 5)
+        out[f"glm_{name}_path_2000x200_ms"] = dict(
+            value=amortized_ms(one, *ks), baseline_ms=None,
+            note="30-lambda warm-started path; extension (reference is "
+                 "gaussian-only)")
+    return out
+
+
 def bench_consensus_scaling(fast):
     """On-chip batched-worker scaling (the measurable half of the
     BASELINE north star): W = 1..16 consensus workers on ONE chip, all
@@ -340,6 +386,7 @@ def main():
     for name, fn in [("lasso", bench_lasso_path),
                      ("lasso_wide", bench_lasso_wide),
                      ("lad", bench_lad), ("bp", bench_bp),
+                     ("glm", bench_glm),
                      ("consensus_scaling", bench_consensus_scaling)]:
         t0 = time.time()
         results.update(fn(args.fast))
