@@ -206,7 +206,10 @@ def bench_bp(fast):
             res = _bp_fit(A, bb, 5.0, 10000, 2e-5, 2e-5)
             return jnp.sum(res.coef) + res.niter.astype(jnp.float32)
 
-        ks = (1, 3) if fast else (1, 5)
+        # Solves are ~1-7 ms since the rho/eps retuning: the two K
+        # points must span >> the ~30 ms tunnel jitter (a (1,3) spread
+        # once produced a negative fast-mode reading).
+        ks = (2, 10) if fast else (2, 14)
         out[key] = dict(value=amortized_ms(one, *ks), baseline_ms=base,
                         note=f"reference admm {base} ms elapsed "
                              "(README.md:379-393, :405-418)")
