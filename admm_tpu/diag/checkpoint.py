@@ -192,7 +192,13 @@ def _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel, *, fp,
     if os.path.exists(checkpoint):
         st_loaded, extras = load_pytree(checkpoint, st0)
         fp_old = np.asarray(extras["fingerprint"])
-        if fp_old.shape != fp.shape or not np.allclose(fp_old, fp):
+        # The trailing 4 lanes are the SHA-256 content digest: compared
+        # EXACTLY — allclose's rtol would discard ~47 bits of a ~1e19
+        # lane and defeat the content-hash identity (advisor finding
+        # r2).  The option fields keep the float tolerance.
+        if (fp_old.shape != fp.shape
+                or not np.array_equal(fp_old[-4:], fp[-4:])
+                or not np.allclose(fp_old[:-4], fp[:-4])):
             raise ValueError(
                 f"checkpoint {checkpoint!r} belongs to a different "
                 "problem/options; refusing to resume")

@@ -167,12 +167,21 @@ def _gen_path(X, y, D, nlambda, lambda_min_ratio, user_lams, rho, maxit,
         # Grid top: beta = 0 is optimal iff X'y = D'v for some
         # ||v||_inf <= lambda; the least-squares v is a certificate, so
         # ||v_ls||_inf upper-bounds the interesting range (exact when
-        # D = I; the standard genlasso heuristic otherwise).
+        # D = I; the standard genlasso heuristic otherwise).  DD' is
+        # SINGULAR whenever D has linearly dependent rows (m > p, e.g.
+        # the stacked [I; D] sparse fused lasso), so the solve is always
+        # regularized with a RELATIVE jitter — under f64 a zero jitter
+        # silently produced an all-NaN grid (advisor finding r2) — and
+        # a non-finite/degenerate lam0 falls back to the D = I bound
+        # max|X'y|/n (a valid upper bound up to ||D||, and only the grid
+        # TOP of a heuristic certificate).
         DDt = gram(D.T)
         v_ls = dot(chol_inverse(
-            DDt, jitter=1e-6 if dtype == jnp.float32 else 0.0),
+            DDt, jitter=1e-6 if dtype == jnp.float32 else 1e-12),
             dot(D, dot(Xs.T, ys)))
         lam0 = jnp.max(jnp.abs(v_ls)) / n
+        lam0_fb = jnp.max(jnp.abs(dot(Xs.T, ys))) / n
+        lam0 = jnp.where(jnp.isfinite(lam0) & (lam0 > 0), lam0, lam0_fb)
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
     else:

@@ -98,15 +98,24 @@ def huber(M: float = 1.345) -> GLMFamily:
         # The null intercept is the HUBER location M-estimate (the root
         # of sum clip(y - mu, -M, M) = 0), NOT the mean: with asymmetric
         # contamination — exactly the regime this loss targets — the
-        # mean-anchored grid top would not null the model.  Newton on
-        # the scalar score, ~30 steps is far past convergence.
-        def step(_, mu):
-            r = jnp.clip(y - mu, -M, M)
-            cnt = jnp.maximum(jnp.sum((jnp.abs(y - mu) <= M)
-                                      .astype(y.dtype)), 1.0)
-            return mu + jnp.sum(r) / cnt
+        # mean-anchored grid top would not null the model.  The score is
+        # monotone nonincreasing in mu and changes sign on
+        # [min(y), max(y)], so plain BISECTION is globally convergent —
+        # the earlier undamped Newton stalled when the inlier window
+        # emptied under extreme contamination (advisor finding r2).
+        # 60 halvings of the bracket are past f32 AND f64 resolution.
+        def score(mu):
+            return jnp.sum(jnp.clip(y - mu, -M, M))
 
-        mu = jax.lax.fori_loop(0, 30, step, jnp.mean(y))
+        def step(_, ab):
+            lo, hi = ab
+            mid = 0.5 * (lo + hi)
+            pos = score(mid) > 0  # root is above mid
+            return (jnp.where(pos, mid, lo), jnp.where(pos, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, 60, step,
+                                   (jnp.min(y), jnp.max(y)))
+        mu = 0.5 * (lo + hi)
         return jnp.clip(y - mu, -M, M)
 
     def cv_loss(eta, y):

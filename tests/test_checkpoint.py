@@ -259,3 +259,24 @@ def test_consensus_crash_resume(tmp_path):
     plain = parallel_lasso_path(X, y, lambdas=lams, nworkers=8)
     np.testing.assert_allclose(np.asarray(res.coef),
                                np.asarray(plain.coef), atol=2e-3)
+
+
+def test_fingerprint_digest_compared_exactly(tmp_path):
+    """A digest lane differing by one ulp of a ~1e19 float — far inside
+    np.allclose's default rtol — must refuse to resume (advisor r2:
+    allclose discarded ~47 bits per digest lane)."""
+    X, y = _problem()
+    lams = _lams()
+    ck = str(tmp_path / "digest.npz")
+    assert checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                   chunk_size=7,
+                                   _stop_after_chunks=1) is None
+    with np.load(ck) as d:
+        payload = {k: d[k] for k in d.files}
+    fp = payload["fingerprint"].copy()
+    fp[-1] = np.nextafter(fp[-1], np.inf)
+    payload["fingerprint"] = fp
+    np.savez(ck, **payload)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_lasso_path(X, y, lambdas=lams, checkpoint=ck,
+                                chunk_size=7)

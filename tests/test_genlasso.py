@@ -130,3 +130,22 @@ def test_genlasso_batch_scan_agree():
 def test_genlasso_validates_D():
     with pytest.raises(ValueError, match="D must be"):
         gen_lasso_path(np.ones((10, 3)), np.ones(10), np.ones((2, 5)))
+
+
+def test_auto_grid_rank_deficient_D_f64():
+    """Stacked [I; D1] has linearly dependent rows (m > p), so DD' is
+    singular: the auto lambda grid must stay finite under f64 (advisor
+    r2: a zero f64 jitter silently produced an all-NaN grid)."""
+    import jax.numpy as jnp
+
+    from admm_tpu.models.genlasso import difference_matrix, gen_lasso_path
+
+    rng = np.random.default_rng(0)
+    n, p = 60, 20
+    X = rng.normal(size=(n, p))
+    y = rng.normal(size=n)
+    D = np.vstack([np.eye(p), difference_matrix(p, 1)])
+    res = gen_lasso_path(X, y, D, nlambda=8, maxit=500,
+                         dtype=jnp.float64)
+    assert np.all(np.isfinite(np.asarray(res.lambdas)))
+    assert np.all(np.isfinite(np.asarray(res.coef)))

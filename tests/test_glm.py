@@ -138,3 +138,18 @@ def test_cv_glm_huber_and_poisson():
     yc = rng.poisson(np.exp(eta)).astype(float)
     cvp = admm_tpu.cv_glm_path(X, yc, poisson, nfolds=4, nlambda=10)
     assert np.isfinite(cvp.cvm).all()
+
+
+def test_huber_null_resid_extreme_contamination():
+    """The huber null intercept must solve sum clip(y - mu, -M, M) = 0
+    even when outliers at 1e6 empty the inlier window at the starting
+    mean (advisor r2: the old undamped Newton stalled there; bisection
+    on the monotone score is globally convergent)."""
+    import jax.numpy as jnp
+
+    M = 1.345
+    rng = np.random.default_rng(3)
+    y = np.concatenate([0.3 * rng.normal(size=90) + 0.29,
+                        np.full(10, 1e6)])
+    r = np.asarray(huber(M).null_resid(jnp.asarray(y), True))
+    assert abs(r.sum()) < 1e-3 * len(y)
