@@ -38,7 +38,10 @@ from .models.genlasso import (difference_matrix, fused_lasso_path,
                               gen_lasso_path)
 from .models.grouplasso import group_lasso_path
 from .models.logistic import logistic_lasso_path
-from .parallel.consensus import parallel_logistic_lasso_path
+from .parallel.consensus import (parallel_glm_lasso_path,
+                                 parallel_huber_lasso_path,
+                                 parallel_logistic_lasso_path,
+                                 parallel_poisson_lasso_path)
 
 __version__ = "0.1.0"
 
@@ -49,7 +52,8 @@ __all__ = [
     "group_lasso_path", "cv_group_lasso_path",
     "gen_lasso_path", "fused_lasso_path", "difference_matrix",
     "logistic_lasso_path", "cv_logistic_path",
-    "parallel_logistic_lasso_path",
+    "parallel_logistic_lasso_path", "parallel_glm_lasso_path",
+    "parallel_huber_lasso_path", "parallel_poisson_lasso_path",
     "glm_lasso_path", "huber_lasso_path", "poisson_lasso_path",
     "cv_glm_path",
     "__version__",

@@ -156,14 +156,19 @@ def _bp_x_update(Xi, yi, rho, *, jitter: float = 1e-6):
     return x_update
 
 
-def _logistic_x_update(Xi, yi, rho, *, n_total: int,
-                       newton_steps: int = 2):
-    """Per-worker inexact Newton on ``NLL_i/n + rho/2||x - v||^2`` — the
-    consensus GLM worker (math: admm_tpu/models/logistic.py; each step is
-    one batched (q, q) Hessian build + Cholesky solve per worker).
+def _glm_x_update(Xi, yi, rho, *, family, n_total: int,
+                  newton_steps: int = 2):
+    """Per-worker inexact Newton on ``loss_i/n + rho/2||x - v||^2`` for
+    ANY :class:`~admm_tpu.models.glm.GLMFamily` — the model-generic
+    consensus worker the reference's template promises (reference:
+    src/PADMMBase.h:17-83 — any f_i plugs in).  Each Newton step is one
+    batched (q, q) Hessian build + Cholesky solve per worker, assembled
+    from the family's ``grad_eta``/``weight_eta`` hooks exactly as the
+    serial engine does (models/glm.py::_glm_ops).
 
-    Zero-padded rows are exactly inert: a zero feature row contributes
-    zero gradient and Hessian regardless of its sigmoid(0) = 0.5.
+    Zero-padded rows are exactly inert for every family: a zero feature
+    row contributes zero gradient (X_r * g_r = 0) and zero Hessian
+    (w_r X_r X_r' = 0) whatever g_r/w_r evaluate to at eta = 0.
     """
     import jax.scipy.linalg as jsl
 
@@ -180,10 +185,10 @@ def _logistic_x_update(Xi, yi, rho, *, n_total: int,
 
         def step(_, b):
             u = _bmm("wrq,wq->wr", Xi, b)
-            pr = jax.nn.sigmoid(u)
-            grad = (_bmm("wrq,wr->wq", Xi, pr - yi) / n_total
+            g = family.grad_eta(u, yi)
+            grad = (_bmm("wrq,wr->wq", Xi, g) / n_total
                     + rho_ * (b - v))
-            w = pr * (1.0 - pr)
+            w = family.weight_eta(u, yi)
             H = (jnp.einsum("wrq,wr,wrs->wqs", Xi, w, Xi,
                             precision=lax.Precision.HIGHEST) / n_total
                  + rho_ * eye)
@@ -194,10 +199,10 @@ def _logistic_x_update(Xi, yi, rho, *, n_total: int,
     return x_update
 
 
-def _logistic_master_prox(W: int, alpha: float, pen_mask):
+def _glm_master_prox(W: int, alpha: float, pen_mask):
     """Masked elastic-net prox of the consensus mean: the intercept
     coordinate (pen_mask 0) passes through unpenalized, exactly as in
-    the serial logistic z-update (models/logistic.py)."""
+    the serial GLM z-update (models/glm.py::_glm_ops)."""
     def prox(zbar, lam, rho):
         wr = W * rho
         pen = lam * pen_mask
@@ -679,8 +684,8 @@ def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,
     return BPResult(coef=coefs[0], niter=niter[0], trace=traces)
 
 
-def parallel_logistic_lasso_path(
-        X, y, *, nworkers: Optional[int] = None,
+def parallel_glm_lasso_path(
+        X, y, family, *, nworkers: Optional[int] = None,
         mesh: Optional[Mesh] = None,
         lambdas: Optional[jnp.ndarray] = None, nlambda: int = 50,
         lambda_min_ratio: float = 1e-2, alpha: float = 1.0,
@@ -689,32 +694,36 @@ def parallel_logistic_lasso_path(
         eps_rel: float = 1e-5, rho: float = -1.0,
         newton_steps: int = 2, trace_len: Optional[int] = None,
         dtype=jnp.float32) -> PathResult:
-    """Consensus sparse LOGISTIC regression over the mesh (extension):
-    the distributed GLM the reference never had.  Each worker runs the
-    inexact-Newton x-update on ITS row block's share of the NLL
-    (math: admm_tpu/models/logistic.py); the master applies the masked
+    """Consensus penalized-GLM path over the mesh for ANY
+    :class:`~admm_tpu.models.glm.GLMFamily` (extension): the distributed
+    smooth-loss tier the reference never had, honoring its model-generic
+    consensus template (reference: src/PADMMBase.h:17-83 — any f_i plugs
+    in).  Each worker runs the family's inexact-Newton x-update on ITS
+    row block's share of the loss; the master applies the masked
     elastic-net prox; the iteration is still exactly one fused psum.
     Semantics (objective, glmnet lambda_max rule, standardization,
-    unpenalized intercept) match :func:`admm_tpu.models.logistic.
-    logistic_lasso_path`, to which the result converges (tested).
+    unpenalized intercept) match :func:`admm_tpu.models.glm.
+    glm_lasso_path`, to which the result converges (tested for the
+    binomial, huber and poisson families).
     """
+    from ..models.glm import GLMFamily, prep_design, recover_glm
+
+    fam = family() if not isinstance(family, GLMFamily) else family
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype).ravel()
     n, p = X.shape
     if not (0.0 < alpha <= 1.0):
-        raise ValueError("alpha must be in (0, 1] for the binomial path")
+        raise ValueError("alpha must be in (0, 1] for GLM paths")
     W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
 
     # Shared GLM design prep / lambda rule (models/glm.py) so the
     # consensus path cannot diverge from the serial semantics.
-    from ..models.glm import binomial, prep_design
-
     Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize, intercept)
     Xs = Xa[:, 1:] if intercept else Xa
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
-        r0 = binomial().null_resid(y, intercept)
+        r0 = fam.null_resid(y, intercept)
         lam0 = (jnp.max(jnp.abs(dot(Xs.T, r0))) / n
                 / jnp.maximum(alpha, 1e-3))
         lams = jnp.exp(jnp.linspace(
@@ -725,21 +734,45 @@ def parallel_logistic_lasso_path(
     trace_len = None if trace_len is None else int(trace_len)
     solver = partial(
         _consensus_shard, nworkers=W,
-        make_x_update=partial(_logistic_x_update, n_total=n,
+        make_x_update=partial(_glm_x_update, family=fam, n_total=n,
                               newton_steps=int(newton_steps)),
-        master_prox=_logistic_master_prox(W, float(alpha), pen_mask),
+        master_prox=_glm_master_prox(W, float(alpha), pen_mask),
         auto_rho=lambda lam_first: 1.0,
         trace_len=trace_len)
-    # st.lam is the USER-scale lambda here (the logistic ops carry the
-    # 1/n inside the NLL gradient, unlike the gaussian paths' ilams).
+    # st.lam is the USER-scale lambda here (the GLM ops carry the 1/n
+    # inside the loss gradient, unlike the gaussian paths' ilams).
     out = _run_consensus(Xb, yb, lams, rho, maxit, eps_abs, eps_rel,
                          mesh=mesh, axis=axis, D=D, solver=solver,
                          traced=trace_len is not None)
     coefs_a, niter = out[0], out[1]
     traces = out[3] if trace_len is not None else None
 
-    from ..models.glm import recover_glm
-
     beta0, coef = recover_glm(coefs_a, mean_x, sd_x, intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
                       trace=traces)
+
+
+def parallel_logistic_lasso_path(X, y, **kw) -> PathResult:
+    """Consensus sparse logistic regression: the binomial instantiation
+    of :func:`parallel_glm_lasso_path` (converges to
+    :func:`admm_tpu.models.logistic.logistic_lasso_path`, tested)."""
+    from ..models.glm import binomial
+
+    return parallel_glm_lasso_path(X, y, binomial(), **kw)
+
+
+def parallel_huber_lasso_path(X, y, *, M: float = 1.345,
+                              **kw) -> PathResult:
+    """Consensus robust (Huber-loss) Lasso/Enet path — the distributed
+    counterpart of :func:`admm_tpu.models.glm.huber_lasso_path`."""
+    from ..models.glm import huber
+
+    return parallel_glm_lasso_path(X, y, huber(float(M)), **kw)
+
+
+def parallel_poisson_lasso_path(X, y, **kw) -> PathResult:
+    """Consensus sparse Poisson regression path — the distributed
+    counterpart of :func:`admm_tpu.models.glm.poisson_lasso_path`."""
+    from ..models.glm import poisson
+
+    return parallel_glm_lasso_path(X, y, poisson(), **kw)

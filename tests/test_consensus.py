@@ -123,7 +123,8 @@ def _allreduce_shapes(hlo):
     return re.findall(r"= *(\S+) all-reduce(?:-start)?\(", hlo)
 
 
-@pytest.mark.parametrize("variant", ["lasso", "bp", "group", "logistic"])
+@pytest.mark.parametrize("variant", ["lasso", "bp", "group", "logistic",
+                                     "huber", "poisson"])
 def test_exactly_one_psum_per_iteration(variant):
     """THE central distributed invariant (consensus.py module docstring):
     the whole compiled consensus program contains exactly ONE all-reduce,
@@ -163,19 +164,24 @@ def test_exactly_one_psum_per_iteration(variant):
                                      nworkers=8, tall_block=True,
                                      group_prox=(gj, wj))
     else:
-        import jax.numpy as jnp2
+        # The GLM worker is family-generic (consensus.py::_glm_x_update);
+        # every family must keep the one-collective invariant.
+        from admm_tpu.models.glm import binomial, huber, poisson
+
+        fam = {"logistic": binomial, "huber": huber, "poisson": poisson}[
+            variant]()
         p = 16
         rng = np.random.default_rng(6)
         X = rng.normal(size=(160, p))
         ylab = (rng.uniform(size=160) < 0.5).astype(float)
         Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, p)
         yb = jnp.asarray(ylab, jnp.float32).reshape(8, 20)
-        mask = jnp2.ones((p,), jnp.float32)
+        mask = jnp.ones((p,), jnp.float32)
         factory = lambda ax: partial(
             C._consensus_shard, axis=ax, nworkers=8,
-            make_x_update=partial(C._logistic_x_update, n_total=160,
-                                  newton_steps=2),
-            master_prox=C._logistic_master_prox(8, 1.0, mask),
+            make_x_update=partial(C._glm_x_update, family=fam,
+                                  n_total=160, newton_steps=2),
+            master_prox=C._glm_master_prox(8, 1.0, mask),
             auto_rho=lambda lam: 1.0)
 
     hlo = _compiled_consensus_hlo(factory, Xb, yb)

