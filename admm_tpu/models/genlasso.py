@@ -150,18 +150,34 @@ def _solve_genlasso_batch(Xs, ys, D, ilams, rho0, maxit, eps_abs,
 @partial(jax.jit, static_argnames=("intercept", "nlambda", "path_mode",
                                    "trace_len"))
 def _gen_path(X, y, D, nlambda, lambda_min_ratio, user_lams, rho, maxit,
-              eps_abs, eps_rel, *, intercept, path_mode, trace_len=None):
+              eps_abs, eps_rel, weights=None, *, intercept, path_mode,
+              trace_len=None):
     n, p = X.shape
     dtype = X.dtype
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))  # glmnet: weights sum to n
+    wmean = (jnp.mean if w is None
+             else lambda v, axis=None: (
+                 jnp.sum((w if v.ndim == 1 else w[:, None]) * v,
+                         axis=axis) / n))
     if intercept:
-        mean_x = jnp.mean(X, axis=0)
-        mean_y = jnp.mean(y)
+        mean_x = wmean(X, axis=0)
+        mean_y = wmean(y)
         Xs = X - mean_x[None, :]
         ys = y - mean_y
     else:
         Xs, ys = X, y
         mean_x = jnp.zeros((p,), dtype)
         mean_y = jnp.asarray(0.0, dtype)
+    if w is not None:
+        # sqrt(w) row scaling turns the downstream unweighted quadratic
+        # machinery into the weighted loss (as data/standardize.py does
+        # for the gaussian paths); D-penalty coordinates are untouched.
+        sw = jnp.sqrt(w)
+        Xs = Xs * sw[:, None]
+        ys = ys * sw
 
     if user_lams is None:
         # Grid top: beta = 0 is optimal iff X'y = D'v for some
@@ -206,14 +222,18 @@ def gen_lasso_path(X, y, D, *, lambdas: Optional[jnp.ndarray] = None,
                    eps_abs: float = 1e-5, eps_rel: float = 1e-5,
                    rho: float = -1.0, path_mode: str = "batch",
                    trace_len: Optional[int] = None,
+                   weights: Optional[jnp.ndarray] = None,
                    dtype=jnp.float32) -> PathResult:
     """Solve the generalized-Lasso lambda path on device.
 
     ``D`` is the (m, p) penalty matrix (:func:`difference_matrix` builds
     the fused-lasso / trend-filtering operators).  ``D = I`` reduces
     exactly to :func:`admm_tpu.models.lasso.lasso_path` with
-    ``standardize=False`` (tested).  ``path_mode`` / ``trace_len`` as in
-    the Lasso path (tracing implies the scan protocol).
+    ``standardize=False`` (tested).  ``weights`` (extension — glmnet's
+    ``weights`` argument): observation weights on the quadratic loss
+    (integer weight k == repeating the row k times, tested); the
+    D-penalty is unaffected.  ``path_mode`` / ``trace_len`` as in the
+    Lasso path (tracing implies the scan protocol).
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -225,8 +245,9 @@ def gen_lasso_path(X, y, D, *, lambdas: Optional[jnp.ndarray] = None,
         trace_len = int(trace_len)
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    w = None if weights is None else jnp.asarray(weights, dtype)
     return _gen_path(X, y, D, int(nlambda), lambda_min_ratio, lams, rho,
-                     maxit, eps_abs, eps_rel, intercept=intercept,
+                     maxit, eps_abs, eps_rel, w, intercept=intercept,
                      path_mode=path_mode, trace_len=trace_len)
 
 

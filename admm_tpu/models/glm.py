@@ -54,12 +54,22 @@ def _poisson_deviance(eta, y):
     return 2.0 * (ylogy - y[None, :] * eta - (y[None, :] - mu))
 
 
+def _wmean(y, w=None):
+    """Weighted mean (plain mean when ``w`` is None)."""
+    if w is None:
+        return jnp.mean(y)
+    return jnp.sum(w * y) / jnp.sum(w)
+
+
 class GLMFamily(NamedTuple):
     """Per-observation derivatives of the loss in the linear predictor.
 
     ``grad_eta(eta, y)`` = dloss/deta, ``weight_eta(eta, y)`` =
-    d2loss/deta2 (the IRLS weight), ``null_resid(y, intercept)`` = the
-    null-model -grad used by the lambda_max rule."""
+    d2loss/deta2 (the IRLS weight), ``null_resid(y, intercept, w=None)``
+    = the null-model -grad used by the lambda_max rule (``w`` =
+    observation weights: the null intercept becomes the WEIGHTED
+    location estimate, so the weighted grid top still nulls the
+    model)."""
     name: str
     grad_eta: Callable
     weight_eta: Callable
@@ -78,8 +88,8 @@ def binomial() -> GLMFamily:
         grad_eta=lambda eta, y: jax.nn.sigmoid(eta) - y,
         weight_eta=lambda eta, y: (lambda p: p * (1.0 - p))(
             jax.nn.sigmoid(eta)),
-        null_resid=lambda y, intercept: y - (jnp.mean(y) if intercept
-                                             else 0.5),
+        null_resid=lambda y, intercept, w=None: y - (
+            _wmean(y, w) if intercept else 0.5),
         cv_loss=lambda eta, y: 2.0 * (np.logaddexp(0.0, eta)
                                       - y[None, :] * eta),
     )
@@ -92,20 +102,21 @@ def huber(M: float = 1.345) -> GLMFamily:
     |r| <= M (the rho-regularized Newton Hessian stays PD).  M -> inf
     recovers the gaussian Lasso objective exactly."""
 
-    def null_resid(y, intercept):
+    def null_resid(y, intercept, w=None):
         if not intercept:
             return jnp.clip(y, -M, M)
-        # The null intercept is the HUBER location M-estimate (the root
-        # of sum clip(y - mu, -M, M) = 0), NOT the mean: with asymmetric
-        # contamination — exactly the regime this loss targets — the
-        # mean-anchored grid top would not null the model.  The score is
-        # monotone nonincreasing in mu and changes sign on
+        # The null intercept is the (weighted) HUBER location M-estimate
+        # (the root of sum w clip(y - mu, -M, M) = 0), NOT the mean:
+        # with asymmetric contamination — exactly the regime this loss
+        # targets — the mean-anchored grid top would not null the model.
+        # The score is monotone nonincreasing in mu and changes sign on
         # [min(y), max(y)], so plain BISECTION is globally convergent —
         # the earlier undamped Newton stalled when the inlier window
         # emptied under extreme contamination (advisor finding r2).
         # 60 halvings of the bracket are past f32 AND f64 resolution.
         def score(mu):
-            return jnp.sum(jnp.clip(y - mu, -M, M))
+            r = jnp.clip(y - mu, -M, M)
+            return jnp.sum(r if w is None else w * r)
 
         def step(_, ab):
             lo, hi = ab
@@ -140,14 +151,14 @@ def poisson() -> GLMFamily:
         name="poisson",
         grad_eta=lambda eta, y: jnp.exp(jnp.minimum(eta, 30.0)) - y,
         weight_eta=lambda eta, y: jnp.exp(jnp.minimum(eta, 30.0)),
-        null_resid=lambda y, intercept: y - (jnp.mean(y) if intercept
-                                             else 1.0),
+        null_resid=lambda y, intercept, w=None: y - (
+            _wmean(y, w) if intercept else 1.0),
         cv_loss=_poisson_deviance,
     )
 
 
-def prep_design(X, standardize_x: bool, intercept: bool):
-    """Shared GLM design prep (also used by the consensus logistic,
+def prep_design(X, standardize_x: bool, intercept: bool, weights=None):
+    """Shared GLM design prep (also used by the consensus GLM,
     admm_tpu/parallel/consensus.py): returns ``(Xa, pen_mask, mean_x,
     sd_x)`` with the ones column prepended when an intercept is fitted.
 
@@ -155,17 +166,25 @@ def prep_design(X, standardize_x: bool, intercept: bool):
     (data/standardize.py): standardize WITHOUT intercept scales but does
     NOT center (centering would covertly fit the intercept the caller
     disabled); the near-constant-column guard is the shared relative
-    ``_guard``, not a bare sd > 0 check.
+    ``_guard``, not a bare sd > 0 check.  ``weights`` (normalized
+    observation weights) make the moments WEIGHTED — the rows are NOT
+    sqrt(w)-scaled (the smooth loss is not quadratic; the weights enter
+    the grad/Hessian terms instead, see :func:`_glm_ops`).
     """
-    from ..data.standardize import _guard, _sd_n
+    from ..data.standardize import _guard
 
     n, p = X.shape
     dtype = X.dtype
     mean_x = jnp.zeros((p,), dtype)
     sd_x = jnp.ones((p,), dtype)
     if standardize_x:
-        col_mean = jnp.mean(X, axis=0)
-        sd_x = _guard(_sd_n(X, axis=0), col_mean)
+        w = (jnp.ones((n,), dtype) if weights is None
+             else jnp.asarray(weights, dtype))
+        sw = jnp.sum(w)
+        col_mean = jnp.sum(w[:, None] * X, axis=0) / sw
+        c = X - col_mean[None, :]
+        col_sd = jnp.sqrt(jnp.sum(w[:, None] * c * c, axis=0) / sw)
+        sd_x = _guard(col_sd, col_mean)
         if intercept:
             mean_x = col_mean
             X = (X - mean_x[None, :]) / sd_x[None, :]
@@ -196,17 +215,23 @@ def recover_glm(coefs_a, mean_x, sd_x, intercept: bool):
 
 
 def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
-             newton_steps):
+             newton_steps, obs_w=None):
     """ProblemOps for the smooth-loss ADMM; ``Xa`` (n, q) includes the
-    ones column when an intercept is fitted."""
+    ones column when an intercept is fitted.  ``obs_w`` (normalized
+    observation weights summing to n, or None) multiplies the
+    per-observation gradient and IRLS-weight terms — the weighted loss
+    ``1/n sum_i w_i loss(eta_i; y_i)`` with one extra (n,) multiply."""
     import jax.scipy.linalg as jsl
 
     def newton(v, rho, b0):
         def step(_, b):
             eta = dot(Xa, b)
             g = family.grad_eta(eta, ys)
-            grad = dot(Xa.T, g) / n + rho * (b - v)
             w = family.weight_eta(eta, ys)
+            if obs_w is not None:
+                g = obs_w * g
+                w = obs_w * w
+            grad = dot(Xa.T, g) / n + rho * (b - v)
             H = dot(Xa.T * w[None, :], Xa) / n
             H = H + rho * jnp.eye(q, dtype=Xa.dtype)
             c, low = jsl.cho_factor(H)
@@ -240,7 +265,7 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
 
 
 def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
-                newton_steps):
+                newton_steps, obs_w=None):
     n, q = Xa.shape
     dtype = Xa.dtype
     # rho = 1.0: after standardization the per-observation IRLS weights
@@ -248,7 +273,8 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
     # the prox term are balanced at unit rho.
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.asarray(1.0, dtype))
-    ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps)
+    ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps,
+                   obs_w)
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q,), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
@@ -259,19 +285,27 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
                                    "nlambda", "path_mode", "trace_len",
                                    "newton_steps"))
 def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
-              eps_abs, eps_rel, alpha, *, family, standardize_x,
-              intercept, path_mode, trace_len=None,
+              eps_abs, eps_rel, alpha, weights=None, *, family,
+              standardize_x, intercept, path_mode, trace_len=None,
               newton_steps=_NEWTON_STEPS):
     n, p = X.shape
     dtype = X.dtype
     fam = family() if not isinstance(family, GLMFamily) else family
-    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize_x, intercept)
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))  # glmnet: weights sum to n
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize_x, intercept,
+                                             weights=w)
     Xs = Xa[:, 1:] if intercept else Xa
     q = Xa.shape[1]
 
     if user_lams is None:
-        # glmnet lambda_max rule: the null model's score against X.
-        r0 = fam.null_resid(y, intercept)
+        # glmnet lambda_max rule: the (weighted) null model's score
+        # against X.
+        r0 = fam.null_resid(y, intercept, w)
+        if w is not None:
+            r0 = w * r0
         lam0 = (jnp.max(jnp.abs(dot(Xs.T, r0))) / n
                 / jnp.maximum(alpha, 1e-3))
         lams = jnp.exp(jnp.linspace(
@@ -280,7 +314,7 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
         lams = user_lams
 
     st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
-                                     alpha, newton_steps)
+                                     alpha, newton_steps, obs_w=w)
     if path_mode == "batch":
         bsolve = make_batched_solver(solve)
         st = _batched_cold_states(lams.shape[0], q, st0.rho, lams, dtype)
@@ -305,12 +339,18 @@ def glm_lasso_path(X, y, family, *,
                    rho: float = -1.0, path_mode: str = "scan",
                    trace_len: Optional[int] = None,
                    newton_steps: int = _NEWTON_STEPS,
+                   weights: Optional[jnp.ndarray] = None,
                    dtype=jnp.float32) -> PathResult:
     """Solve a penalized smooth-loss path for any :class:`GLMFamily`.
 
     ``family`` is a GLMFamily instance (:func:`binomial`,
     :func:`huber`, :func:`poisson`) or a zero-argument factory.
-    Options as in :func:`admm_tpu.models.logistic.logistic_lasso_path`.
+    ``weights`` (extension — glmnet's ``weights`` argument for every
+    family): observation weights, normalized to sum to n; the loss,
+    the standardization moments and the lambda grid all become weighted
+    (an integer weight of k is exactly equivalent to repeating the row
+    k times — tested per family).  Other options as in
+    :func:`admm_tpu.models.logistic.logistic_lasso_path`.
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype).ravel()
@@ -321,8 +361,9 @@ def glm_lasso_path(X, y, family, *,
         raise ValueError("alpha must be in (0, 1] for GLM paths")
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    w = None if weights is None else jnp.asarray(weights, dtype)
     return _glm_path(X, y, int(nlambda), lambda_min_ratio, lams, rho,
-                     maxit, eps_abs, eps_rel, alpha, family=family,
+                     maxit, eps_abs, eps_rel, alpha, w, family=family,
                      standardize_x=standardize, intercept=intercept,
                      path_mode=path_mode, trace_len=trace_len,
                      newton_steps=int(newton_steps))

@@ -169,11 +169,11 @@ def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "nlambda", "trace_len"))
 def _gl_path(X, y, groups, weights, nlambda, lambda_min_ratio, user_lams,
-             rho, maxit, eps_abs, eps_rel, *, standardize_x, intercept,
-             trace_len=None):
+             rho, maxit, eps_abs, eps_rel, obs_weights=None, *,
+             standardize_x, intercept, trace_len=None):
     n, p = X.shape
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
-                                intercept=intercept)
+                                intercept=intercept, weights=obs_weights)
     gp = _GroupProblem(groups=groups, weights=weights)
     if user_lams is None:
         lam0 = _gl_lambda0(Xs, ys, groups, weights)
@@ -206,13 +206,19 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
                      maxit: int = 10000, eps_abs: float = 1e-5,
                      eps_rel: float = 1e-5, rho: float = -1.0,
                      trace_len: Optional[int] = None,
+                     obs_weights: Optional[jnp.ndarray] = None,
                      dtype=jnp.float32) -> PathResult:
     """Solve the group-Lasso lambda path on device.
 
     ``groups`` is a length-p array of group ids (0..G-1, any order);
-    ``weights`` defaults to sqrt(group size) (Yuan & Lin).  Other
-    arguments mirror :func:`admm_tpu.models.lasso.lasso_path`,
-    including ``trace_len`` (per-iteration residual trace).
+    ``weights`` defaults to sqrt(group size) (Yuan & Lin).
+    ``obs_weights`` (extension — glmnet's ``weights`` argument, named
+    to avoid colliding with the GROUP weights): observation weights;
+    the sqrt(w) row scaling of the shared standardization makes the
+    quadratic loss, the lambda grid and the KKT boundary weighted
+    (data/standardize.py).  Other arguments mirror
+    :func:`admm_tpu.models.lasso.lasso_path`, including ``trace_len``
+    (per-iteration residual trace).
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -222,8 +228,9 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
         lambda_min_ratio = 0.01 if n < p else 1e-4
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    ow = None if obs_weights is None else jnp.asarray(obs_weights, dtype)
     return _gl_path(X, y, groups_j, weights, int(nlambda),
                     lambda_min_ratio, lams, rho, maxit, eps_abs, eps_rel,
-                    standardize_x=standardize, intercept=intercept,
+                    ow, standardize_x=standardize, intercept=intercept,
                     trace_len=(None if trace_len is None
                                else int(trace_len)))

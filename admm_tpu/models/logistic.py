@@ -33,6 +33,7 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                         path_mode: str = "scan",
                         trace_len: Optional[int] = None,
                         newton_steps: int = _NEWTON_STEPS,
+                        weights: Optional[jnp.ndarray] = None,
                         dtype=jnp.float32) -> PathResult:
     """Solve the L1/elastic-net logistic regression lambda path.
 
@@ -50,4 +51,4 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                           maxit=maxit, eps_abs=eps_abs, eps_rel=eps_rel,
                           rho=rho, path_mode=path_mode,
                           trace_len=trace_len, newton_steps=newton_steps,
-                          dtype=dtype)
+                          weights=weights, dtype=dtype)

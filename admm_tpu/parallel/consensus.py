@@ -157,7 +157,7 @@ def _bp_x_update(Xi, yi, rho, *, jitter: float = 1e-6):
 
 
 def _glm_x_update(Xi, yi, rho, *, family, n_total: int,
-                  newton_steps: int = 2):
+                  newton_steps: int = 2, weighted: bool = False):
     """Per-worker inexact Newton on ``loss_i/n + rho/2||x - v||^2`` for
     ANY :class:`~admm_tpu.models.glm.GLMFamily` — the model-generic
     consensus worker the reference's template promises (reference:
@@ -169,12 +169,20 @@ def _glm_x_update(Xi, yi, rho, *, family, n_total: int,
     Zero-padded rows are exactly inert for every family: a zero feature
     row contributes zero gradient (X_r * g_r = 0) and zero Hessian
     (w_r X_r X_r' = 0) whatever g_r/w_r evaluate to at eta = 0.
+
+    ``weighted``: observation weights ride STACKED with the response —
+    ``yi`` is then (Wl, rows, 2) = [y, w] so the shard_map plumbing
+    (specs, partitioning, the fused psum) is untouched; the weights
+    multiply the per-observation grad/IRLS terms exactly as the serial
+    weighted engine does (models/glm.py::_glm_ops).
     """
     import jax.scipy.linalg as jsl
 
     Wl, rows, q = Xi.shape
     dtype = Xi.dtype
     eye = jnp.eye(q, dtype=dtype)
+    if weighted:
+        yi, wi = yi[..., 0], yi[..., 1]
 
     def chol_solve(H, g):
         c, low = jsl.cho_factor(H)
@@ -186,9 +194,12 @@ def _glm_x_update(Xi, yi, rho, *, family, n_total: int,
         def step(_, b):
             u = _bmm("wrq,wq->wr", Xi, b)
             g = family.grad_eta(u, yi)
+            w = family.weight_eta(u, yi)
+            if weighted:
+                g = wi * g
+                w = wi * w
             grad = (_bmm("wrq,wr->wq", Xi, g) / n_total
                     + rho_ * (b - v))
-            w = family.weight_eta(u, yi)
             H = (jnp.einsum("wrq,wr,wrs->wqs", Xi, w, Xi,
                             precision=lax.Precision.HIGHEST) / n_total
                  + rho_ * eye)
@@ -537,6 +548,7 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
                         alpha: float = 1.0, _enet_scale: bool = False,
                         _master_prox_override=None,
                         trace_len: Optional[int] = None,
+                        weights: Optional[jnp.ndarray] = None,
                         dtype=jnp.float32) -> PathResult:
     """Consensus-ADMM Lasso/Enet lambda path over W = D * W_local workers.
 
@@ -545,7 +557,10 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
     scheme degrades gracefully to the reference's shared-memory layout
     (all workers batched on one chip).  ``alpha < 1`` solves the Elastic
     Net by consensus — an extension; the reference parallelizes only the
-    Lasso (reference: src/ParLasso.cpp).
+    Lasso (reference: src/ParLasso.cpp).  ``weights`` (extension —
+    glmnet's ``weights``): the standardization scales rows by sqrt(w)
+    (data/standardize.py), so the per-worker ridge solves are weighted
+    automatically and the result matches the serial weighted path.
 
     Convergence note: to keep the iteration at ONE collective, the
     primal-residual norm rides the fused psum one iteration late (module
@@ -561,8 +576,9 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
         lambda_min_ratio = 0.01 if n < p else 1e-4
 
     # Standardization and the lambda grid are global (replicated) work.
+    w = None if weights is None else jnp.asarray(weights, dtype)
     Xs, ys, stats = standardize_data(X, y, standardize_x=standardize,
-                                     intercept=intercept)
+                                     intercept=intercept, weights=w)
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
@@ -693,6 +709,7 @@ def parallel_glm_lasso_path(
         maxit: int = 10000, eps_abs: float = 1e-5,
         eps_rel: float = 1e-5, rho: float = -1.0,
         newton_steps: int = 2, trace_len: Optional[int] = None,
+        weights: Optional[jnp.ndarray] = None,
         dtype=jnp.float32) -> PathResult:
     """Consensus penalized-GLM path over the mesh for ANY
     :class:`~admm_tpu.models.glm.GLMFamily` (extension): the distributed
@@ -718,12 +735,19 @@ def parallel_glm_lasso_path(
 
     # Shared GLM design prep / lambda rule (models/glm.py) so the
     # consensus path cannot diverge from the serial semantics.
-    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize, intercept)
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))  # glmnet: weights sum to n
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize, intercept,
+                                             weights=w)
     Xs = Xa[:, 1:] if intercept else Xa
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
-        r0 = fam.null_resid(y, intercept)
+        r0 = fam.null_resid(y, intercept, w)
+        if w is not None:
+            r0 = w * r0
         lam0 = (jnp.max(jnp.abs(dot(Xs.T, r0))) / n
                 / jnp.maximum(alpha, 1e-3))
         lams = jnp.exp(jnp.linspace(
@@ -731,11 +755,17 @@ def parallel_glm_lasso_path(
             int(nlambda)))
 
     Xb, yb, rows_w = _partition_rows(Xa, y, W)
+    if w is not None:
+        # Weights ride stacked with the response so the shard_map specs
+        # and the fused psum are untouched (see _glm_x_update).
+        _, wb, _ = _partition_rows(Xa, w, W)
+        yb = jnp.stack([yb, wb], axis=-1)
     trace_len = None if trace_len is None else int(trace_len)
     solver = partial(
         _consensus_shard, nworkers=W,
         make_x_update=partial(_glm_x_update, family=fam, n_total=n,
-                              newton_steps=int(newton_steps)),
+                              newton_steps=int(newton_steps),
+                              weighted=w is not None),
         master_prox=_glm_master_prox(W, float(alpha), pen_mask),
         auto_rho=lambda lam_first: 1.0,
         trace_len=trace_len)
