@@ -1,17 +1,29 @@
 """K-fold cross-validation over the lambda path.
 
 The reference has no model selection at all — users eyeball the solution
-path plot (reference: R/30_admm_lasso.R:189-214).  On TPU the batched
-lambda-path solver makes CV nearly free: every fold solves its whole
-path as MXU lanes, and folds share compiled programs (fold sizes differ
-by at most one, so at most two train shapes exist), so a 10-fold CV
-costs ~10 batched path solves and <= 2 compiles.
+path plot (reference: R/30_admm_lasso.R:189-214).  On TPU the design
+rule "everything lives inside one XLA program" (DESIGN.md) extends to
+the FOLD axis: the default ``cv_mode="onepass"`` runs every fold's whole
+path sweep as ONE compiled program — fold f is the weighted path with
+weight 0 on its held-out rows (exactly the training-subset fit: the
+weights are renormalized to sum to n, so the fold objective matches the
+subset objective term for term), vmapped over the (nfolds, n) mask
+matrix, with on-device prediction of the (nfolds, nlambda, n) linear
+predictors.  The host does only the final per-observation loss +
+cvm/cvsd reduce.  A 10-fold CV is then 2 device dispatches (full fit +
+fold sweep) instead of 11 — the difference matters when each solve is
+sub-millisecond and every dispatch pays a ~30 ms tunnel round-trip
+(CLAUDE.md).  ``cv_mode="loop"`` keeps the host-side fold loop (the
+fallback for path drivers without a vmappable fold solver, e.g. the
+group Lasso).
 
 Conventions follow glmnet's ``cv.glmnet``: the lambda grid is computed
 once on the full data; per-fold models are fit on the training split and
 scored by mean-squared prediction error on the held-out split;
 ``lambda_min`` minimises the CV curve and ``lambda_1se`` is the largest
-lambda within one standard error of the minimum.
+lambda within one standard error of the minimum.  ``weights`` (glmnet's
+``weights`` in ``cv.glmnet``) weight both the fits and the cvm/cvsd
+aggregation.
 """
 from __future__ import annotations
 
@@ -46,26 +58,106 @@ def binomial_deviance(eta, y):
     return 2.0 * (np.logaddexp(0.0, eta) - y[None, :] * eta)
 
 
+def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
+                            solver_kw):
+    """Build the one-program fold sweep for the gaussian Lasso/Enet:
+    ``run(X, y, lams, masks) -> (nfolds, nlambda, n)`` linear predictors,
+    ONE jitted XLA program (vmap over the fold-mask axis of the weighted
+    batched path solver; Pallas kernels are bypassed — they are written
+    single-program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .lasso import _path_user
+
+    rho = solver_kw.get("rho", -1.0)
+    maxit = solver_kw.get("maxit", 10000)
+    eps_abs = solver_kw.get("eps_abs", 1e-5)
+    eps_rel = solver_kw.get("eps_rel", 1e-5)
+    dtype = solver_kw.get("dtype", jnp.float32)
+
+    @jax.jit
+    def fold_etas(X, y, lams, masks):
+        def one(mask):
+            res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
+                             alpha, mask, standardize_x=standardize,
+                             intercept=intercept, enet_scale=enet_scale,
+                             path_mode="batch", pallas_ok=False)
+            return res.beta0[:, None] + res.coef @ X.T
+
+        return jax.vmap(one)(masks)
+
+    def run(X, y, lams, masks):
+        return fold_etas(jnp.asarray(X, dtype), jnp.asarray(y, dtype),
+                         jnp.asarray(lams, dtype),
+                         jnp.asarray(masks, dtype))
+
+    return run
+
+
+def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
+                       eps_abs, eps_rel, rho, path_mode, dtype=None):
+    """One-program fold sweep for any GLM family (same contract as
+    :func:`_make_gaussian_fold_eta`): fold f = the weighted GLM path
+    with weight 0 on held-out rows (models/glm.py), vmapped."""
+    import jax
+    import jax.numpy as jnp
+
+    from .glm import _glm_path
+
+    dtype = jnp.float32 if dtype is None else dtype
+
+    @jax.jit
+    def fold_etas(X, y, lams, masks):
+        def one(mask):
+            res = _glm_path(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
+                            eps_rel, alpha, mask, family=fam,
+                            standardize_x=standardize,
+                            intercept=intercept, path_mode=path_mode)
+            return res.beta0[:, None] + res.coef @ X.T
+
+        return jax.vmap(one)(masks)
+
+    def run(X, y, lams, masks):
+        return fold_etas(jnp.asarray(X, dtype), jnp.asarray(y, dtype),
+                         jnp.asarray(lams, dtype),
+                         jnp.asarray(masks, dtype))
+
+    return run
+
+
 def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                   lambda_min_ratio: Optional[float] = None,
                   lambdas: Optional[np.ndarray] = None,
                   alpha: float = 1.0, _enet_scale: bool = False,
                   standardize: bool = True, intercept: bool = True,
                   seed: int = 0, foldid: Optional[np.ndarray] = None,
-                  path_mode: str = "batch", _path_fn=None,
-                  _loss_fn=None,
+                  path_mode: str = "batch", cv_mode: str = "auto",
+                  weights: Optional[np.ndarray] = None,
+                  _path_fn=None, _loss_fn=None, _fold_eta_fn=None,
                   **solver_kw) -> CVResult:
     """Cross-validated Lasso/Elastic-Net path.
 
     Fold assignment and scoring follow ``cv.glmnet`` exactly: rows are
     randomly assigned round-robin over a permutation, so fold sizes
-    differ by at most one and EVERY row is scored (when ``nfolds`` does
-    not divide ``n`` the train sets take two distinct shapes, costing at
-    most two XLA compiles instead of one).  Errors are aggregated per
-    OBSERVATION, not per fold: ``cvm`` is the mean squared prediction
-    error over all scored rows and ``cvsd`` its standard error
-    (glmnet's ``cvraw``/``cvsd`` formula with unit weights), so unequal
+    differ by at most one and EVERY row is scored.  Errors are
+    aggregated per OBSERVATION, not per fold: ``cvm`` is the mean
+    squared prediction error over all scored rows and ``cvsd`` its
+    standard error (glmnet's ``cvraw``/``cvsd`` formula), so unequal
     explicit folds are weighted by their size automatically.
+
+    ``cv_mode``: "onepass" (the TPU-native protocol, module docstring)
+    runs the whole fold sweep as ONE compiled program — fold f is the
+    weighted path with weight 0 on its held-out rows, vmapped over the
+    fold axis; "loop" fits each training subset in a host-side fold
+    loop; "auto" (default) picks onepass whenever a vmappable fold
+    solver exists (the gaussian default and the GLM families) and falls
+    back to the loop otherwise.  The two modes agree to solver
+    tolerance (tested).
+
+    ``weights``: observation weights (glmnet's ``weights`` in
+    ``cv.glmnet``) — weight the full fit, every fold fit, and the
+    cvm/cvsd aggregation.
 
     When an explicit ``foldid`` is given it defines the folds and
     ``nfolds`` is derived from it (glmnet convention).  Entries of -1
@@ -75,6 +167,12 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64).ravel()
     n, p = X.shape
+    w = None if weights is None else np.asarray(weights,
+                                                np.float64).ravel()
+    if w is not None and w.shape != (n,):
+        raise ValueError("weights must have one entry per row")
+    if cv_mode not in ("auto", "onepass", "loop"):
+        raise ValueError("cv_mode must be 'auto', 'onepass' or 'loop'")
     # Cheap input validation BEFORE the expensive full-data fit; an
     # explicit foldid defines nfolds itself (glmnet convention).
     if foldid is None:
@@ -94,16 +192,27 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     # Shared lambda grid: user-supplied, or from the full data (glmnet
     # convention).  ``lambdas`` is a named parameter so it cannot collide
     # with the per-fold calls' grid argument.
-    if _path_fn is None:
-        def _path_fn(Xf, yf, lambdas, nlambda=nlambda,
+    is_default_path = _path_fn is None
+    if is_default_path:
+        def _path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
                      lambda_min_ratio=lambda_min_ratio):
             return lasso_path(Xf, yf, lambdas=lambdas, nlambda=nlambda,
                               lambda_min_ratio=lambda_min_ratio,
                               alpha=alpha, _enet_scale=_enet_scale,
                               standardize=standardize,
                               intercept=intercept, path_mode=path_mode,
-                              **solver_kw)
-    full = _path_fn(X, y, lambdas)
+                              weights=wf, **solver_kw)
+
+        full = _path_fn(X, y, lambdas, w)
+    else:
+        if w is not None:
+            if _fold_eta_fn is None:
+                raise ValueError(
+                    "weights are supported only for CV drivers with a "
+                    "one-pass fold solver (gaussian / GLM families)")
+            full = _path_fn(X, y, lambdas, w)
+        else:
+            full = _path_fn(X, y, lambdas)
     lams = np.asarray(full.lambdas, np.float64)
 
     if foldid is None:
@@ -117,20 +226,56 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     # model trained without its fold; the loss maps the linear
     # predictor to the family's deviance measure (MSE for gaussian).
     loss = _squared_error if _loss_fn is None else _loss_fn
-    sqerr = np.full((n, lams.shape[0]), np.nan)
-    for f in range(nfolds):
-        tr = foldid != f
-        va = foldid == f
-        res = _path_fn(X[tr], y[tr], lams)
-        pred = (np.asarray(res.beta0)[:, None]
-                + np.asarray(res.coef) @ X[va].T)   # (nlambda, n_va)
-        sqerr[va] = loss(pred, y[va]).T
+    fold_eta = _fold_eta_fn
+    if fold_eta is None and is_default_path and cv_mode != "loop":
+        fold_eta = _make_gaussian_fold_eta(alpha, _enet_scale,
+                                           standardize, intercept,
+                                           solver_kw)
+    if cv_mode == "onepass" and fold_eta is None:
+        raise ValueError("cv_mode='onepass' needs a one-pass fold "
+                         "solver; this CV driver has none — use "
+                         "cv_mode='loop'")
+    if fold_eta is not None and cv_mode != "loop":
+        # ONE compiled program for the whole fold sweep: fold f is the
+        # weighted path with weight 0 on its held-out rows; predictions
+        # for all n rows come back per fold and each row keeps its own
+        # fold's (nlambda,) linear predictor.
+        masks = (foldid[None, :]
+                 != np.arange(nfolds)[:, None]).astype(np.float64)
+        if w is not None:
+            masks = masks * w[None, :]
+        etas = np.asarray(fold_eta(X, y, lams, masks))
+        eta_sel = etas[np.clip(foldid, 0, None), :,
+                       np.arange(n)]          # (n, nlambda)
+        sqerr = loss(eta_sel.T, y).T
+    else:
+        if w is not None and not (is_default_path
+                                  or _fold_eta_fn is not None):
+            raise ValueError("weighted CV is not supported for this "
+                             "driver (its path solver takes no weights)")
+        sqerr = np.full((n, lams.shape[0]), np.nan)
+        for f in range(nfolds):
+            tr = foldid != f
+            va = foldid == f
+            res = (_path_fn(X[tr], y[tr], lams, w[tr]) if w is not None
+                   else _path_fn(X[tr], y[tr], lams))
+            pred = (np.asarray(res.beta0)[:, None]
+                    + np.asarray(res.coef) @ X[va].T)  # (nlambda, n_va)
+            sqerr[va] = loss(pred, y[va]).T
 
     scored = foldid >= 0
     n_sc = int(scored.sum())
-    cvm = sqerr[scored].mean(axis=0)
-    # glmnet: cvsd = sqrt(weighted.mean((cvraw - cvm)^2) / (N - 1))
-    cvsd = np.sqrt(((sqerr[scored] - cvm) ** 2).mean(axis=0) / (n_sc - 1))
+    if w is None:
+        cvm = sqerr[scored].mean(axis=0)
+        # glmnet: cvsd = sqrt(weighted.mean((cvraw - cvm)^2) / (N - 1))
+        cvsd = np.sqrt(((sqerr[scored] - cvm) ** 2).mean(axis=0)
+                       / (n_sc - 1))
+    else:
+        # glmnet's weighted cvm/cvsd (weighted.mean over scored rows).
+        ws = w[scored]
+        cvm = (ws[:, None] * sqerr[scored]).sum(axis=0) / ws.sum()
+        cvsd = np.sqrt((ws[:, None] * (sqerr[scored] - cvm) ** 2)
+                       .sum(axis=0) / ws.sum() / (n_sc - 1))
     i_min = int(np.argmin(cvm))
     lambda_min = float(lams[i_min])
     within = cvm <= cvm[i_min] + cvsd[i_min]
@@ -174,35 +319,14 @@ def cv_group_lasso_path(X, y, groups, *, weights=None, nlambda: int = 100,
                          _path_fn=path_fn, **kw)
 
 
-def cv_logistic_path(X, y, *, nlambda: int = 50,
-                     lambda_min_ratio: float = 1e-2,
-                     alpha: float = 1.0, standardize: bool = True,
-                     intercept: bool = True, maxit: int = 10000,
-                     eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-                     rho: float = -1.0, path_mode: str = "scan",
-                     **kw) -> CVResult:
+def cv_logistic_path(X, y, **kw) -> CVResult:
     """Cross-validated sparse logistic regression path (extension; same
     fold protocol as :func:`cv_lasso_path`, scored by per-observation
     BINOMIAL DEVIANCE — glmnet's default type.measure for
-    family='binomial').  ``cvm`` is the mean deviance; lambda_min /
-    lambda_1se follow from it as usual."""
-    from .logistic import logistic_lasso_path
+    family='binomial').  The binomial case of :func:`cv_glm_path`."""
+    from .glm import binomial
 
-    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
-                lambda_min_ratio=lambda_min_ratio):
-        return logistic_lasso_path(Xf, yf, lambdas=lambdas,
-                                   nlambda=nlambda,
-                                   lambda_min_ratio=lambda_min_ratio,
-                                   alpha=alpha, standardize=standardize,
-                                   intercept=intercept, maxit=maxit,
-                                   eps_abs=eps_abs, eps_rel=eps_rel,
-                                   rho=rho, path_mode=path_mode)
-
-    return cv_lasso_path(X, y, nlambda=nlambda,
-                         lambda_min_ratio=lambda_min_ratio,
-                         standardize=standardize, intercept=intercept,
-                         _path_fn=path_fn, _loss_fn=binomial_deviance,
-                         **kw)
+    return cv_glm_path(X, y, binomial(), loss=binomial_deviance, **kw)
 
 
 def cv_glm_path(X, y, family, *, nlambda: int = 50,
@@ -216,14 +340,16 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
     per-observation loss evaluated at the linear predictor — i.e. the
     deviance-style measure matching the objective being fit — unless an
     explicit ``loss(eta, y)`` is given.  ``cv_logistic_path`` is the
-    binomial special case."""
+    binomial special case.  The fold sweep runs as one compiled program
+    by default (``cv_mode`` as in :func:`cv_lasso_path`); observation
+    ``weights`` are supported (weighted fits + weighted cvm/cvsd)."""
     from .glm import GLMFamily, glm_lasso_path
 
     fam = family() if not isinstance(family, GLMFamily) else family
     if loss is None:
         loss = fam.cv_loss
 
-    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+    def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
                 lambda_min_ratio=lambda_min_ratio):
         return glm_lasso_path(Xf, yf, fam, lambdas=lambdas,
                               nlambda=nlambda,
@@ -231,9 +357,13 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                               alpha=alpha, standardize=standardize,
                               intercept=intercept, maxit=maxit,
                               eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
-                              path_mode=path_mode)
+                              path_mode=path_mode, weights=wf)
 
+    fold_eta = _make_glm_fold_eta(fam, alpha, standardize, intercept,
+                                  maxit, eps_abs, eps_rel, rho,
+                                  path_mode)
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,
-                         _path_fn=path_fn, _loss_fn=loss, **kw)
+                         _path_fn=path_fn, _loss_fn=loss,
+                         _fold_eta_fn=fold_eta, **kw)

@@ -471,10 +471,11 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
                                    "enet_scale", "path_mode",
-                                   "shard_data", "trace_len"))
+                                   "shard_data", "trace_len", "pallas_ok"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
                eps_rel, alpha, weights=None, *, standardize_x, intercept,
-               enet_scale, path_mode, shard_data=False, trace_len=None):
+               enet_scale, path_mode, shard_data=False, trace_len=None,
+               pallas_ok=True):
     """Auto lambda grid: log-linear from lambda0 down to ratio*lambda0
     (reference: src/Lasso.cpp:78-89)."""
     n = X.shape[0]
@@ -488,31 +489,37 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     lams = jnp.exp(jnp.linspace(jnp.log(lmax), jnp.log(lmin), nlambda))
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale, path_mode, shard_data, trace_len)
+                           enet_scale, path_mode, shard_data, trace_len,
+                           pallas_ok)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale", "path_mode",
-                                   "shard_data", "trace_len"))
+                                   "shard_data", "trace_len", "pallas_ok"))
 def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
                weights=None, *, standardize_x, intercept, enet_scale,
-               path_mode, shard_data=False, trace_len=None):
+               path_mode, shard_data=False, trace_len=None,
+               pallas_ok=True):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept, weights=weights)
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
-                           enet_scale, path_mode, shard_data, trace_len)
+                           enet_scale, path_mode, shard_data, trace_len,
+                           pallas_ok)
 
 
 def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
                     eps_rel, alpha, standardize_x, intercept, enet_scale,
-                    path_mode="scan", shard_data=False, trace_len=None):
+                    path_mode="scan", shard_data=False, trace_len=None,
+                    pallas_ok=True):
     n, p = Xs.shape
     # With row-sharded data the Pallas kernels are bypassed: they are
     # single-chip programs, and under data sharding the iteration math
     # must stay open to XLA's SPMD partitioner (which turns the Gram /
-    # X'y / matvec reductions into psums over the mesh).
-    pallas_ok = not shard_data
+    # X'y / matvec reductions into psums over the mesh).  Callers that
+    # vmap the whole path (the one-program CV's fold axis, models/cv.py)
+    # also pass pallas_ok=False: the kernels are written single-program.
+    pallas_ok = pallas_ok and not shard_data
     # Internal penalty scale (reference: src/Lasso.cpp:99).
     ilams = lams * n / stats.scale_y
     if n > p:

@@ -150,3 +150,75 @@ def test_cv_group_lasso():
     i = int(np.argmin(np.abs(cv.lambdas - cv.lambda_min)))
     coef = np.asarray(cv.fit.coef[i])
     assert np.linalg.norm(coef[groups == 2]) > 0.5
+
+
+def test_cv_onepass_matches_loop_gaussian():
+    """The one-program fold sweep (fold-as-lane weights, vmapped) must
+    reproduce the host-side fold loop's cvm/cvsd — ragged folds and -1
+    (train-only) rows included (VERDICT r2 item 2)."""
+    n = 150  # 4 ragged folds
+    X, y, _ = _problem(n=n, p=15)
+    foldid = np.arange(n) % 4
+    foldid[140:] = -1
+    one = cv_lasso_path(X, y, foldid=foldid, nlambda=8,
+                        cv_mode="onepass")
+    loop = cv_lasso_path(X, y, foldid=foldid, nlambda=8, cv_mode="loop")
+    np.testing.assert_allclose(one.cvm, loop.cvm, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(one.cvsd, loop.cvsd, rtol=1e-3,
+                               atol=1e-5)
+    assert one.lambda_min == loop.lambda_min
+    np.testing.assert_allclose(np.asarray(one.fit.coef),
+                               np.asarray(loop.fit.coef), atol=1e-6)
+
+
+def test_cv_onepass_matches_loop_glm():
+    """Same equivalence for the GLM fold sweep (binomial)."""
+    from admm_tpu.models.cv import cv_logistic_path
+
+    rng = np.random.default_rng(9)
+    n, p = 160, 10
+    b = np.concatenate([[1.5, -1.0], np.zeros(p - 2)])
+    X = rng.normal(size=(n, p))
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-(0.2 + X @ b)))
+         ).astype(float)
+    one = cv_logistic_path(X, y, nfolds=4, nlambda=6, seed=2,
+                           cv_mode="onepass")
+    loop = cv_logistic_path(X, y, nfolds=4, nlambda=6, seed=2,
+                            cv_mode="loop")
+    np.testing.assert_allclose(one.cvm, loop.cvm, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(one.cvsd, loop.cvsd, rtol=1e-2,
+                               atol=1e-4)
+
+
+def test_cv_weighted():
+    """Weighted CV: unit weights reproduce the unweighted run exactly;
+    real weights produce a weighted cvm (hand-checked formula) in both
+    cv modes."""
+    X, y, _ = _problem(n=120, p=12)
+    foldid = np.arange(120) % 4
+    base = cv_lasso_path(X, y, foldid=foldid, nlambda=6)
+    unit = cv_lasso_path(X, y, foldid=foldid, nlambda=6,
+                         weights=np.ones(120))
+    np.testing.assert_allclose(base.cvm, unit.cvm, rtol=1e-5)
+    np.testing.assert_allclose(base.cvsd, unit.cvsd, rtol=1e-4)
+
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0.2, 3.0, 120)
+    a = cv_lasso_path(X, y, foldid=foldid, nlambda=6, weights=w,
+                      cv_mode="onepass")
+    b = cv_lasso_path(X, y, foldid=foldid, nlambda=6, weights=w,
+                      cv_mode="loop")
+    np.testing.assert_allclose(a.cvm, b.cvm, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(a.cvsd, b.cvsd, rtol=1e-3, atol=1e-5)
+    assert np.all(np.isfinite(a.cvm)) and a.lambda_1se >= a.lambda_min
+
+
+def test_cv_group_lasso_rejects_onepass():
+    """Drivers without a vmappable fold solver must fail loudly on
+    cv_mode='onepass' (the documented fallback contract)."""
+    from admm_tpu.models.cv import cv_group_lasso_path
+
+    X, y, _ = _problem(n=100, p=12)
+    with pytest.raises(ValueError, match="onepass"):
+        cv_group_lasso_path(X, y, np.arange(12) % 3, nlambda=4,
+                            cv_mode="onepass")
