@@ -213,8 +213,12 @@ class ADMMLasso:
         ``path_mode`` (TPU extension): "batch" (default) solves all
         lambdas simultaneously as MXU lanes; "scan" solves them
         sequentially with warm starts — the reference's own protocol,
-        whose per-lambda ``niter`` matches the reference's counters.
-        The two agree on the solutions to solver tolerance.
+        whose per-lambda ``niter`` matches the reference's counters;
+        "activeset" (wide regime only) is the reference's 4^k-1
+        active-set cadence (reference: src/ADMMLassoWide.h:86-127) as
+        a gathered column block — the scan-protocol winner at very
+        large p (DESIGN.md).  All modes agree on the solutions to
+        solver tolerance.
 
         ``trace`` (TPU extension): record the per-iteration
         (eps_pri, r_pri, eps_dua, r_dua, rho) on the fit result —
@@ -231,8 +235,9 @@ class ADMMLasso:
             raise ValueError("eps_abs and eps_rel should be nonnegative")
         if rho is not None and rho <= 0:
             raise ValueError("rho should be positive")
-        if path_mode not in ("batch", "scan"):
-            raise ValueError("path_mode must be 'batch' or 'scan'")
+        if path_mode not in ("batch", "scan", "activeset"):
+            raise ValueError(
+                "path_mode must be 'batch', 'scan' or 'activeset'")
         if trace is not False and trace is not True and int(trace) <= 0:
             raise ValueError("trace must be a bool or a positive int")
         self.maxit = int(maxit)
@@ -331,6 +336,13 @@ class ADMMDantzig(ADMMLasso):
             "parallel computing is not supported for the Dantzig selector")
 
     def fit(self) -> ADMMLassoFit:
+        if self.path_mode == "activeset":
+            # The gathered-column active set exists only for the wide
+            # Lasso/Enet x-update (the reference's own Dantzig TODO left
+            # its active set disabled, src/TODO/ADMMDantzig.h:115-123).
+            raise ValueError(
+                "path_mode='activeset' is not available for the "
+                "Dantzig selector; use 'batch' or 'scan'")
         res = dantzig_path(self.x, self.y, path_mode=self.path_mode,
                            trace_len=self._trace_len(),
                            **self._path_kwargs())

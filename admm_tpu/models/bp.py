@@ -109,7 +109,8 @@ def bp_fit(A, b, *, maxit: int = 10000,
            eps_abs: Optional[float] = None,
            eps_rel: Optional[float] = None,
            rho: Optional[float] = None,
-           trace_len: Optional[int] = None, dtype=None) -> BPResult:
+           trace_len: Optional[int] = None,
+           data_mesh=None, dtype=None) -> BPResult:
     """Solve Basis Pursuit.  Defaults mirror reference: R/10_admm_bp.R:37-41
     (eps 1e-4, rho = 1) — under f64.  As for LAD, the reference's 1e-4
     is an f64 tolerance (reference: src/BP.cpp:20); on f32 backends the
@@ -117,7 +118,15 @@ def bp_fit(A, b, *, maxit: int = 10000,
     the reference's published number (measured sweep: DESIGN.md
     "f64-class accuracy").  Pass eps explicitly for literal reference
     semantics.  Requires p > n (validated by the builder API).
-    ``trace_len`` records the per-iteration residual trace."""
+    ``trace_len`` records the per-iteration residual trace.
+
+    ``data_mesh`` (TPU extension — operator parallelism): A is sharded
+    along its LONG (column, p) axis — the AA' build becomes per-shard
+    partial outer products + an all-reduce, and the per-iteration
+    projection's A'(Kv) matvecs distribute with the (p,) iterate
+    sharded; the (n, n) inverse stays replicated (n is the short axis).
+    The reference's BLAS threads accelerate the same products
+    (reference: src/BP.cpp:20 + src/Makevars:3-4)."""
     if dtype is None:
         # Match the reference's float64 for this model class when the
         # backend supports it (reference: src/LAD.cpp / src/BP.cpp use
@@ -135,6 +144,10 @@ def bp_fit(A, b, *, maxit: int = 10000,
         rho = 5.0
     A = jnp.asarray(A, dtype)
     b = jnp.asarray(b, dtype)
+    if data_mesh is not None:
+        from ..parallel.mesh import put_dim_sharded
+
+        A = put_dim_sharded(A, data_mesh, 1)
     return _bp_fit(A, b, rho, maxit, eps_abs, eps_rel,
                    trace_len=(None if trace_len is None
                               else int(trace_len)))

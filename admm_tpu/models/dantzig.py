@@ -201,18 +201,26 @@ def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                  eps_rel: float = 1e-5, rho: float = -1.0,
                  path_mode: str = "scan",
                  trace_len: Optional[int] = None,
-                 dtype=jnp.float32) -> PathResult:
+                 data_mesh=None, dtype=jnp.float32) -> PathResult:
     """Solve the Dantzig-selector lambda path on device.
 
     API mirrors the Lasso path (the reference's R class extends
     ADMM_Lasso unchanged, reference: R/50_admm_dantzig.R:2), including
     ``path_mode``: "scan" = sequential warm starts, "batch" = all
-    lambdas simultaneously as MXU lanes, and ``trace_len``
-    (per-iteration residual trace; implies "scan").
+    lambdas simultaneously as MXU lanes, ``trace_len`` (per-iteration
+    residual trace; implies "scan"), and ``data_mesh`` (operator
+    parallelism: X/y row-sharded over the mesh so the standardization
+    moments and the cached X'X / X'y builds distribute — iteration
+    state works on the cached (p, p) operator and stays replicated).
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
+    if data_mesh is not None:
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
+        y = put_dim_sharded(y, data_mesh, 0)
     if trace_len is not None:
         path_mode = "scan"
         trace_len = int(trace_len)

@@ -78,6 +78,14 @@ class GLMFamily(NamedTuple):
     # numpy — the deviance-style measure matching the objective
     # (models/cv.py::cv_glm_path scores held-out folds with it).
     cv_loss: Callable
+    # Global upper bound on weight_eta (d2loss/deta2), or None when the
+    # curvature is unbounded (poisson).  Bounded-curvature families get
+    # the FIXED-MAJORIZER x-update: H_fix = bound * X'WX/n >= H(b) for
+    # every b, factorized ONCE per path like the gaussian tall solver's
+    # ridge inverse — each inner step is then two thin matvecs instead
+    # of an (n, q, q) Hessian build + Cholesky (the measured ~10x of
+    # DESIGN.md "GLM tier").
+    curvature_bound: Optional[float] = None
 
 
 @lru_cache(maxsize=None)
@@ -92,6 +100,7 @@ def binomial() -> GLMFamily:
             _wmean(y, w) if intercept else 0.5),
         cv_loss=lambda eta, y: 2.0 * (np.logaddexp(0.0, eta)
                                       - y[None, :] * eta),
+        curvature_bound=0.25,  # p(1-p) <= 1/4
     )
 
 
@@ -140,6 +149,7 @@ def huber(M: float = 1.345) -> GLMFamily:
             eta.dtype),
         null_resid=null_resid,
         cv_loss=cv_loss,
+        curvature_bound=1.0,  # the inlier indicator is <= 1
     )
 
 
@@ -215,23 +225,35 @@ def recover_glm(coefs_a, mean_x, sd_x, intercept: bool):
 
 
 def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
-             newton_steps, obs_w=None):
+             newton_steps, obs_w=None, fixed_minv=None):
     """ProblemOps for the smooth-loss ADMM; ``Xa`` (n, q) includes the
     ones column when an intercept is fitted.  ``obs_w`` (normalized
     observation weights summing to n, or None) multiplies the
     per-observation gradient and IRLS-weight terms — the weighted loss
-    ``1/n sum_i w_i loss(eta_i; y_i)`` with one extra (n,) multiply."""
+    ``1/n sum_i w_i loss(eta_i; y_i)`` with one extra (n,) multiply.
+
+    ``fixed_minv``: precomputed ``(bound*X'WX/n + rho I)^{-1}`` for
+    bounded-curvature families — the FIXED-MAJORIZER inner step
+    ``b -= Minv grad`` (a majorize-minimize step: the majorizer
+    dominates the true Hessian everywhere, so each step decreases the
+    prox subproblem).  Replaces the per-step (n, q, q) Hessian build +
+    Cholesky with two thin matvecs, and makes the batched (per-lambda
+    lane) path share ONE (q, q) matrix instead of building per-lane
+    Hessians."""
     import jax.scipy.linalg as jsl
 
     def newton(v, rho, b0):
         def step(_, b):
             eta = dot(Xa, b)
             g = family.grad_eta(eta, ys)
-            w = family.weight_eta(eta, ys)
             if obs_w is not None:
                 g = obs_w * g
-                w = obs_w * w
             grad = dot(Xa.T, g) / n + rho * (b - v)
+            if fixed_minv is not None:
+                return b - dot(fixed_minv, grad)
+            w = family.weight_eta(eta, ys)
+            if obs_w is not None:
+                w = obs_w * w
             H = dot(Xa.T * w[None, :], Xa) / n
             H = H + rho * jnp.eye(q, dtype=Xa.dtype)
             c, low = jsl.cho_factor(H)
@@ -265,16 +287,25 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
 
 
 def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
-                newton_steps, obs_w=None):
+                newton_steps, obs_w=None, hessian="exact"):
     n, q = Xa.shape
     dtype = Xa.dtype
     # rho = 1.0: after standardization the per-observation IRLS weights
     # are O(1) (<= 1/4 binomial, <= 1 huber), so the loss Hessian and
-    # the prox term are balanced at unit rho.
+    # the prox term are balanced at unit rho (measured sweep: DESIGN.md
+    # "GLM rho", flat within 2x around 1.0).
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.asarray(1.0, dtype))
+    fixed_minv = None
+    if hessian == "fixed":
+        assert family.curvature_bound is not None
+        from ..linalg import ridge_inverse
+
+        Xw = Xa if obs_w is None else Xa * jnp.sqrt(obs_w)[:, None]
+        H_fix = (family.curvature_bound / n) * dot(Xw.T, Xw)
+        fixed_minv = ridge_inverse(H_fix, rho)
     ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps,
-                   obs_w)
+                   obs_w, fixed_minv)
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q,), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
@@ -283,11 +314,11 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
 
 @partial(jax.jit, static_argnames=("family", "standardize_x", "intercept",
                                    "nlambda", "path_mode", "trace_len",
-                                   "newton_steps"))
+                                   "newton_steps", "hessian"))
 def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
               eps_abs, eps_rel, alpha, weights=None, *, family,
               standardize_x, intercept, path_mode, trace_len=None,
-              newton_steps=_NEWTON_STEPS):
+              newton_steps=_NEWTON_STEPS, hessian="auto"):
     n, p = X.shape
     dtype = X.dtype
     fam = family() if not isinstance(family, GLMFamily) else family
@@ -313,8 +344,15 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
     else:
         lams = user_lams
 
+    if hessian == "auto":
+        hessian = "fixed" if fam.curvature_bound is not None else "exact"
+    if hessian == "fixed" and fam.curvature_bound is None:
+        raise ValueError(
+            f"family {fam.name!r} has unbounded curvature; "
+            "hessian='fixed' is not available")
     st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
-                                     alpha, newton_steps, obs_w=w)
+                                     alpha, newton_steps, obs_w=w,
+                                     hessian=hessian)
     if path_mode == "batch":
         bsolve = make_batched_solver(solve)
         st = _batched_cold_states(lams.shape[0], q, st0.rho, lams, dtype)
@@ -340,6 +378,7 @@ def glm_lasso_path(X, y, family, *,
                    trace_len: Optional[int] = None,
                    newton_steps: int = _NEWTON_STEPS,
                    weights: Optional[jnp.ndarray] = None,
+                   hessian: str = "auto", data_mesh=None,
                    dtype=jnp.float32) -> PathResult:
     """Solve a penalized smooth-loss path for any :class:`GLMFamily`.
 
@@ -349,16 +388,33 @@ def glm_lasso_path(X, y, family, *,
     family): observation weights, normalized to sum to n; the loss,
     the standardization moments and the lambda grid all become weighted
     (an integer weight of k is exactly equivalent to repeating the row
-    k times — tested per family).  Other options as in
+    k times — tested per family).  ``hessian``: "fixed" uses the
+    one-time-factorized curvature majorizer in the x-update (available
+    for bounded-curvature families: binomial, huber), "exact" rebuilds
+    the (q, q) Newton Hessian every inner step, "auto" (default) picks
+    "fixed" whenever the family has a curvature bound — same solutions
+    to solver tolerance, ~10x faster per lambda (DESIGN.md "GLM tier").
+    ``data_mesh`` (operator parallelism): X/y are ROW-sharded over the
+    mesh so the per-step gradient/Hessian reductions (and the
+    fixed-majorizer Gram build) distribute via the SPMD partitioner,
+    with the (q,) iterate replicated — the same pattern as
+    ``lasso_path(data_mesh=...)``.  Other options as in
     :func:`admm_tpu.models.logistic.logistic_lasso_path`.
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype).ravel()
+    if data_mesh is not None:
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
+        y = put_dim_sharded(y, data_mesh, 0)
     if trace_len is not None:
         path_mode = "scan"
         trace_len = int(trace_len)
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1] for GLM paths")
+    if hessian not in ("auto", "fixed", "exact"):
+        raise ValueError("hessian must be 'auto', 'fixed' or 'exact'")
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     w = None if weights is None else jnp.asarray(weights, dtype)
@@ -366,7 +422,7 @@ def glm_lasso_path(X, y, family, *,
                      maxit, eps_abs, eps_rel, alpha, w, family=family,
                      standardize_x=standardize, intercept=intercept,
                      path_mode=path_mode, trace_len=trace_len,
-                     newton_steps=int(newton_steps))
+                     newton_steps=int(newton_steps), hessian=hessian)
 
 
 def huber_lasso_path(X, y, *, M: float = 1.345, **kw) -> PathResult:

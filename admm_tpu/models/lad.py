@@ -93,9 +93,10 @@ def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
     )
 
 
-@partial(jax.jit, static_argnames=("intercept", "trace_len"))
+@partial(jax.jit, static_argnames=("intercept", "trace_len",
+                                   "pallas_ok"))
 def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept,
-             trace_len=None):
+             trace_len=None, pallas_ok=True):
     """Deliberate fix over the reference for ``intercept=True``: the
     reference mean-centers X and y and reconstructs ``beta0 = mean(y) -
     sum(coef * mean(x))`` (reference: src/LAD.cpp:34, src/DataStd.h:157),
@@ -125,7 +126,8 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept,
     ynorm = l2norm(ys)
 
     buf = None
-    if trace_len is None and _use_pallas_lad(n, Xa.shape[1], dtype):
+    if (trace_len is None and pallas_ok
+            and _use_pallas_lad(n, Xa.shape[1], dtype)):
         # TPU fast path: the whole FADMM solve in one Pallas kernel with
         # the dense hat matrix resident in VMEM — the reference's own
         # n <= 2000 cache (reference: src/ADMMLAD.h:182-203), built here
@@ -176,8 +178,17 @@ def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
             eps_rel: Optional[float] = None,
             rho: Optional[float] = None,
             trace_len: Optional[int] = None,
-            dtype=None) -> LADResult:
+            data_mesh=None, dtype=None) -> LADResult:
     """Fit median regression by FADMM.
+
+    ``data_mesh`` (TPU extension — operator parallelism, as in
+    :func:`admm_tpu.models.lasso.lasso_path`): a ``jax.sharding.Mesh``
+    over which X and y are ROW-sharded; the X'X build, the range-space
+    projection's two skinny matvecs per iteration and the final
+    least-squares recovery distribute via XLA's SPMD partitioner (the
+    reference's implicit BLAS threading accelerates this model the same
+    way, reference: src/LAD.cpp:16 + src/Makevars:3-4).  The VMEM hat
+    kernel is bypassed (single-chip program).
 
     Defaults mirror the reference R API (reference: R/20_admm_lad.R:28-31:
     eps 1e-4, rho = 1) — under f64.  The reference runs this model in
@@ -209,7 +220,13 @@ def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
         rho = 5.0
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
+    if data_mesh is not None:
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
+        y = put_dim_sharded(y, data_mesh, 0)
     return _lad_fit(X, y, rho, maxit, eps_abs, eps_rel,
                     intercept=intercept,
                     trace_len=(None if trace_len is None
-                               else int(trace_len)))
+                               else int(trace_len)),
+                    pallas_ok=data_mesh is None)

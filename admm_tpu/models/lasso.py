@@ -336,11 +336,22 @@ def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale):
     return st0, solve, (lambda st: st.x)
 
 
+# Within the sequential (scan) protocol the gathered active-set solver
+# overtakes the dense scan once p crosses ~20k (measured on chip: 2.4x
+# at 5000x20000, 2-3x SLOWER at p <= 10k — DESIGN.md "wide-regime
+# active-set question").  Scan-mode solves at or past the crossover
+# auto-dispatch to it; batch mode always wins overall and stays the
+# default.
+_ACTIVESET_AUTO_P = 20000
+
+
 def _solve_path_wide_activeset(Xs, ys, ilams, rho0, maxit, eps_abs,
                                eps_rel, alpha, enet_lambda0_scale,
                                s_max: Optional[int] = None):
     """Wide-regime scan path with the reference's 4^k-1 active-set
-    cadence, realised TPU-style.
+    cadence, realised TPU-style.  Public entry:
+    ``lasso_path(..., path_mode="activeset")`` or any scan-mode wide
+    solve at p >= _ACTIVESET_AUTO_P (auto-dispatch).
 
     The reference's trick (reference: src/ADMMLassoWide.h:86-127): a
     FULL linearized x-update only on iterations 4^k-1; in between,
@@ -536,6 +547,15 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
             coefs, niter, traces = _solve_path_wide_batch(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
                 enet_scale, pallas_ok)
+        elif (path_mode == "activeset"
+              or (path_mode == "scan" and trace_len is None
+                  and not shard_data and p >= _ACTIVESET_AUTO_P)):
+            # The reference's 4^k-1 cadence, gathered-column realisation
+            # (reference: src/ADMMLassoWide.h:86-127); the measured
+            # scan-protocol winner at very large p (DESIGN.md).
+            coefs, niter, traces = _solve_path_wide_activeset(
+                Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
+                enet_scale)
         else:
             coefs, niter, traces = _solve_path_wide(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
@@ -566,7 +586,11 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     ``path_mode``: "scan" (default) solves lambdas sequentially with
     warm starts, matching the reference's protocol and iteration counts;
     "batch" solves all lambdas simultaneously as MXU lanes (see
-    make_batched_solver) — same solutions, usually much faster on TPU.
+    make_batched_solver) — same solutions, usually much faster on TPU;
+    "activeset" (wide regime only) is the reference's 4^k-1 active-set
+    cadence as a gathered column block — the scan-protocol winner at
+    very large p (DESIGN.md), to which scan-mode solves auto-dispatch
+    at p >= 20000.
 
     ``data_mesh`` (TPU extension — operator parallelism): a
     ``jax.sharding.Mesh`` over which the data matrix is sharded along
@@ -591,12 +615,19 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     arrays (reference: src/ADMMBase.h:111-146).  Tracing follows the
     sequential warm-start protocol, so it implies ``path_mode="scan"``.
     """
+    if path_mode not in ("scan", "batch", "activeset"):
+        raise ValueError(
+            "path_mode must be 'scan', 'batch' or 'activeset'")
     if trace_len is not None:
         path_mode = "scan"
         trace_len = int(trace_len)
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     n, p = X.shape
+    if path_mode == "activeset" and n > p:
+        raise ValueError("path_mode='activeset' is the wide-regime "
+                         "(p >= n) solver; tall problems use the "
+                         "factorized engines")
     if data_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 

@@ -36,3 +36,17 @@ def row_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_dim_sharded(arr, mesh: Mesh, dim: int):
+    """``device_put`` with the given array dimension sharded over ALL
+    mesh axes (the rest replicated) — the entry point of the serial
+    drivers' ``data_mesh`` operator parallelism: XLA's SPMD partitioner
+    propagates the input sharding through the Gram/projection builds and
+    the per-iteration matvecs, inserting the collectives itself (the TPU
+    analog of the reference's implicit BLAS threading, reference:
+    src/Makevars:3-4)."""
+    axes = tuple(mesh.axis_names)
+    spec = [None] * arr.ndim
+    spec[dim] = axes
+    return jax.device_put(arr, NamedSharding(mesh, P(*spec)))

@@ -153,3 +153,43 @@ def test_huber_null_resid_extreme_contamination():
                         np.full(10, 1e6)])
     r = np.asarray(huber(M).null_resid(jnp.asarray(y), True))
     assert abs(r.sum()) < 1e-3 * len(y)
+
+
+def test_fixed_majorizer_matches_exact_hessian():
+    """hessian='fixed' (one-time-factorized curvature majorizer) must
+    reproduce the exact-Hessian solutions for the bounded-curvature
+    families, weighted included; poisson (unbounded curvature) must
+    reject it loudly."""
+    import jax.numpy as jnp
+
+    from admm_tpu.models.glm import binomial, poisson
+
+    rng = np.random.default_rng(8)
+    n, p = 300, 16
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:4] = [1.5, -2.0, 1.0, 0.5]
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-(0.3 + X @ b)))
+         ).astype(float)
+    w = rng.uniform(0.2, 3.0, n)
+    for kw in (dict(), dict(weights=w)):
+        e = glm_lasso_path(X, y, binomial(), nlambda=6, hessian="exact",
+                           eps_abs=1e-7, eps_rel=1e-7, **kw)
+        f = glm_lasso_path(X, y, binomial(), nlambda=6, hessian="fixed",
+                           eps_abs=1e-7, eps_rel=1e-7, **kw)
+        np.testing.assert_allclose(np.asarray(e.coef), np.asarray(f.coef),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(e.beta0),
+                                   np.asarray(f.beta0), atol=2e-5)
+    yh = X @ b + 0.3 * rng.normal(size=n)
+    eh = huber_lasso_path(X, yh, nlambda=5, hessian="exact",
+                          eps_abs=1e-7, eps_rel=1e-7)
+    fh = huber_lasso_path(X, yh, nlambda=5, hessian="fixed",
+                          eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(eh.coef), np.asarray(fh.coef),
+                               atol=2e-5)
+    yp = rng.poisson(np.exp(0.2 * (X @ b))).astype(float)
+    with pytest.raises(ValueError, match="unbounded"):
+        poisson_lasso_path(X, yp, nlambda=4, hessian="fixed")
+    with pytest.raises(ValueError, match="hessian"):
+        glm_lasso_path(X, y, binomial(), hessian="nope")
