@@ -314,6 +314,106 @@ def checkpointed_group_lasso_path(
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
 
 
+def checkpointed_glm_path(
+        X, y, family, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        alpha: float = 1.0, standardize: bool = True,
+        intercept: bool = True, maxit: int = 10000,
+        eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
+        newton_steps: int = 2, hessian: str = "auto", weights=None,
+        dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """Penalized-GLM lambda path (any family) in resumable chunks —
+    same protocol as :func:`checkpointed_lasso_path`; the GLM engine
+    already exposes the ``(st0, solve, report)`` triple that
+    ``_chunked_scan`` consumes (admm_tpu/models/glm.py::_glm_engine).
+    The family name, hessian mode, newton_steps and the observation
+    weights all enter the fingerprint."""
+    from ..models.glm import (GLMFamily, _glm_engine, prep_design,
+                              recover_glm)
+
+    fam = family() if not isinstance(family, GLMFamily) else family
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype).ravel()
+    n, p = X.shape
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize, intercept,
+                                             weights=w)
+    # GLM paths run on USER-scale lambdas (the 1/n rides inside the
+    # loss gradient; models/glm.py::_glm_path).
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    if hessian == "auto":
+        hessian = ("fixed" if fam.curvature_bound is not None
+                   else "exact")
+    st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
+                                     alpha, int(newton_steps), obs_w=w,
+                                     hessian=hessian)
+    fp = _fingerprint(
+        Xa, y, lams, alpha, maxit, eps_abs, eps_rel, rho,
+        standardize, intercept, False,
+        model=f"glm-{fam.name}-{hessian}-ns{int(newton_steps)}",
+        extra_arrays=(() if w is None else (w,)))
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, lams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs_a, niter = out
+    beta0, coef = recover_glm(coefs_a, mean_x, sd_x, intercept)
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def checkpointed_gen_lasso_path(
+        X, y, D, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        intercept: bool = True, maxit: int = 10000,
+        eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
+        dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """Generalized-Lasso lambda path in resumable chunks.  The penalty
+    matrix ``D`` enters the fingerprint (a different structure matrix
+    must refuse to resume)."""
+    from ..models.genlasso import _genlasso_engine
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    D = jnp.asarray(D, dtype)
+    n, p = X.shape
+    if intercept:
+        mean_x = jnp.mean(X, axis=0)
+        mean_y = jnp.mean(y)
+        Xs = X - mean_x[None, :]
+        ys = y - mean_y
+    else:
+        Xs, ys = X, y
+        mean_x = jnp.zeros((p,), dtype)
+        mean_y = jnp.asarray(0.0, dtype)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n
+
+    st0, solve, report = _genlasso_engine(Xs, ys, D, ilams[0], rho)
+    fp = _fingerprint(Xs, ys, ilams, 1.0, maxit, eps_abs, eps_rel, rho,
+                      False, intercept, False, model="genlasso",
+                      extra_arrays=(D,))
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    beta0 = mean_y - coefs @ mean_x
+    return PathResult(lambdas=lams, beta0=beta0, coef=coefs, niter=niter)
+
+
 def checkpointed_parallel_lasso_path(
         X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
         nworkers: Optional[int] = None, mesh=None, alpha: float = 1.0,
