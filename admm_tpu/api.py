@@ -225,7 +225,10 @@ class ADMMLasso:
         the reference's residual printers as arrays
         (reference: src/ADMMBase.h:111-146).  ``True`` records the
         first 512 iterations per solve, an int sets the length.
-        Tracing follows the reference's sequential (scan) protocol.
+        Tracing follows the ACTIVE path_mode: under "batch" (the
+        default) each lambda lane records its own cold-start
+        iterations; under "scan" the warm-started sequential protocol
+        is recorded, whose rows match the reference's counters.
         """
         if maxit <= 0:
             raise ValueError("maxit should be positive")

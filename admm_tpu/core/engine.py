@@ -317,6 +317,61 @@ def make_batched_solver(solve):
     return solve_batched
 
 
+def make_batched_traced_solve(solve, trace_len: int):
+    """Batched-lane engine with a PER-LANE residual trace riding the
+    carry — the batch-mode counterpart of :func:`make_traced_solve`
+    (the batched protocol was previously unobservable per-iteration).
+
+    Each lane l records its own (eps_primal, resid_primal, eps_dual,
+    resid_dual, rho) at row ``it_l`` of a preallocated (k, trace_len, 5)
+    buffer; frozen (converged) lanes stop recording, exactly as they
+    stop iterating, so the recorded row count equals the per-lane
+    ``niter``.  Rows beyond convergence stay NaN.
+
+    Returns ``solve_traced(states, maxit, eps_abs, eps_rel) ->
+    (states, buffer)``.
+    """
+
+    def solve_batched_traced(states: ADMMState, maxit, eps_abs, eps_rel):
+        dtype = states.rho.dtype
+        eps_abs = jnp.asarray(eps_abs, dtype)
+        eps_rel = jnp.asarray(eps_rel, dtype)
+        k = states.rho.shape[0]
+        body = jax.vmap(lambda s: solve.body(s, eps_abs, eps_rel))
+        buf0 = jnp.full((k, trace_len, 5), jnp.nan, dtype)
+
+        def freeze(old, new):
+            def f(a, b):
+                d = old.done.reshape(old.done.shape
+                                     + (1,) * (b.ndim - old.done.ndim))
+                return jnp.where(d, a, b)
+            return jax.tree.map(f, old, new)
+
+        def record(buf, row, idx, active):
+            def one(b, r, i, w):
+                upd = lax.dynamic_update_slice(b, r[None, :],
+                                               (i, jnp.zeros((), i.dtype)))
+                return jnp.where(w, upd, b)
+            return jax.vmap(one)(buf, row, idx, active)
+
+        def wl_body(carry):
+            st, buf = carry
+            st2 = freeze(st, body(st))
+            rows = jnp.stack([st2.eps_pri, st2.r_pri, st2.eps_dua,
+                              st2.r_dua, st2.rho], axis=-1)   # (k, 5)
+            idx = jnp.minimum(st.it, trace_len - 1)
+            buf = record(buf, rows, idx, jnp.logical_not(st.done))
+            return (st2, buf)
+
+        def cond(carry):
+            st, _ = carry
+            return jnp.any(jnp.logical_not(st.done) & (st.it < maxit))
+
+        return lax.while_loop(cond, wl_body, (states, buf0))
+
+    return solve_batched_traced
+
+
 def make_fadmm_solver(ops: ProblemOps, *, adapt_rho: bool = False,
                       rho_start_iter: int = 5, restart_tol: float = 0.999):
     """Accelerated (fast) ADMM with restart, Goldstein et al. 2014.

@@ -48,8 +48,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.engine import (ADMMState, ProblemOps, make_admm_solver,
-                           make_batched_solver, make_fadmm_solver,
-                           make_state, make_traced_solve, warm_start)
+                           make_batched_solver, make_batched_traced_solve,
+                           make_fadmm_solver, make_state,
+                           make_traced_solve, warm_start)
 from ..core.prox import enet_prox, l2norm, sqnorm
 from ..data.standardize import StdStats, recover, standardize
 from ..linalg import dot, gram, ridge_inverse, spectral_radius_gram, spectral_radius_sym
@@ -186,12 +187,14 @@ def _batched_cold_states(k, dims, rho, ilams, dtype, aux_dim=None):
 
 
 def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
-                           alpha, pallas_ok=True):
+                           alpha, pallas_ok=True, trace_len=None):
     """All-lambdas-at-once tall solve (see make_batched_solver).
 
     Uses a single shared rho/factorization across lambdas — exactly the
     reference's own path protocol (rho is set at the first lambda and
-    never changes, reference: src/ADMMLassoTall.h:96-97, :219-230)."""
+    never changes, reference: src/ADMMLassoTall.h:96-97, :219-230).
+    ``trace_len`` records a PER-LANE residual trace (cold-start lanes;
+    make_batched_traced_solve) — the Pallas kernel is bypassed then."""
     n, p = Xs.shape
     dtype = Xs.dtype
     Minv, Xty, rho = _tall_setup(Xs, ys, ilams[0], rho0)
@@ -199,7 +202,8 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # TPU fast path: the whole batched path solves inside ONE Pallas
     # kernel with the ridge inverse resident in VMEM (no HBM re-reads
     # per iteration).  Bit-compatible with the XLA solver below.
-    if pallas_ok and _use_pallas_tall(p, ilams.shape[0], dtype):
+    if (trace_len is None and pallas_ok
+            and _use_pallas_tall(p, ilams.shape[0], dtype)):
         from ..ops.tall_path import tall_path_batch_pallas
 
         coefs, niter = tall_path_batch_pallas(
@@ -208,10 +212,14 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
         return coefs, niter, None
 
     ops = _tall_ops(Minv, Xty, alpha, p)
-    solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
+    engine = make_fadmm_solver(ops, adapt_rho=False)
     st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype)
-    st = solve(st, maxit, eps_abs, eps_rel)
-    return st.z, st.it, None
+    if trace_len is None:
+        st = make_batched_solver(engine)(st, maxit, eps_abs, eps_rel)
+        return st.z, st.it, None
+    st, buf = make_batched_traced_solve(engine, trace_len)(
+        st, maxit, eps_abs, eps_rel)
+    return st.z, st.it, buf
 
 
 def _use_pallas_tall(p: int, k: int, dtype, mode: str = "batch") -> bool:
@@ -248,9 +256,11 @@ def _wide_setup(Xs, ys, rho_lams, rho0, alpha, enet_lambda0_scale):
 
 
 def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
-                           alpha, enet_lambda0_scale, pallas_ok=True):
+                           alpha, enet_lambda0_scale, pallas_ok=True,
+                           trace_len=None):
     """All-lambdas-at-once wide solve; rho is per-lane (no factorization
-    depends on it, so each lambda keeps its own auto-rho + ladder)."""
+    depends on it, so each lambda keeps its own auto-rho + ladder).
+    ``trace_len`` records a per-lane residual trace (Pallas bypassed)."""
     n, p = Xs.shape
     dtype = Xs.dtype
     lambda0, sprad, rho = _wide_setup(Xs, ys, ilams, rho0, alpha,
@@ -259,7 +269,8 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # TPU fast path: X and all lane state resident in VMEM for the whole
     # path (the XLA solver re-reads the n x p matrix from HBM twice per
     # iteration).  Same math as the solver below.
-    if pallas_ok and _use_pallas_wide(n, p, ilams.shape[0], dtype):
+    if (trace_len is None and pallas_ok
+            and _use_pallas_wide(n, p, ilams.shape[0], dtype)):
         from ..ops.wide_path import wide_path_batch_pallas
 
         coefs, niter = wide_path_batch_pallas(
@@ -268,7 +279,7 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
         return coefs, niter, None
 
     ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
-    solve = make_batched_solver(make_admm_solver(ops, adapt_rho=True))
+    engine = make_admm_solver(ops, adapt_rho=True)
     k = ilams.shape[0]
     st = _batched_cold_states(k, p, 1.0, ilams, dtype, aux_dim=n)
     st = st._replace(rho=jnp.broadcast_to(rho, (k,)).astype(dtype),
@@ -276,8 +287,12 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
                      y=jnp.zeros((k, n), dtype),
                      adj_z=jnp.zeros((k, n), dtype),
                      adj_y=jnp.zeros((k, n), dtype))
-    st = solve(st, maxit, eps_abs, eps_rel)
-    return st.x, st.it, None
+    if trace_len is None:
+        st = make_batched_solver(engine)(st, maxit, eps_abs, eps_rel)
+        return st.x, st.it, None
+    st, buf = make_batched_traced_solve(engine, trace_len)(
+        st, maxit, eps_abs, eps_rel)
+    return st.x, st.it, buf
 
 
 # ---------------------------------------------------------------------------
@@ -537,7 +552,7 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
         if path_mode == "batch":
             coefs, niter, traces = _solve_path_tall_batch(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                pallas_ok)
+                pallas_ok, trace_len)
         else:
             coefs, niter, traces = _solve_path_tall(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
@@ -546,7 +561,7 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
         if path_mode == "batch":
             coefs, niter, traces = _solve_path_wide_batch(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                enet_scale, pallas_ok)
+                enet_scale, pallas_ok, trace_len)
         elif (path_mode == "activeset"
               or (path_mode == "scan" and trace_len is None
                   and not shard_data and p >= _ACTIVESET_AUTO_P)):
@@ -613,13 +628,17 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     (eps_primal, resid_primal, eps_dual, resid_dual, rho) per lambda in
     ``result.trace`` — the reference's (dead) residual printers as
     arrays (reference: src/ADMMBase.h:111-146).  Tracing follows the
-    sequential warm-start protocol, so it implies ``path_mode="scan"``.
+    active ``path_mode``: "scan" records the warm-started sequential
+    protocol (the reference's counters), "batch" records each
+    cold-start LANE's own iterations (frozen lanes stop recording);
+    "activeset" has no trace and falls back to the traced scan.
     """
     if path_mode not in ("scan", "batch", "activeset"):
         raise ValueError(
             "path_mode must be 'scan', 'batch' or 'activeset'")
     if trace_len is not None:
-        path_mode = "scan"
+        if path_mode != "batch":
+            path_mode = "scan"
         trace_len = int(trace_len)
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)

