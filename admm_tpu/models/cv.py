@@ -334,7 +334,7 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                 standardize: bool = True, intercept: bool = True,
                 maxit: int = 10000, eps_abs: float = 1e-5,
                 eps_rel: float = 1e-5, rho: float = -1.0,
-                path_mode: str = "scan", loss=None, **kw) -> CVResult:
+                path_mode: str = "auto", loss=None, **kw) -> CVResult:
     """Cross-validated path for any smooth-loss GLM family (extension;
     admm_tpu/models/glm.py).  Held-out folds are scored by the FAMILY'S
     per-observation loss evaluated at the linear predictor — i.e. the

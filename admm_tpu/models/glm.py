@@ -290,12 +290,15 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
                 newton_steps, obs_w=None, hessian="exact"):
     n, q = Xa.shape
     dtype = Xa.dtype
-    # rho = 1.0: after standardization the per-observation IRLS weights
-    # are O(1) (<= 1/4 binomial, <= 1 huber), so the loss Hessian and
-    # the prox term are balanced at unit rho (measured sweep: DESIGN.md
-    # "GLM rho", flat within 2x around 1.0).
+    # Auto-rho = the family's curvature bound (1.0 when unbounded):
+    # after standardization the loss Hessian is ~ bound * I, so rho =
+    # bound balances it against the prox term.  MEASURED on chip
+    # (DESIGN.md "GLM rho, measured"): binomial's optimum is
+    # rho ~ 0.2-0.3 (= its 1/4 bound, 2.7x fewer iterations than the
+    # old rho = 1 guess), huber's and poisson's are 1.0.
+    auto = family.curvature_bound or 1.0
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.asarray(1.0, dtype))
+                    jnp.asarray(auto, dtype))
     fixed_minv = None
     if hessian == "fixed":
         assert family.curvature_bound is not None
@@ -350,6 +353,12 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
         raise ValueError(
             f"family {fam.name!r} has unbounded curvature; "
             "hessian='fixed' is not available")
+    if path_mode == "auto":
+        # Chip-measured (DESIGN.md "GLM tier, closed"): with the fixed
+        # majorizer the batched lanes share one (q, q) matrix and win
+        # ~6x over the warm-started scan; with exact per-lane Hessians
+        # the scan wins ~2x.
+        path_mode = "batch" if hessian == "fixed" else "scan"
     st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
                                      alpha, newton_steps, obs_w=w,
                                      hessian=hessian)
@@ -374,7 +383,7 @@ def glm_lasso_path(X, y, family, *,
                    alpha: float = 1.0, standardize: bool = True,
                    intercept: bool = True, maxit: int = 10000,
                    eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-                   rho: float = -1.0, path_mode: str = "scan",
+                   rho: float = -1.0, path_mode: str = "auto",
                    trace_len: Optional[int] = None,
                    newton_steps: int = _NEWTON_STEPS,
                    weights: Optional[jnp.ndarray] = None,
@@ -415,6 +424,8 @@ def glm_lasso_path(X, y, family, *,
         raise ValueError("alpha must be in (0, 1] for GLM paths")
     if hessian not in ("auto", "fixed", "exact"):
         raise ValueError("hessian must be 'auto', 'fixed' or 'exact'")
+    if path_mode not in ("auto", "scan", "batch"):
+        raise ValueError("path_mode must be 'auto', 'scan' or 'batch'")
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     w = None if weights is None else jnp.asarray(weights, dtype)

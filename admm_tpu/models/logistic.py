@@ -30,7 +30,7 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                         standardize: bool = True, intercept: bool = True,
                         maxit: int = 10000, eps_abs: float = 1e-5,
                         eps_rel: float = 1e-5, rho: float = -1.0,
-                        path_mode: str = "scan",
+                        path_mode: str = "auto",
                         trace_len: Optional[int] = None,
                         newton_steps: int = _NEWTON_STEPS,
                         weights: Optional[jnp.ndarray] = None,
@@ -39,11 +39,14 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     """Solve the L1/elastic-net logistic regression lambda path.
 
     ``y`` must be 0/1 labels.  ``alpha`` mixes L1 and ridge as in the
-    gaussian Elastic Net.  ``path_mode="scan"`` (default: warm-started
-    sequential path); "batch" solves all lambdas as lanes but builds
-    per-lane (p, p) Newton Hessians — quadratic memory in p, use for
-    moderate p.  ``trace_len`` as in the Lasso path.  Oracle-pinned
-    against sklearn saga (tests/test_logistic.py).
+    gaussian Elastic Net.  ``path_mode="auto"`` (default) resolves to
+    "batch" under the default fixed-majorizer x-update (all lambda
+    lanes share ONE factorized (q, q) matrix — the chip-measured
+    fastest protocol, DESIGN.md "GLM tier, closed"); "scan" is the
+    warm-started sequential path; hessian="exact" restores the
+    per-step Newton Hessian build.  ``trace_len`` as in the Lasso path
+    (implies scan).  Oracle-pinned against sklearn saga
+    (tests/test_logistic.py).
     """
     return glm_lasso_path(X, y, binomial(), lambdas=lambdas,
                           nlambda=nlambda,

@@ -767,7 +767,14 @@ def parallel_glm_lasso_path(
                               newton_steps=int(newton_steps),
                               weighted=w is not None),
         master_prox=_glm_master_prox(W, float(alpha), pen_mask),
-        auto_rho=lambda lam_first: 1.0,
+        # Auto-rho = (curvature bound or 1)/W: each worker's loss share
+        # carries ~ bound/W of the global curvature, so the prox term
+        # balances it at that scale.  MEASURED on the 8-worker mesh
+        # (DESIGN.md "GLM rho, measured"): 4-20x fewer iterations than
+        # the old rho = 1 guess across binomial/huber/poisson, with
+        # serial-agreement gaps unchanged; the W-scaling was confirmed
+        # at W = 4 (optimum moves to bound/4).
+        auto_rho=lambda lam_first: (fam.curvature_bound or 1.0) / W,
         trace_len=trace_len)
     # st.lam is the USER-scale lambda here (the GLM ops carry the 1/n
     # inside the loss gradient, unlike the gaussian paths' ilams).

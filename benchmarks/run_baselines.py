@@ -218,9 +218,12 @@ def bench_bp(fast):
 
 def bench_glm(fast):
     """Informational rows (no reference baseline: the reference is
-    gaussian-only): the smooth-loss GLM paths at 2000 x 200, 30 lambdas,
-    warm-started scan — each ADMM iteration is a 2-step Newton solve
-    ((q,q) Hessian build + Cholesky on the MXU)."""
+    gaussian-only): the smooth-loss GLM paths at 2000 x 200, 30
+    lambdas, at the SHIPPED defaults — fixed-majorizer x-update +
+    batched lambda lanes for the bounded-curvature families, exact
+    Newton + warm-started scan for poisson, measured auto-rho
+    (DESIGN.md "GLM tier, closed"; the full decision sweep lives in
+    benchmarks/glm_sweep.py)."""
     import jax.numpy as jnp
     from admm_tpu.models.glm import binomial, huber, poisson
     from admm_tpu.models.glm import _glm_path
@@ -252,13 +255,18 @@ def bench_glm(fast):
             r = _glm_path(XX, yj, 30, 1e-2, None, -1.0, 10000,
                           1e-5, 1e-5, 1.0, family=fam,
                           standardize_x=True, intercept=True,
-                          path_mode="scan")
+                          path_mode="auto")
             return jnp.sum(r.coef) + jnp.sum(r.niter)
-        ks = (1, 3) if fast else (1, 5)
+        # Sub-ms solves for the fixed-majorizer families: the K spread
+        # must clear the ~30 ms tunnel jitter (CLAUDE.md).
+        bounded = fam.curvature_bound is not None
+        ks = ((2, 8) if fast else (4, 24)) if bounded else \
+            ((1, 3) if fast else (1, 5))
         out[f"glm_{name}_path_2000x200_ms"] = dict(
             value=amortized_ms(one, *ks), baseline_ms=None,
-            note="30-lambda warm-started path; extension (reference is "
-                 "gaussian-only)")
+            note="30-lambda path at shipped defaults (fixed-majorizer "
+                 "batch for binomial/huber, exact scan for poisson); "
+                 "extension (reference is gaussian-only)")
     return out
 
 

@@ -313,8 +313,11 @@ def test_glm_crash_and_resume_identical(tmp_path):
                                       np.asarray(full.coef))
         np.testing.assert_array_equal(np.asarray(res.niter),
                                       np.asarray(full.niter))
-        # And the chunked chain agrees with the plain scan path.
-        plain = glm_lasso_path(X, y, fam, lambdas=lams)
+        # And the chunked chain agrees with the plain scan path (the
+        # checkpointed driver cuts the warm-start chain, so compare
+        # against the scan protocol, not the batch default).
+        plain = glm_lasso_path(X, y, fam, lambdas=lams,
+                               path_mode="scan")
         np.testing.assert_allclose(np.asarray(res.coef),
                                    np.asarray(plain.coef), atol=1e-5)
 
