@@ -37,6 +37,7 @@ from .models.glm import (glm_lasso_path, huber_lasso_path,
 from .models.genlasso import (difference_matrix, fused_lasso_path,
                               gen_lasso_path)
 from .models.grouplasso import group_lasso_path
+from .models.lad import quantile_fit
 from .models.logistic import logistic_lasso_path
 from .parallel.consensus import (parallel_glm_lasso_path,
                                  parallel_huber_lasso_path,
@@ -55,6 +56,6 @@ __all__ = [
     "parallel_logistic_lasso_path", "parallel_glm_lasso_path",
     "parallel_huber_lasso_path", "parallel_poisson_lasso_path",
     "glm_lasso_path", "huber_lasso_path", "poisson_lasso_path",
-    "cv_glm_path",
+    "cv_glm_path", "quantile_fit",
     "__version__",
 ]

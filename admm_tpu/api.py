@@ -175,11 +175,19 @@ class ADMMLasso:
         self.rho = self._rho_default
         self.path_mode = "batch"
         self.trace = False
+        self.penalty_factor = None
 
     # -- chainable setters ------------------------------------------------
     def penalty(self, lambda_=None, nlambda: int = 100,
-                lambda_min_ratio: Optional[float] = None, **kw):
-        """(reference: R/30_admm_lasso.R:72-96)"""
+                lambda_min_ratio: Optional[float] = None,
+                penalty_factor=None, **kw):
+        """(reference: R/30_admm_lasso.R:72-96).  ``penalty_factor``
+        (TPU extension — glmnet's ``penalty.factor``): per-coefficient
+        nonnegative penalty multipliers; 0 = unpenalized
+        (models/lasso.py::lasso_path)."""
+        self.penalty_factor = (None if penalty_factor is None
+                               else np.asarray(penalty_factor,
+                                               np.float64).ravel())
         if lambda_ is not None:
             lam = np.sort(np.asarray(lambda_, dtype=np.float64).ravel())[::-1]
             if np.any(lam <= 0):
@@ -271,8 +279,13 @@ class ADMMLasso:
         if self.nthread <= 1:
             res = lasso_path(self.x, self.y, path_mode=self.path_mode,
                              trace_len=self._trace_len(),
+                             penalty_factor=self.penalty_factor,
                              **self._path_kwargs())
         else:
+            if self.penalty_factor is not None:
+                raise NotImplementedError(
+                    "penalty_factor is not supported by the consensus "
+                    "solver; use nthread=1")
             res = parallel_lasso_path(self.x, self.y,
                                       nworkers=self.nthread,
                                       trace_len=self._trace_len(),
@@ -301,11 +314,12 @@ class ADMMEnet(ADMMLasso):
 
     def penalty(self, lambda_=None, nlambda: int = 100,
                 lambda_min_ratio: Optional[float] = None,
-                alpha: float = 1.0, **kw):
+                alpha: float = 1.0, penalty_factor=None, **kw):
         """(reference: R/40_admm_enet.R:35-47)"""
         if not (0.0 <= alpha <= 1.0):
             raise ValueError("alpha must be within [0,1]")
-        super().penalty(lambda_, nlambda, lambda_min_ratio)
+        super().penalty(lambda_, nlambda, lambda_min_ratio,
+                        penalty_factor=penalty_factor)
         self.alpha = float(alpha)
         return self
 
@@ -318,8 +332,13 @@ class ADMMEnet(ADMMLasso):
             res = enet_path(self.x, self.y, alpha=self.alpha,
                             path_mode=self.path_mode,
                             trace_len=self._trace_len(),
+                            penalty_factor=self.penalty_factor,
                             **self._path_kwargs())
         else:
+            if self.penalty_factor is not None:
+                raise NotImplementedError(
+                    "penalty_factor is not supported by the consensus "
+                    "solver; use nthread=1")
             res = parallel_enet_path(self.x, self.y, alpha=self.alpha,
                                      nworkers=self.nthread,
                                      trace_len=self._trace_len(),
@@ -339,6 +358,10 @@ class ADMMDantzig(ADMMLasso):
             "parallel computing is not supported for the Dantzig selector")
 
     def fit(self) -> ADMMLassoFit:
+        if self.penalty_factor is not None:
+            raise NotImplementedError(
+                "penalty_factor is not supported for the Dantzig "
+                "selector")
         if self.path_mode == "activeset":
             # The gathered-column active set exists only for the wide
             # Lasso/Enet x-update (the reference's own Dantzig TODO left

@@ -67,7 +67,23 @@ class LADResult(NamedTuple):
     trace: Optional[jnp.ndarray] = None
 
 
-def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
+def _asym_soft_threshold(v, t_pos, t_neg):
+    """Prox of the asymmetric l1 ``w -> t_pos max(w, 0) + t_neg
+    max(-w, 0)`` at unit rho: shifted shrinkage with a one-sided
+    threshold per sign (the quantile-loss prox; reduces to the ordinary
+    soft-threshold when t_pos == t_neg)."""
+    return jnp.where(v > t_pos, v - t_pos,
+                     jnp.where(v < -t_neg, v + t_neg, 0.0))
+
+
+def _lad_ops(Xs, ys, Ginv, ynorm, n, p, tau=0.5) -> ProblemOps:
+    """``tau`` generalizes the z-prox to the QUANTILE check loss
+    (extension): the solver state z is (fitted - y) = -residual, so the
+    loss ``2 rho_tau(r) = 2 tau max(r,0) + 2(1-tau) max(-r,0)`` puts
+    weight 2(1-tau) on z > 0 and 2 tau on z < 0.  The factor 2 makes
+    tau = 0.5 EXACTLY the reference's LAD (threshold 1/rho both sides,
+    reference: src/ADMMLAD.h:94-98) — same iterates, not just the same
+    argmin."""
     def project(v):
         """Orthogonal projection onto Range(X): X (X'X)^-1 X' v."""
         return dot(Xs, dot(Ginv, dot(Xs.T, v)))
@@ -78,7 +94,8 @@ def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
 
     def next_z(st, x_new):
         v = x_new - ys + st.adj_y / st.rho
-        return soft_threshold(v, 1.0 / st.rho), st.aux
+        return _asym_soft_threshold(v, 2.0 * (1.0 - tau) / st.rho,
+                                    2.0 * tau / st.rho), st.aux
 
     return ProblemOps(
         next_x=next_x,
@@ -94,9 +111,9 @@ def _lad_ops(Xs, ys, Ginv, ynorm, n, p) -> ProblemOps:
 
 
 @partial(jax.jit, static_argnames=("intercept", "trace_len",
-                                   "pallas_ok"))
+                                   "pallas_ok", "tau"))
 def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept,
-             trace_len=None, pallas_ok=True):
+             trace_len=None, pallas_ok=True, tau=0.5):
     """Deliberate fix over the reference for ``intercept=True``: the
     reference mean-centers X and y and reconstructs ``beta0 = mean(y) -
     sum(coef * mean(x))`` (reference: src/LAD.cpp:34, src/DataStd.h:157),
@@ -126,7 +143,8 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept,
     ynorm = l2norm(ys)
 
     buf = None
-    if (trace_len is None and pallas_ok
+    # The VMEM hat kernel implements the symmetric (tau = 0.5) prox.
+    if (trace_len is None and pallas_ok and tau == 0.5
             and _use_pallas_lad(n, Xa.shape[1], dtype)):
         # TPU fast path: the whole FADMM solve in one Pallas kernel with
         # the dense hat matrix resident in VMEM — the reference's own
@@ -139,7 +157,7 @@ def _lad_fit(X, y, rho, maxit, eps_abs, eps_rel, *, intercept,
             H, ys, rho, eps_abs, eps_rel, ynorm, maxit, true_n=n)
         st_adj_y, st_adj_z, st_rho, st_it = adj_y, adj_z, rho, niter
     else:
-        ops = _lad_ops(Xa, ys, Ginv, ynorm, n, Xa.shape[1])
+        ops = _lad_ops(Xa, ys, Ginv, ynorm, n, Xa.shape[1], tau=tau)
         # Fixed rho, as for BP: FADMM acceleration + the adaptive ladder
         # can cycle (see admm_tpu/models/bp.py); the projection is
         # rho-free so a fixed rho = 1.0 (the reference default,
@@ -230,3 +248,45 @@ def lad_fit(X, y, *, intercept: bool = True, maxit: int = 10000,
                     trace_len=(None if trace_len is None
                                else int(trace_len)),
                     pallas_ok=data_mesh is None)
+
+
+def quantile_fit(X, y, *, tau: float = 0.5, intercept: bool = True,
+                 maxit: int = 10000, eps_abs: Optional[float] = None,
+                 eps_rel: Optional[float] = None,
+                 rho: Optional[float] = None,
+                 trace_len: Optional[int] = None,
+                 data_mesh=None, dtype=None) -> LADResult:
+    """QUANTILE regression (extension): ``minimize sum_i rho_tau(y_i -
+    x_i'b)`` with the check loss ``rho_tau(r) = r (tau - 1{r < 0})``,
+    n > p.  ``tau = 0.5`` reduces EXACTLY to :func:`lad_fit` (median
+    regression — same iterates, the check loss is then |r|/2 doubled
+    back to |r|); other quantiles swap the z-prox for the asymmetric
+    soft-threshold (see _lad_ops) — everything else (range-space
+    projection, free quantile-optimal intercept, FADMM engine,
+    defaults) is shared with LAD.  Oracle: sklearn
+    QuantileRegressor(quantile=tau) (tests/test_lad_bp_dantzig.py).
+    """
+    if not 0.0 < tau < 1.0:
+        raise ValueError("tau must be in (0, 1)")
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if eps_abs is None:
+        eps_abs = 1e-4 if dtype == jnp.float64 else 2e-5
+    if eps_rel is None:
+        eps_rel = 1e-4 if dtype == jnp.float64 else 2e-5
+    if rho is None:
+        rho = 5.0  # LAD's measured default (same solver geometry)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    if X.shape[0] <= X.shape[1]:
+        raise ValueError("nrow(x) must be greater than ncol(x)")
+    if data_mesh is not None:
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
+        y = put_dim_sharded(y, data_mesh, 0)
+    return _lad_fit(X, y, rho, maxit, eps_abs, eps_rel,
+                    intercept=intercept,
+                    trace_len=(None if trace_len is None
+                               else int(trace_len)),
+                    pallas_ok=data_mesh is None, tau=float(tau))

@@ -45,6 +45,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..core.engine import (ADMMState, ProblemOps, make_admm_solver,
@@ -71,14 +72,21 @@ class PathResult(NamedTuple):
 # Tall regime (n > p): FADMM with cached ridge inverse
 # ---------------------------------------------------------------------------
 
-def _tall_ops(Minv, Xty, alpha, p) -> ProblemOps:
+def _tall_ops(Minv, Xty, alpha, p, pf=None) -> ProblemOps:
+    """``pf``: optional (p,) per-coefficient penalty factors (glmnet's
+    ``penalty.factor``, rescaled to sum p) — the prox threshold becomes
+    per-coordinate ``lam * pf_j``; ``pf_j = 0`` leaves coordinate j
+    unpenalized."""
     def next_x(st):
         rhs = Xty - st.adj_y + st.rho * st.adj_z
         return dot(Minv, rhs)
 
     def next_z(st, x_new):
         v = x_new + st.adj_y / st.rho
-        return enet_prox(v, st.lam / st.rho, alpha), st.aux
+        pen = st.lam / st.rho
+        if pf is not None:
+            pen = pen * pf
+        return enet_prox(v, pen, alpha), st.aux
 
     return ProblemOps(
         next_x=next_x,
@@ -108,13 +116,13 @@ def _tall_setup(Xs, ys, lam_first, rho0):
     return Minv, Xty, rho
 
 
-def _tall_engine(Xs, ys, lam_first, rho0, alpha):
+def _tall_engine(Xs, ys, lam_first, rho0, alpha, pf=None):
     """Build the tall-regime engine: cold state, solver, reported iterate."""
     n, p = Xs.shape
     dtype = Xs.dtype
     Minv, Xty, rho = _tall_setup(Xs, ys, lam_first, rho0)
 
-    ops = _tall_ops(Minv, Xty, alpha, p)
+    ops = _tall_ops(Minv, Xty, alpha, p, pf)
     solve = make_fadmm_solver(ops, adapt_rho=False)
 
     zeros = jnp.zeros((p,), dtype)
@@ -149,11 +157,13 @@ def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel,
 
 
 def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
-                     pallas_ok=True, trace_len=None):
+                     pallas_ok=True, trace_len=None, pf=None):
     # TPU fast path: the whole warm-started sequential path inside ONE
     # Pallas kernel with the ridge inverse resident in VMEM (the
-    # reference's own path protocol, latency-optimised).
-    if (trace_len is None and pallas_ok
+    # reference's own path protocol, latency-optimised).  Per-coordinate
+    # penalty factors take the XLA engines (the kernels carry scalar
+    # lane penalties).
+    if (trace_len is None and pallas_ok and pf is None
             and _use_pallas_tall(Xs.shape[1], ilams.shape[0],
                                  Xs.dtype, mode="scan")):
         from ..ops.tall_path import tall_path_scan_pallas
@@ -164,7 +174,7 @@ def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
             jnp.asarray(alpha, Xs.dtype), maxit, true_p=Xs.shape[1])
         return coefs, niter, None
 
-    st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho0, alpha)
+    st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho0, alpha, pf)
     _, coefs, niter, traces = _scan_path(st0, solve, report, ilams, maxit,
                                          eps_abs, eps_rel, trace_len)
     return coefs, niter, traces
@@ -187,7 +197,8 @@ def _batched_cold_states(k, dims, rho, ilams, dtype, aux_dim=None):
 
 
 def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
-                           alpha, pallas_ok=True, trace_len=None):
+                           alpha, pallas_ok=True, trace_len=None,
+                           pf=None):
     """All-lambdas-at-once tall solve (see make_batched_solver).
 
     Uses a single shared rho/factorization across lambdas — exactly the
@@ -202,7 +213,7 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # TPU fast path: the whole batched path solves inside ONE Pallas
     # kernel with the ridge inverse resident in VMEM (no HBM re-reads
     # per iteration).  Bit-compatible with the XLA solver below.
-    if (trace_len is None and pallas_ok
+    if (trace_len is None and pallas_ok and pf is None
             and _use_pallas_tall(p, ilams.shape[0], dtype)):
         from ..ops.tall_path import tall_path_batch_pallas
 
@@ -211,7 +222,7 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
             jnp.asarray(alpha, dtype), maxit, true_p=p)
         return coefs, niter, None
 
-    ops = _tall_ops(Minv, Xty, alpha, p)
+    ops = _tall_ops(Minv, Xty, alpha, p, pf)
     engine = make_fadmm_solver(ops, adapt_rho=False)
     st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype)
     if trace_len is None:
@@ -257,7 +268,7 @@ def _wide_setup(Xs, ys, rho_lams, rho0, alpha, enet_lambda0_scale):
 
 def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
                            alpha, enet_lambda0_scale, pallas_ok=True,
-                           trace_len=None):
+                           trace_len=None, pf=None, lambda0_pf=None):
     """All-lambdas-at-once wide solve; rho is per-lane (no factorization
     depends on it, so each lambda keeps its own auto-rho + ladder).
     ``trace_len`` records a per-lane residual trace (Pallas bypassed)."""
@@ -269,7 +280,7 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # TPU fast path: X and all lane state resident in VMEM for the whole
     # path (the XLA solver re-reads the n x p matrix from HBM twice per
     # iteration).  Same math as the solver below.
-    if (trace_len is None and pallas_ok
+    if (trace_len is None and pallas_ok and pf is None
             and _use_pallas_wide(n, p, ilams.shape[0], dtype)):
         from ..ops.wide_path import wide_path_batch_pallas
 
@@ -278,7 +289,9 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
             jnp.asarray(alpha, dtype), maxit, true_n=n, true_p=p)
         return coefs, niter, None
 
-    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
+    if lambda0_pf is not None:
+        lambda0 = lambda0_pf
+    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf)
     engine = make_admm_solver(ops, adapt_rho=True)
     k = ilams.shape[0]
     st = _batched_cold_states(k, p, 1.0, ilams, dtype, aux_dim=n)
@@ -299,14 +312,17 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
 # Wide regime (p >= n): linearized ADMM, adaptive rho
 # ---------------------------------------------------------------------------
 
-def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p) -> ProblemOps:
+def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf=None) -> ProblemOps:
     sqrt_sprad = jnp.sqrt(sprad)
 
     def next_x(st):
         gamma = sprad
         tmp = st.aux + st.z + st.y / st.rho
         v = st.x - dot(Xs.T, tmp) / gamma
-        x_new = enet_prox(v, st.lam / (st.rho * gamma), alpha)
+        pen = st.lam / (st.rho * gamma)
+        if pf is not None:
+            pen = pen * pf
+        x_new = enet_prox(v, pen, alpha)
         # Early exit: penalty at/above lambda0 keeps beta = 0.  The
         # reference subtracts an ABSOLUTE 1e-5 slack
         # (reference: src/ADMMLassoWide.h:131-135), which on problems
@@ -334,14 +350,19 @@ def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p) -> ProblemOps:
     )
 
 
-def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale):
-    """Build the wide-regime engine: cold state, solver, reported iterate."""
+def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale,
+                 pf=None, lambda0=None):
+    """Build the wide-regime engine: cold state, solver, reported
+    iterate.  ``lambda0`` overrides the all-zero threshold (the
+    penalty-factor-aware grid top when factors are in play)."""
     n, p = Xs.shape
     dtype = Xs.dtype
-    lambda0, sprad, rho = _wide_setup(Xs, ys, lam_first, rho0, alpha,
-                                      enet_lambda0_scale)
+    lambda0_auto, sprad, rho = _wide_setup(Xs, ys, lam_first, rho0, alpha,
+                                           enet_lambda0_scale)
+    if lambda0 is None:
+        lambda0 = lambda0_auto
 
-    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p)
+    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf)
     solve = make_admm_solver(ops, adapt_rho=True)
 
     st0 = make_state(jnp.zeros((p,), dtype), jnp.zeros((n,), dtype),
@@ -483,9 +504,10 @@ def _solve_path_wide_activeset(Xs, ys, ilams, rho0, maxit, eps_abs,
 
 
 def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
-                     enet_lambda0_scale, trace_len=None):
+                     enet_lambda0_scale, trace_len=None, pf=None,
+                     lambda0_pf=None):
     st0, solve, report = _wide_engine(Xs, ys, ilams[0], rho0, alpha,
-                                      enet_lambda0_scale)
+                                      enet_lambda0_scale, pf, lambda0_pf)
     _, coefs, niter, traces = _scan_path(st0, solve, report, ilams, maxit,
                                          eps_abs, eps_rel, trace_len)
     return coefs, niter, traces
@@ -499,15 +521,23 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
                                    "enet_scale", "path_mode",
                                    "shard_data", "trace_len", "pallas_ok"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
-               eps_rel, alpha, weights=None, *, standardize_x, intercept,
-               enet_scale, path_mode, shard_data=False, trace_len=None,
-               pallas_ok=True):
+               eps_rel, alpha, weights=None, pf=None, *, standardize_x,
+               intercept, enet_scale, path_mode, shard_data=False,
+               trace_len=None, pallas_ok=True):
     """Auto lambda grid: log-linear from lambda0 down to ratio*lambda0
-    (reference: src/Lasso.cpp:78-89)."""
+    (reference: src/Lasso.cpp:78-89).  With penalty factors the grid top
+    is the factor-aware KKT boundary max_j |x_j'y| / pf_j over PENALIZED
+    coordinates (glmnet's rule; zero-factor coordinates never gate the
+    grid)."""
     n = X.shape[0]
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept, weights=weights)
-    lam0_int = jnp.max(jnp.abs(dot(Xs.T, ys)))
+    Xty_abs = jnp.abs(dot(Xs.T, ys))
+    if pf is None:
+        lam0_int = jnp.max(Xty_abs)
+    else:
+        lam0_int = jnp.max(jnp.where(
+            pf > 0, Xty_abs / jnp.maximum(pf, 1e-12), 0.0))
     if enet_scale:
         lam0_int = lam0_int / (alpha + 1e-4)
     lmax = lam0_int / n * stats.scale_y
@@ -516,29 +546,41 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
                            enet_scale, path_mode, shard_data, trace_len,
-                           pallas_ok)
+                           pallas_ok, pf)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale", "path_mode",
                                    "shard_data", "trace_len", "pallas_ok"))
 def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
-               weights=None, *, standardize_x, intercept, enet_scale,
-               path_mode, shard_data=False, trace_len=None,
+               weights=None, pf=None, *, standardize_x, intercept,
+               enet_scale, path_mode, shard_data=False, trace_len=None,
                pallas_ok=True):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept, weights=weights)
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
                            enet_scale, path_mode, shard_data, trace_len,
-                           pallas_ok)
+                           pallas_ok, pf)
 
 
 def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
                     eps_rel, alpha, standardize_x, intercept, enet_scale,
                     path_mode="scan", shard_data=False, trace_len=None,
-                    pallas_ok=True):
+                    pallas_ok=True, pf=None):
     n, p = Xs.shape
+    # Penalty-factor-aware all-zero threshold for the wide engines'
+    # early exit: exact KKT boundary when every factor is positive; +inf
+    # (exit disabled) when any coordinate is unpenalized — beta never
+    # becomes all-zero then.
+    lambda0_pf = None
+    if pf is not None:
+        Xty_abs = jnp.abs(dot(Xs.T, ys))
+        kkt = jnp.max(jnp.where(pf > 0,
+                                Xty_abs / jnp.maximum(pf, 1e-12), 0.0))
+        if enet_scale:
+            kkt = kkt / (alpha + 1e-4)
+        lambda0_pf = jnp.where(jnp.all(pf > 0), kkt, jnp.inf)
     # With row-sharded data the Pallas kernels are bypassed: they are
     # single-chip programs, and under data sharding the iteration math
     # must stay open to XLA's SPMD partitioner (which turns the Gram /
@@ -552,18 +594,18 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
         if path_mode == "batch":
             coefs, niter, traces = _solve_path_tall_batch(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                pallas_ok, trace_len)
+                pallas_ok, trace_len, pf)
         else:
             coefs, niter, traces = _solve_path_tall(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                pallas_ok, trace_len)
+                pallas_ok, trace_len, pf)
     else:
         if path_mode == "batch":
             coefs, niter, traces = _solve_path_wide_batch(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                enet_scale, pallas_ok, trace_len)
+                enet_scale, pallas_ok, trace_len, pf, lambda0_pf)
         elif (path_mode == "activeset"
-              or (path_mode == "scan" and trace_len is None
+              or (path_mode == "scan" and trace_len is None and pf is None
                   and not shard_data and p >= _ACTIVESET_AUTO_P)):
             # The reference's 4^k-1 cadence, gathered-column realisation
             # (reference: src/ADMMLassoWide.h:86-127); the measured
@@ -574,7 +616,7 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
         else:
             coefs, niter, traces = _solve_path_wide(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                enet_scale, trace_len)
+                enet_scale, trace_len, pf, lambda0_pf)
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
@@ -590,6 +632,7 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                path_mode: str = "scan", data_mesh=None,
                trace_len: Optional[int] = None,
                weights: Optional[jnp.ndarray] = None,
+               penalty_factor: Optional[jnp.ndarray] = None,
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
 
@@ -624,6 +667,17 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     grid and the quadratic loss all become weighted (an integer weight
     of k is exactly equivalent to repeating the row k times — tested).
 
+    ``penalty_factor`` (extension — glmnet's ``penalty.factor``):
+    per-coefficient nonnegative penalty multipliers, rescaled so they
+    sum to p (glmnet convention; multiplying all factors by a constant
+    changes nothing).  Coordinate j is penalized ``lambda * pf_j``
+    (both the l1 and the ridge part for the Elastic Net); ``pf_j = 0``
+    leaves it unpenalized (always in the model); the auto grid top is
+    the factor-aware KKT boundary.  Exactly equivalent to the column
+    rescaling x_j -> x_j / pf_j with a uniform penalty (tested).
+    Takes the XLA engines (Pallas kernels and the active-set path carry
+    scalar lane penalties).
+
     ``trace_len``: record the first ``trace_len`` iterations'
     (eps_primal, resid_primal, eps_dual, resid_dual, rho) per lambda in
     ``result.trace`` — the reference's (dead) residual printers as
@@ -647,6 +701,21 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
         raise ValueError("path_mode='activeset' is the wide-regime "
                          "(p >= n) solver; tall problems use the "
                          "factorized engines")
+    pf = None
+    if penalty_factor is not None:
+        if path_mode == "activeset":
+            raise ValueError("penalty_factor is not supported by the "
+                             "active-set path (per-coordinate "
+                             "thresholds); use 'batch' or 'scan'")
+        pf = jnp.asarray(penalty_factor, dtype).ravel()
+        if pf.shape != (p,):
+            raise ValueError("penalty_factor must have one entry per "
+                             "column of x")
+        pf_np = np.asarray(pf)
+        if np.any(pf_np < 0) or not np.any(pf_np > 0):
+            raise ValueError("penalty_factor entries must be >= 0 with "
+                             "at least one positive")
+        pf = pf * (p / jnp.sum(pf))  # glmnet: factors sum to nvars
     if data_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -662,12 +731,12 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
         return _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
-                          w, standardize_x=standardize,
+                          w, pf, standardize_x=standardize,
                           intercept=intercept,
                           enet_scale=_enet_scale, path_mode=path_mode,
                           shard_data=shard, trace_len=trace_len)
     return _path_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
-                      eps_abs, eps_rel, alpha, w,
+                      eps_abs, eps_rel, alpha, w, pf,
                       standardize_x=standardize,
                       intercept=intercept, enet_scale=_enet_scale,
                       path_mode=path_mode, shard_data=shard,

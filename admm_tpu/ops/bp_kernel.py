@@ -36,12 +36,20 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 def supports_bp_batch(n: int, p: int, m: int) -> bool:
     """Whether the (n, p, m)-lane batched BP solve fits the budget.
 
-    Measured on the chip at the reference's multi-signal size (1000 x
-    2000, m=100, eps 2e-5): kernel 349 ms vs XLA 380 ms — a 1.09x win.
-    At many lanes the XLA matmuls are already near compute-bound, so
-    residency buys only the A/(AA')^{-1} HBM reads; the win is real but
-    modest, unlike the single-RHS case where Mosaic LOST 1.8x (hence
-    the m >= 2 gate)."""
+    Round 2 measured a single 1.09x — inside the protocol's noise floor
+    — so round 3 re-raced the kernel across four in-gate shapes at the
+    shipped defaults (2026-08-17, benchmarks/bp_kernel_recheck.py ->
+    bp_kernel_recheck.json):
+
+        1000x2000 m=100  1.11x      500x1500 m=50  1.35x
+         800x3000 m=40   1.13x     1000x2000 m=20  1.34x
+
+    The win REPRODUCES and grows at moderate lane counts, where the XLA
+    matmuls are bandwidth- rather than compute-bound and VMEM residency
+    of A/(AA')^{-1} pays; at m=100 the matmuls approach compute-bound
+    and the edge narrows.  Decision: keep (>= 1.15x at two shapes, >1
+    everywhere); the single-RHS case still LOSES 1.8x, hence the
+    m >= 2 gate."""
     if m < 2:
         return False  # single lane: XLA's gemv pipeline wins (round 1)
     N = round_up(max(n, 8), LANE)

@@ -270,6 +270,39 @@ def bench_glm(fast):
     return out
 
 
+def bench_cv(fast):
+    """One-program CV vs the host fold loop on the flagship problem
+    (10-fold, 100 lambdas).  Unlike the other rows this one measures
+    WALL time (median after warm-up): the dispatch round-trips are
+    exactly what the one-pass design removes, so amortizing them away
+    would hide the effect being measured (models/cv.py module
+    docstring)."""
+    from admm_tpu.models.cv import cv_lasso_path
+
+    n, p = (10000, 1000) if not fast else (4000, 400)
+    X, y, _ = regression_problem(n, p, 100)
+    out = {}
+    reps = 3 if fast else 5
+    vals = {}
+    for mode in ("onepass", "loop"):
+        cv_lasso_path(X, y, nfolds=10, nlambda=100, cv_mode=mode,
+                      seed=1)  # warm-up/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cv_lasso_path(X, y, nfolds=10, nlambda=100, cv_mode=mode,
+                          seed=1)
+            ts.append((time.perf_counter() - t0) * 1e3)
+        vals[mode] = float(np.median(ts))
+    out[f"cv_lasso_path_{n}x{p}_onepass_ms"] = dict(
+        value=round(vals["onepass"], 1), baseline_ms=None,
+        note=f"10-fold 100-lambda CV wall ms; host fold loop takes "
+             f"{vals['loop']:.1f} ms ({vals['loop']/vals['onepass']:.1f}"
+             "x) — the one-pass fold sweep is 2 dispatches instead of "
+             "11 (models/cv.py)")
+    return out
+
+
 def bench_consensus_scaling(fast):
     """On-chip batched-worker scaling (the measurable half of the
     BASELINE north star): W = 1..16 consensus workers on ONE chip, all
@@ -397,7 +430,7 @@ def main():
     for name, fn in [("lasso", bench_lasso_path),
                      ("lasso_wide", bench_lasso_wide),
                      ("lad", bench_lad), ("bp", bench_bp),
-                     ("glm", bench_glm),
+                     ("glm", bench_glm), ("cv", bench_cv),
                      ("consensus_scaling", bench_consensus_scaling)]:
         t0 = time.time()
         results.update(fn(args.fast))

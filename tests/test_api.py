@@ -207,3 +207,25 @@ def test_f64_eps_default_resolved_at_access_time():
     assert m.eps_abs == 1e-4
     m.opts(eps_abs=3e-6)
     assert m.eps_abs == 3e-6  # explicit value wins regardless
+
+
+def test_builder_penalty_factor():
+    """penalty_factor via the builder surface (glmnet's penalty.factor);
+    consensus and Dantzig reject it loudly."""
+    rng = np.random.default_rng(6)
+    n, p = 120, 10
+    X = rng.normal(size=(n, p))
+    y = X @ np.concatenate([[2.0], np.zeros(p - 1)]) \
+        + 0.2 * rng.normal(size=n)
+    pf = np.ones(p)
+    pf[0] = 0.5
+    fit = admm_tpu.admm_lasso(X, y).penalty(nlambda=5,
+                                            penalty_factor=pf).fit()
+    assert np.isfinite(fit.beta.todense()).all()
+    Xw = rng.normal(size=(n, 20))
+    yw = Xw @ np.concatenate([[2.0], np.zeros(19)])
+    with pytest.raises(NotImplementedError, match="penalty_factor"):
+        admm_tpu.admm_lasso(Xw, yw).penalty(
+            penalty_factor=np.ones(20)).parallel(2).fit()
+    with pytest.raises(NotImplementedError, match="penalty_factor"):
+        admm_tpu.admm_dantzig(X, y).penalty(penalty_factor=pf).fit()

@@ -210,3 +210,63 @@ def test_bp_batch_matches_serial():
         np.testing.assert_allclose(np.asarray(batch.coef[i]), X0[i],
                                    atol=1e-3)
         assert abs(int(batch.niter[i]) - int(ser.niter)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Quantile regression (extension: the LAD engine with the asymmetric
+# check-loss prox; admm_tpu.quantile_fit)
+# ---------------------------------------------------------------------------
+
+def test_quantile_tau_half_equals_lad():
+    """tau = 0.5 must reproduce lad_fit exactly (same iterates: the
+    doubled check loss is |r| and the asymmetric prox degenerates to the
+    symmetric soft-threshold)."""
+    from admm_tpu.models.lad import lad_fit, quantile_fit
+
+    rng = np.random.default_rng(21)
+    n, p = 300, 20
+    X = rng.normal(size=(n, p))
+    y = X @ rng.uniform(size=p) + rng.standard_cauchy(n) * 0.5
+    a = lad_fit(X, y)
+    b = quantile_fit(X, y, tau=0.5)
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(b.coef),
+                               rtol=0, atol=1e-7)
+    assert abs(int(a.niter) - int(b.niter)) <= 1
+
+
+@pytest.mark.parametrize("tau", [0.25, 0.75])
+def test_quantile_matches_sklearn(tau):
+    """Oracle: sklearn QuantileRegressor (exact LP solver) at
+    off-median quantiles, intercept included."""
+    from sklearn.linear_model import QuantileRegressor
+
+    from admm_tpu.models.lad import quantile_fit
+
+    rng = np.random.default_rng(22)
+    n, p = 400, 10
+    X = rng.normal(size=(n, p))
+    b = rng.uniform(size=p)
+    y = 1.0 + X @ b + rng.gumbel(size=n)  # asymmetric noise
+    r = quantile_fit(X, y, tau=tau, eps_abs=1e-6, eps_rel=1e-6)
+    sk = QuantileRegressor(quantile=tau, alpha=0.0, fit_intercept=True,
+                           solver="highs").fit(X, y)
+
+    def pinball(b0, coef):
+        res = y - b0 - X @ coef
+        return np.sum(res * (tau - (res < 0)))
+
+    ours = pinball(float(r.beta0), np.asarray(r.coef))
+    theirs = pinball(sk.intercept_, sk.coef_)
+    # The LP optimum is the gold standard; we must be within a hair of
+    # it (ties in LP vertices allow small coefficient differences).
+    assert ours <= theirs * (1.0 + 1e-3)
+    np.testing.assert_allclose(np.asarray(r.coef), sk.coef_, atol=5e-2)
+
+
+def test_quantile_validates_tau():
+    from admm_tpu.models.lad import quantile_fit
+
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="tau"):
+        quantile_fit(rng.normal(size=(30, 3)), rng.normal(size=30),
+                     tau=1.5)

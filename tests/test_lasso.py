@@ -332,3 +332,83 @@ def test_activeset_auto_dispatch_at_crossover(monkeypatch):
                    eps_abs=1e-6, eps_rel=1e-6)
     np.testing.assert_allclose(np.asarray(a.coef), np.asarray(d.coef),
                                atol=2e-3)
+
+
+def test_penalty_factor_transform_equivalence():
+    """glmnet's penalty.factor (extension): penalizing pf_j |b_j| is
+    EXACTLY the column rescaling x_j -> x_j/pf_j with a uniform
+    penalty, b_j = u_j/pf_j — pinned in both regimes (after the glmnet
+    sum-to-p rescaling, applied to both sides)."""
+    rng = np.random.default_rng(31)
+    for n, p in ((200, 12), (60, 120)):
+        X = rng.normal(size=(n, p))
+        b = np.zeros(p)
+        b[:4] = [1.5, -2.0, 1.0, 0.5]
+        y = X @ b + 0.3 * rng.normal(size=n)
+        pf = rng.uniform(0.5, 3.0, p)
+        pf_t = pf * p / pf.sum()
+        lams = np.array([0.3, 0.1, 0.03])
+        a = lasso_path(X, y, lambdas=lams, penalty_factor=pf,
+                       standardize=False, intercept=False,
+                       eps_abs=1e-7, eps_rel=1e-7)
+        u = lasso_path(X / pf_t[None, :], y, lambdas=lams,
+                       standardize=False, intercept=False,
+                       eps_abs=1e-7, eps_rel=1e-7)
+        np.testing.assert_allclose(np.asarray(a.coef),
+                                   np.asarray(u.coef) / pf_t[None, :],
+                                   atol=2e-4)
+
+
+def test_penalty_factor_units_and_zeros():
+    rng = np.random.default_rng(32)
+    n, p = 150, 10
+    X = rng.normal(size=(n, p))
+    y = X @ np.concatenate([[2.0], np.zeros(p - 1)]) \
+        + 0.2 * rng.normal(size=n)
+    # All-ones factors == no factors (grids and solutions).
+    a = lasso_path(X, y, nlambda=6)
+    b = lasso_path(X, y, nlambda=6, penalty_factor=np.ones(p))
+    np.testing.assert_allclose(np.asarray(a.lambdas),
+                               np.asarray(b.lambdas), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(b.coef),
+                               atol=1e-6)
+    # Scale invariance (glmnet rescales to sum p).
+    c = lasso_path(X, y, nlambda=6, penalty_factor=7.0 * np.ones(p))
+    np.testing.assert_allclose(np.asarray(b.coef), np.asarray(c.coef),
+                               atol=1e-6)
+    # Zero factor: coordinate 3 is unpenalized -> in the model at the
+    # grid TOP (where all penalized coords are zero).
+    pf = np.ones(p)
+    pf[3] = 0.0
+    yz = X @ np.concatenate([[0.5, 0, 0, 2.0], np.zeros(p - 4)]) \
+        + 0.1 * rng.normal(size=n)
+    r = lasso_path(X, yz, nlambda=6, penalty_factor=pf,
+                   eps_abs=1e-7, eps_rel=1e-7)
+    coef0 = np.asarray(r.coef)[0]
+    assert abs(coef0[3]) > 0.5          # unpenalized, present at top
+    # Penalized coordinates are heavily shrunk (not exactly zero: the
+    # unpenalized fit changes the residual, so the raw-X'y grid top is
+    # not their exact KKT boundary — glmnet behaves the same way).
+    assert np.abs(np.delete(coef0, 3)).max() < 0.3
+    # Validation.
+    with pytest.raises(ValueError, match="penalty_factor"):
+        lasso_path(X, y, penalty_factor=np.ones(p - 1))
+    with pytest.raises(ValueError, match="penalty_factor"):
+        lasso_path(X, y, penalty_factor=-np.ones(p))
+
+
+def test_penalty_factor_wide_zero_factor_no_early_exit():
+    """Wide regime with a zero factor: the all-zero early exit must be
+    disabled (beta never becomes all-zero when a coordinate is
+    unpenalized)."""
+    rng = np.random.default_rng(33)
+    n, p = 50, 100
+    X = rng.normal(size=(n, p))
+    y = X[:, 7] * 3.0 + 0.1 * rng.normal(size=n)
+    pf = np.ones(p)
+    pf[7] = 0.0
+    r = lasso_path(X, y, nlambda=5, penalty_factor=pf,
+                   standardize=False, intercept=False,
+                   eps_abs=1e-6, eps_rel=1e-6)
+    # Even at the grid top the unpenalized coordinate is fitted.
+    assert abs(np.asarray(r.coef)[0, 7]) > 1.0
