@@ -27,8 +27,11 @@ aggregation.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .lasso import PathResult, lasso_path
@@ -58,41 +61,78 @@ def binomial_deviance(eta, y):
     return 2.0 * (np.logaddexp(0.0, eta) - y[None, :] * eta)
 
 
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "enet_scale"))
+def _gaussian_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
+                        eps_rel, alpha, *, standardize_x, intercept,
+                        enet_scale):
+    """Jitted CORE of the gaussian fold sweep — a MODULE-LEVEL jit so
+    compilations cache across cv_lasso_path calls (a per-call
+    ``jax.jit`` closure recompiled the whole vmapped program every CV:
+    ~17 s of compile swamping a ~3 ms solve, measured on chip).
+
+    Returns the (n, nlambda) OWN-FOLD linear predictors — each row
+    selected from its own fold's sweep ON DEVICE (``fid`` = clipped
+    foldid), so only n*nlambda floats cross the host link instead of
+    the full (nfolds, nlambda, n) tensor."""
+    from .lasso import _path_user
+
+    def one(mask):
+        res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
+                         alpha, mask, standardize_x=standardize_x,
+                         intercept=intercept, enet_scale=enet_scale,
+                         path_mode="batch", pallas_ok=False)
+        return res.beta0[:, None] + res.coef @ X.T
+
+    etas = jax.vmap(one)(masks)                # (nfolds, nlambda, n)
+    return etas[fid, :, jnp.arange(fid.shape[0])]
+
+
 def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
                             solver_kw):
     """Build the one-program fold sweep for the gaussian Lasso/Enet:
     ``run(X, y, lams, masks) -> (nfolds, nlambda, n)`` linear predictors,
-    ONE jitted XLA program (vmap over the fold-mask axis of the weighted
-    batched path solver; Pallas kernels are bypassed — they are written
-    single-program)."""
-    import jax
-    import jax.numpy as jnp
-
-    from .lasso import _path_user
-
+    ONE compiled XLA program (vmap over the fold-mask axis of the
+    weighted batched path solver; Pallas kernels are bypassed — they are
+    written single-program).  A device-resident ``X`` is used in place
+    (no host round-trip)."""
     rho = solver_kw.get("rho", -1.0)
     maxit = solver_kw.get("maxit", 10000)
     eps_abs = solver_kw.get("eps_abs", 1e-5)
     eps_rel = solver_kw.get("eps_rel", 1e-5)
     dtype = solver_kw.get("dtype", jnp.float32)
 
-    @jax.jit
-    def fold_etas(X, y, lams, masks):
-        def one(mask):
-            res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
-                             alpha, mask, standardize_x=standardize,
-                             intercept=intercept, enet_scale=enet_scale,
-                             path_mode="batch", pallas_ok=False)
-            return res.beta0[:, None] + res.coef @ X.T
-
-        return jax.vmap(one)(masks)
-
-    def run(X, y, lams, masks):
-        return fold_etas(jnp.asarray(X, dtype), jnp.asarray(y, dtype),
-                         jnp.asarray(lams, dtype),
-                         jnp.asarray(masks, dtype))
+    def run(X, y, lams, masks, fid):
+        return _gaussian_fold_etas(
+            jnp.asarray(X, dtype), jnp.asarray(y, dtype),
+            jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
+            jnp.asarray(fid, jnp.int32),
+            rho, maxit, eps_abs, eps_rel, alpha,
+            standardize_x=standardize, intercept=intercept,
+            enet_scale=enet_scale)
 
     return run
+
+
+@partial(jax.jit, static_argnames=("family", "standardize_x",
+                                   "intercept", "path_mode"))
+def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
+                   eps_rel, alpha, *, family, standardize_x, intercept,
+                   path_mode):
+    """Jitted core of the GLM fold sweep (module-level for cache reuse
+    and on-device own-fold selection, as
+    :func:`_gaussian_fold_etas`)."""
+    from .glm import _glm_path
+
+    def one(mask):
+        res = _glm_path(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
+                        eps_rel, alpha, mask, family=family,
+                        standardize_x=standardize_x,
+                        intercept=intercept, path_mode=path_mode)
+        return res.beta0[:, None] + res.coef @ X.T
+
+    etas = jax.vmap(one)(masks)
+    return etas[fid, :, jnp.arange(fid.shape[0])]
 
 
 def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
@@ -100,28 +140,16 @@ def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
     """One-program fold sweep for any GLM family (same contract as
     :func:`_make_gaussian_fold_eta`): fold f = the weighted GLM path
     with weight 0 on held-out rows (models/glm.py), vmapped."""
-    import jax
-    import jax.numpy as jnp
-
-    from .glm import _glm_path
-
     dtype = jnp.float32 if dtype is None else dtype
 
-    @jax.jit
-    def fold_etas(X, y, lams, masks):
-        def one(mask):
-            res = _glm_path(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
-                            eps_rel, alpha, mask, family=fam,
-                            standardize_x=standardize,
-                            intercept=intercept, path_mode=path_mode)
-            return res.beta0[:, None] + res.coef @ X.T
-
-        return jax.vmap(one)(masks)
-
-    def run(X, y, lams, masks):
-        return fold_etas(jnp.asarray(X, dtype), jnp.asarray(y, dtype),
-                         jnp.asarray(lams, dtype),
-                         jnp.asarray(masks, dtype))
+    def run(X, y, lams, masks, fid):
+        return _glm_fold_etas(
+            jnp.asarray(X, dtype), jnp.asarray(y, dtype),
+            jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
+            jnp.asarray(fid, jnp.int32),
+            rho, maxit, eps_abs, eps_rel, alpha, family=fam,
+            standardize_x=standardize, intercept=intercept,
+            path_mode=path_mode)
 
     return run
 
@@ -164,9 +192,13 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     (an extension; glmnet has no such sentinel) are excluded from CV
     scoring but still participate in EVERY fold's training set.
     """
-    X = np.asarray(X, np.float64)
+    # X is NOT pulled to host here: a device-resident X flows straight
+    # into the full fit and the one-pass fold sweep (zero re-uploads
+    # through the host<->device link — at 10000x1000 the transfer, not
+    # the solve, dominates CV wall time in this environment).  Only the
+    # loop fallback needs host subsetting.
+    n, p = np.shape(X)
     y = np.asarray(y, np.float64).ravel()
-    n, p = X.shape
     w = None if weights is None else np.asarray(weights,
                                                 np.float64).ravel()
     if w is not None and w.shape != (n,):
@@ -244,23 +276,23 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                  != np.arange(nfolds)[:, None]).astype(np.float64)
         if w is not None:
             masks = masks * w[None, :]
-        etas = np.asarray(fold_eta(X, y, lams, masks))
-        eta_sel = etas[np.clip(foldid, 0, None), :,
-                       np.arange(n)]          # (n, nlambda)
-        sqerr = loss(eta_sel.T, y).T
+        eta_sel = np.asarray(fold_eta(X, y, lams, masks,
+                                      np.clip(foldid, 0, None)))
+        sqerr = loss(eta_sel.T, y).T           # eta_sel is (n, nlambda)
     else:
         if w is not None and not (is_default_path
                                   or _fold_eta_fn is not None):
             raise ValueError("weighted CV is not supported for this "
                              "driver (its path solver takes no weights)")
+        X_np = np.asarray(X, np.float64)
         sqerr = np.full((n, lams.shape[0]), np.nan)
         for f in range(nfolds):
             tr = foldid != f
             va = foldid == f
-            res = (_path_fn(X[tr], y[tr], lams, w[tr]) if w is not None
-                   else _path_fn(X[tr], y[tr], lams))
+            res = (_path_fn(X_np[tr], y[tr], lams, w[tr])
+                   if w is not None else _path_fn(X_np[tr], y[tr], lams))
             pred = (np.asarray(res.beta0)[:, None]
-                    + np.asarray(res.coef) @ X[va].T)  # (nlambda, n_va)
+                    + np.asarray(res.coef) @ X_np[va].T)  # (nlambda, n_va)
             sqerr[va] = loss(pred, y[va]).T
 
     scored = foldid >= 0
