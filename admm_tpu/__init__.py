@@ -29,9 +29,10 @@ from __future__ import annotations
 from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
                   admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
 from .models.bp import bp_fit_batch
-from .models.cv import (cv_enet_path, cv_group_lasso_path,
-                        cv_glm_path, cv_lasso_path,
-                        cv_logistic_path)
+from .models.cv import (cv_dantzig_path, cv_enet_path,
+                        cv_fused_lasso_path, cv_gen_lasso_path,
+                        cv_glm_path, cv_group_lasso_path,
+                        cv_lasso_path, cv_logistic_path)
 from .models.glm import (glm_lasso_path, huber_lasso_path,
                          poisson_lasso_path)
 from .models.genlasso import (difference_matrix, fused_lasso_path,
@@ -56,6 +57,7 @@ __all__ = [
     "parallel_logistic_lasso_path", "parallel_glm_lasso_path",
     "parallel_huber_lasso_path", "parallel_poisson_lasso_path",
     "glm_lasso_path", "huber_lasso_path", "poisson_lasso_path",
-    "cv_glm_path", "quantile_fit",
+    "cv_glm_path", "quantile_fit", "cv_dantzig_path",
+    "cv_gen_lasso_path", "cv_fused_lasso_path",
     "__version__",
 ]

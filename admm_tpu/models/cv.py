@@ -399,3 +399,66 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                          standardize=standardize, intercept=intercept,
                          _path_fn=path_fn, _loss_fn=loss,
                          _fold_eta_fn=fold_eta, **kw)
+
+
+def cv_dantzig_path(X, y, *, nlambda: int = 100,
+                    lambda_min_ratio: Optional[float] = None,
+                    standardize: bool = True, intercept: bool = True,
+                    maxit: int = 10000, eps_abs: float = 1e-5,
+                    eps_rel: float = 1e-5, rho: float = -1.0,
+                    path_mode: str = "batch", **kw) -> CVResult:
+    """Cross-validated Dantzig-selector path (extension; same fold
+    protocol as :func:`cv_lasso_path`, scored by held-out MSE).  Uses
+    the host fold loop (the Dantzig engine has no weighted variant to
+    vmap yet)."""
+    from .dantzig import dantzig_path
+
+    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+                lambda_min_ratio=lambda_min_ratio):
+        return dantzig_path(Xf, yf, lambdas=lambdas, nlambda=nlambda,
+                            lambda_min_ratio=lambda_min_ratio,
+                            standardize=standardize, intercept=intercept,
+                            maxit=maxit, eps_abs=eps_abs,
+                            eps_rel=eps_rel, rho=rho,
+                            path_mode=path_mode)
+
+    return cv_lasso_path(X, y, nlambda=nlambda,
+                         lambda_min_ratio=lambda_min_ratio,
+                         standardize=standardize, intercept=intercept,
+                         _path_fn=path_fn, **kw)
+
+
+def cv_gen_lasso_path(X, y, D, *, nlambda: int = 50,
+                      lambda_min_ratio: float = 1e-3,
+                      intercept: bool = True, maxit: int = 10000,
+                      eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+                      rho: float = -1.0, path_mode: str = "batch",
+                      **kw) -> CVResult:
+    """Cross-validated generalized-Lasso path (extension): selects
+    lambda for an arbitrary (m, p) structure matrix ``D`` (fused lasso,
+    trend filtering) by held-out MSE; same fold protocol as
+    :func:`cv_lasso_path`, host fold loop."""
+    from .genlasso import gen_lasso_path
+
+    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+                lambda_min_ratio=lambda_min_ratio):
+        return gen_lasso_path(Xf, yf, D, lambdas=lambdas,
+                              nlambda=nlambda,
+                              lambda_min_ratio=lambda_min_ratio,
+                              intercept=intercept, maxit=maxit,
+                              eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
+                              path_mode=path_mode)
+
+    return cv_lasso_path(X, y, nlambda=nlambda,
+                         lambda_min_ratio=lambda_min_ratio,
+                         intercept=intercept, _path_fn=path_fn, **kw)
+
+
+def cv_fused_lasso_path(X, y, *, order: int = 1, **kw) -> CVResult:
+    """Cross-validated fused lasso / trend filtering (the generalized
+    Lasso with the discrete difference operator)."""
+    from .genlasso import difference_matrix
+
+    p = np.asarray(np.shape(X))[1]
+    return cv_gen_lasso_path(X, y, difference_matrix(int(p), order),
+                             **kw)

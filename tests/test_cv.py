@@ -222,3 +222,26 @@ def test_cv_group_lasso_rejects_onepass():
     with pytest.raises(ValueError, match="onepass"):
         cv_group_lasso_path(X, y, np.arange(12) % 3, nlambda=4,
                             cv_mode="onepass")
+
+
+def test_cv_dantzig_and_fused():
+    """CV coverage for the remaining families (Dantzig, generalized
+    lasso): fold-loop protocol, sensible selection on seeded signals."""
+    from admm_tpu.models.cv import cv_dantzig_path, cv_fused_lasso_path
+
+    X, y, _ = _problem(n=150, p=15)
+    cvd = cv_dantzig_path(X, y, nfolds=4, nlambda=8)
+    assert np.all(np.isfinite(cvd.cvm)) and np.all(cvd.cvsd >= 0)
+    assert cvd.lambda_1se >= cvd.lambda_min
+
+    rng = np.random.default_rng(17)
+    n, p = 150, 12
+    Xf = rng.normal(size=(n, p))
+    bstep = np.repeat([1.0, -0.5, 0.8], 4)
+    yf = 0.5 + Xf @ bstep + 0.3 * rng.normal(size=n)
+    cvf = cv_fused_lasso_path(Xf, yf, nfolds=4, nlambda=8)
+    assert np.all(np.isfinite(cvf.cvm))
+    i = int(np.argmin(np.abs(cvf.lambdas - cvf.lambda_min)))
+    # At the selected lambda the fit recovers the step structure.
+    coef = np.asarray(cvf.fit.coef[i])
+    assert np.corrcoef(coef, bstep)[0, 1] > 0.9
