@@ -35,18 +35,30 @@ from .lasso import (PathResult, _scan_path, _tall_ops, _tall_setup,
                     _wide_ops)
 
 
-def _group_prox_fn(groups, weights):
+def _group_prox_fn(groups, weights, l1_ratio: float = 0.0):
     """Block soft-threshold: per-group l2 shrinkage.
 
     ``groups``: (p,) int32 group ids in [0, G); ``weights``: (G,).
     Returns ``prox(v, t)`` applying threshold ``t * w_g`` to group g.
+
+    ``l1_ratio > 0`` gives the SPARSE-GROUP LASSO prox (Simon et al.
+    2013): the compound penalty ``t [l1_ratio ||.||_1 +
+    (1 - l1_ratio) sum_g w_g ||.||_2]`` has the exact prox
+    "coordinate soft-threshold, THEN group shrink" (the l1 prox
+    preserves each group's direction, so the composition is the true
+    prox of the sum) — within-group sparsity on top of group death.
     """
+    from ..core.prox import soft_threshold
+
     G = int(weights.shape[0])
 
     def prox(v, t):
+        if l1_ratio > 0.0:
+            v = soft_threshold(v, t * l1_ratio)
+        t_g = t * (1.0 - l1_ratio)
         gn2 = jax.ops.segment_sum(v * v, groups, num_segments=G)
         gn = jnp.sqrt(jnp.maximum(gn2, 1e-30))
-        shrink = jnp.maximum(0.0, 1.0 - t * weights / gn)  # (G,)
+        shrink = jnp.maximum(0.0, 1.0 - t_g * weights / gn)  # (G,)
         return v * shrink[groups]
 
     return prox
@@ -83,18 +95,36 @@ def normalize_groups(groups, p, weights, dtype):
 class _GroupProblem(NamedTuple):
     groups: jnp.ndarray   # (p,) int32
     weights: jnp.ndarray  # (G,)
+    l1_ratio: float = 0.0  # sparse-group mix (0 = pure group lasso)
 
 
-def _gl_lambda0(Xs, ys, groups, weights):
+def _gl_lambda0(Xs, ys, groups, weights, l1_ratio: float = 0.0):
     """KKT boundary for beta = 0: max over PENALIZED groups of
     ||X_g'y||_2 / w_g.  Zero-weight groups are unpenalized (glmnet
     convention) and never gate the grid (dividing by them would make
-    lambda0 inf/NaN and poison the whole path)."""
+    lambda0 inf/NaN and poison the whole path).
+
+    With ``l1_ratio > 0`` (sparse-group lasso) the exact boundary has
+    no closed form; the grid top is the per-group minimum of two
+    SUFFICIENT thresholds — the pure-group bound
+    ``||c_g|| / ((1-a) w_g)`` and the pure-l1 bound ``||c_g||_inf / a``
+    — each of which alone nulls the group, so their min is a valid
+    (possibly slightly loose) upper bound that reduces exactly to the
+    group rule at a=0 and the lasso rule at a=1.
+    """
     G = int(weights.shape[0])
     Xty = dot(Xs.T, ys)
     gn = jnp.sqrt(jax.ops.segment_sum(Xty * Xty, groups, num_segments=G))
-    ratios = jnp.where(weights > 0, gn / jnp.maximum(weights, 1e-30), 0.0)
-    return jnp.max(ratios)
+    if l1_ratio <= 0.0:
+        ratios = jnp.where(weights > 0,
+                           gn / jnp.maximum(weights, 1e-30), 0.0)
+        return jnp.max(ratios)
+    ginf = jax.ops.segment_max(jnp.abs(Xty), groups, num_segments=G)
+    bound_l1 = ginf / l1_ratio
+    bound_grp = jnp.where(
+        (weights > 0) & (l1_ratio < 1.0),
+        gn / jnp.maximum((1.0 - l1_ratio) * weights, 1e-30), jnp.inf)
+    return jnp.max(jnp.minimum(bound_grp, bound_l1))
 
 
 def _gl_tall_engine(Xs, ys, lam_first, rho0, gp):
@@ -103,7 +133,7 @@ def _gl_tall_engine(Xs, ys, lam_first, rho0, gp):
     n, p = Xs.shape
     dtype = Xs.dtype
     Minv, Xty, rho = _tall_setup(Xs, ys, lam_first, rho0)
-    prox = _group_prox_fn(gp.groups, gp.weights)
+    prox = _group_prox_fn(gp.groups, gp.weights, gp.l1_ratio)
 
     # The Lasso tall ops with the z-update's prox swapped.
     base = _tall_ops(Minv, Xty, 1.0, p)
@@ -137,8 +167,8 @@ def _gl_wide_engine(Xs, ys, lam_first, rho0, gp):
     # Auto-rho (as reference: src/ADMMLassoWide.h:227-228).
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.cbrt(lam_first / sprad))
-    lambda0 = _gl_lambda0(Xs, ys, gp.groups, gp.weights)
-    prox = _group_prox_fn(gp.groups, gp.weights)
+    lambda0 = _gl_lambda0(Xs, ys, gp.groups, gp.weights, gp.l1_ratio)
+    prox = _group_prox_fn(gp.groups, gp.weights, gp.l1_ratio)
 
     base = _wide_ops(Xs, ys, sprad, lambda0, 1.0, n, p)
 
@@ -167,16 +197,17 @@ def _solve_gl_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, gp,
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "nlambda", "trace_len"))
+                                   "nlambda", "trace_len", "l1_ratio"))
 def _gl_path(X, y, groups, weights, nlambda, lambda_min_ratio, user_lams,
              rho, maxit, eps_abs, eps_rel, obs_weights=None, *,
-             standardize_x, intercept, trace_len=None):
+             standardize_x, intercept, trace_len=None, l1_ratio=0.0):
     n, p = X.shape
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept, weights=obs_weights)
-    gp = _GroupProblem(groups=groups, weights=weights)
+    gp = _GroupProblem(groups=groups, weights=weights,
+                       l1_ratio=l1_ratio)
     if user_lams is None:
-        lam0 = _gl_lambda0(Xs, ys, groups, weights)
+        lam0 = _gl_lambda0(Xs, ys, groups, weights, l1_ratio)
         lmax = lam0 / n * stats.scale_y
         lams = jnp.exp(jnp.linspace(jnp.log(lmax),
                                     jnp.log(lambda_min_ratio * lmax),
@@ -207,11 +238,19 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
                      eps_rel: float = 1e-5, rho: float = -1.0,
                      trace_len: Optional[int] = None,
                      obs_weights: Optional[jnp.ndarray] = None,
+                     l1_ratio: float = 0.0,
                      dtype=jnp.float32) -> PathResult:
     """Solve the group-Lasso lambda path on device.
 
     ``groups`` is a length-p array of group ids (0..G-1, any order);
     ``weights`` defaults to sqrt(group size) (Yuan & Lin).
+    ``l1_ratio`` (extension — the SPARSE-GROUP LASSO of Simon et al.
+    2013): mixes a coordinate l1 term into the penalty,
+    ``lambda [l1_ratio ||b||_1 + (1 - l1_ratio) sum_g w_g ||b_g||]`` —
+    within-group sparsity on top of group selection, via the exact
+    compound prox (soft-threshold then group shrink).  0 (default) is
+    the pure group lasso; 1 is the plain Lasso.
+
     ``obs_weights`` (extension — glmnet's ``weights`` argument, named
     to avoid colliding with the GROUP weights): observation weights;
     the sqrt(w) row scaling of the shared standardization makes the
@@ -228,9 +267,12 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
         lambda_min_ratio = 0.01 if n < p else 1e-4
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    if not 0.0 <= l1_ratio <= 1.0:
+        raise ValueError("l1_ratio must be in [0, 1]")
     ow = None if obs_weights is None else jnp.asarray(obs_weights, dtype)
     return _gl_path(X, y, groups_j, weights, int(nlambda),
                     lambda_min_ratio, lams, rho, maxit, eps_abs, eps_rel,
                     ow, standardize_x=standardize, intercept=intercept,
                     trace_len=(None if trace_len is None
-                               else int(trace_len)))
+                               else int(trace_len)),
+                    l1_ratio=float(l1_ratio))

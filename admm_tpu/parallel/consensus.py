@@ -244,14 +244,15 @@ def _enet_master_prox(W: int, alpha: float):
     return prox
 
 
-def _group_master_prox(W: int, groups, weights):
+def _group_master_prox(W: int, groups, weights, l1_ratio: float = 0.0):
     """Block soft-threshold of the consensus mean: argmin_z
     lam sum_g w_g||z_g|| + W rho/2 ||z - m||^2 (extension; completes the
     consensus family for the group-Lasso model,
-    admm_tpu/models/grouplasso.py)."""
+    admm_tpu/models/grouplasso.py).  ``l1_ratio > 0`` = the
+    sparse-group-lasso compound prox."""
     from ..models.grouplasso import _group_prox_fn
 
-    prox = _group_prox_fn(groups, weights)
+    prox = _group_prox_fn(groups, weights, l1_ratio)
 
     def master(zbar, lam, rho):
         return prox(zbar, lam / (rho * W))
@@ -617,18 +618,22 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
 
 def parallel_group_lasso_path(X, y, groups, *,
                               weights: Optional[jnp.ndarray] = None,
+                              l1_ratio: float = 0.0,
                               **kw) -> PathResult:
     """Consensus group-Lasso path (extension): the Lasso consensus
     scheme with the master prox swapped for the block soft-threshold.
-    ``groups``/``weights`` as in
+    ``groups``/``weights``/``l1_ratio`` (sparse-group mix) as in
     :func:`admm_tpu.models.grouplasso.group_lasso_path`."""
     from ..models.grouplasso import normalize_groups
 
     p = np.asarray(X).shape[1]
     dtype = kw.get("dtype", jnp.float32)
+    if not 0.0 <= l1_ratio <= 1.0:
+        raise ValueError("l1_ratio must be in [0, 1]")
     groups_j, weights_j = normalize_groups(groups, p, weights, dtype)
     return parallel_lasso_path(
-        X, y, _master_prox_override=(groups_j, weights_j), **kw)
+        X, y, _master_prox_override=(groups_j, weights_j,
+                                     float(l1_ratio)), **kw)
 
 
 def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:

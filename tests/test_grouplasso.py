@@ -142,3 +142,109 @@ def test_cv_group_lasso_honors_solver_options():
     X, y, groups, _ = _problem(n=120, p=24)
     cv = cv_group_lasso_path(X, y, groups, nfolds=3, nlambda=5, maxit=1)
     assert np.asarray(cv.fit.niter).max() <= 1  # option actually reached
+
+
+# ---------------------------------------------------------------------------
+# Sparse-group lasso (extension: l1_ratio mixes a coordinate l1 term,
+# Simon et al. 2013)
+# ---------------------------------------------------------------------------
+
+def test_sgl_limits_reduce_to_group_and_plain_lasso():
+    from admm_tpu.models.lasso import lasso_path
+
+    rng = np.random.default_rng(41)
+    n, p = 200, 12
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:4] = [1.5, -1.0, 0.8, 0.5]
+    y = X @ b + 0.3 * rng.normal(size=n)
+    groups = np.arange(p) % 4
+    lams = np.array([0.2, 0.05])
+    g0 = group_lasso_path(X, y, groups, lambdas=lams, l1_ratio=0.0,
+                          eps_abs=1e-7, eps_rel=1e-7)
+    gref = group_lasso_path(X, y, groups, lambdas=lams,
+                            eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(g0.coef), np.asarray(gref.coef),
+                               atol=1e-7)
+    g1 = group_lasso_path(X, y, groups, lambdas=lams, l1_ratio=1.0,
+                          eps_abs=1e-7, eps_rel=1e-7)
+    las = lasso_path(X, y, lambdas=lams, eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(g1.coef), np.asarray(las.coef),
+                               atol=2e-4)
+
+
+def test_sgl_matches_proximal_gradient_oracle():
+    """Intermediate l1_ratio pinned against an independent ISTA
+    (proximal-gradient) solve of the same objective."""
+    rng = np.random.default_rng(42)
+    n, p = 120, 12
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[[0, 1, 4]] = [1.5, -0.8, 1.0]
+    y = X @ b + 0.2 * rng.normal(size=n)
+    groups = np.arange(p) % 3
+    G = 3
+    w = np.sqrt(np.bincount(groups, minlength=G)).astype(float)
+    lam, a = 0.1, 0.5
+
+    res = group_lasso_path(X, y, groups, lambdas=np.array([lam]),
+                           l1_ratio=a, standardize=False,
+                           intercept=False, eps_abs=1e-8, eps_rel=1e-8)
+
+    # ISTA on min 1/(2n)||y-Xb||^2 + lam[a||b||_1 + (1-a) sum w_g||b_g||]
+    L = np.linalg.eigvalsh(X.T @ X / n).max()
+    t = 1.0 / L
+    bk = np.zeros(p)
+    for _ in range(20000):
+        g = X.T @ (X @ bk - y) / n
+        v = bk - t * g
+        v = np.sign(v) * np.maximum(np.abs(v) - t * lam * a, 0.0)
+        for gi in range(G):
+            m = groups == gi
+            nrm = np.linalg.norm(v[m])
+            shrink = max(0.0, 1.0 - t * lam * (1 - a) * w[gi]
+                         / max(nrm, 1e-30))
+            v[m] *= shrink
+        bk = v
+    np.testing.assert_allclose(np.asarray(res.coef)[0], bk, atol=5e-5)
+
+
+def test_sgl_within_group_sparsity():
+    """The defining SGL feature: zeros INSIDE surviving groups."""
+    rng = np.random.default_rng(43)
+    n, p = 300, 12
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[0] = 2.0          # group 0: only member 0 active
+    b[3] = 1.5          # group 1: only member 3 active
+    y = X @ b + 0.2 * rng.normal(size=n)
+    groups = np.repeat([0, 1, 2, 3], 3)
+    res = group_lasso_path(X, y, groups, lambdas=np.array([0.12]),
+                           l1_ratio=0.7, eps_abs=1e-7, eps_rel=1e-7)
+    c = np.asarray(res.coef)[0]
+    assert abs(c[0]) > 1.0 and abs(c[3]) > 0.7
+    # Inactive members of the ACTIVE groups are exactly zero.
+    assert c[1] == 0.0 and c[2] == 0.0
+    assert c[4] == 0.0 and c[5] == 0.0
+
+
+def test_sgl_consensus_matches_serial():
+    from admm_tpu.parallel.consensus import parallel_group_lasso_path
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(44)
+    n, p = 240, 12
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[[0, 4]] = [1.5, -1.0]
+    y = X @ b + 0.3 * rng.normal(size=n)
+    groups = np.arange(p) % 4
+    lams = np.array([0.15, 0.05])
+    par = parallel_group_lasso_path(X, y, groups, nworkers=8,
+                                    mesh=make_mesh(8), lambdas=lams,
+                                    l1_ratio=0.5, eps_abs=1e-6,
+                                    eps_rel=1e-6)
+    ser = group_lasso_path(X, y, groups, lambdas=lams, l1_ratio=0.5,
+                           eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef), np.asarray(ser.coef),
+                               atol=2e-3)
