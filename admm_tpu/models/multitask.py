@@ -1,0 +1,249 @@
+"""Multi-task (multi-response) Lasso: joint row sparsity across tasks.
+
+Extension beyond the reference (single-response only): K responses share
+one design matrix and one support ::
+
+    minimize  1/(2n) ||Y - X B||_F^2 + lambda * sum_j ||B_j.||_2
+
+with ``Y`` (n, K), ``B`` (p, K) and the l2/l1 mixed norm over COEFFICIENT
+ROWS — a feature enters or leaves the model for ALL tasks at once
+(sklearn's ``MultiTaskLasso`` objective, the exact oracle in
+tests/test_multitask.py).
+
+TPU-native structure: the solver state is the (p, K) coefficient MATRIX
+— every engine op is already matrix-shaped, so the tall x-update is one
+``(p, p) x (p, K)`` MXU matmul against the same cached ridge inverse the
+single-response Lasso uses (reference: src/ADMMLassoTall.h:70-80), the
+row prox is a row-norm broadcast, and the batched path mode stacks
+lambdas as a leading lane axis of (k, p, K) states.  The wide regime is
+the linearized engine with matrix iterates
+(reference: src/ADMMLassoWide.h:129-165 with K columns at once).
+
+Standardization: X follows the glmnet modes; Y columns are centered when
+an intercept is fitted (one intercept per task) but NOT scaled — tasks
+keep their native scales, as in sklearn (glmnet's family="mgaussian"
+standardize.response=FALSE default).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.engine import (ADMMState, make_admm_solver,
+                           make_batched_solver, make_fadmm_solver,
+                           make_state, warm_start)
+from ..core.prox import l2norm, sqnorm
+from ..linalg import dot, gram, spectral_radius_gram, spectral_radius_sym
+from ..linalg import ridge_inverse
+
+
+class MTPathResult(NamedTuple):
+    """Multi-task lambda-path result (original data scale)."""
+    lambdas: jnp.ndarray  # (nlambda,)
+    beta0: jnp.ndarray    # (nlambda, K) per-task intercepts
+    coef: jnp.ndarray     # (nlambda, p, K)
+    niter: jnp.ndarray    # (nlambda,) int32
+
+
+def _row_prox(v, t):
+    """Row-wise group soft-threshold: z_j = (1 - t/||v_j||)_+ v_j."""
+    rn = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v * jnp.maximum(0.0, 1.0 - t / jnp.maximum(rn, 1e-30))
+
+
+def _mt_tall_ops(Minv, XtY, p, K):
+    from ..core.engine import ProblemOps
+
+    def next_x(st):
+        return dot(Minv, XtY - st.adj_y + st.rho * st.adj_z)
+
+    def next_z(st, x_new):
+        v = x_new + st.adj_y / st.rho
+        return _row_prox(v, st.lam / st.rho), st.aux
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: x - z,
+        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.x),
+                                                l2norm(st.z)),
+        eps_dual_scale=lambda st: l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
+        combined_extra=lambda st, z_new: sqnorm(z_new - st.adj_z),
+        dim_main=p * K, dim_dual=p * K,
+    )
+
+
+def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K):
+    from ..core.engine import ProblemOps
+
+    sqrt_sprad = jnp.sqrt(sprad)
+
+    def next_x(st):
+        tmp = st.aux + st.z + st.y / st.rho
+        v = st.x - dot(Xs.T, tmp) / sprad
+        x_new = _row_prox(v, st.lam / (st.rho * sprad))
+        return jnp.where(st.lam > lambda0 * (1.0 - 1e-5),
+                         jnp.zeros_like(x_new), x_new)
+
+    def next_z(st, x_new):
+        cache_Ax = dot(Xs, x_new)
+        z = -(Ys + st.y + st.rho * cache_Ax) / (1.0 + st.rho)
+        return z, cache_Ax
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: aux + z,
+        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.aux),
+                                                l2norm(st.z)),
+        eps_dual_scale=lambda st: sqrt_sprad * l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * sqrt_sprad
+        * l2norm(z_new - st.z),
+        combined_extra=None,
+        dim_main=p * K, dim_dual=n * K,
+    )
+
+
+def _mt_lambda0(Xs, Ys):
+    """B = 0 KKT boundary: max_j ||X_j' Y||_2 (the row-norm analog of
+    the Lasso's infinity-norm rule)."""
+    XtY = dot(Xs.T, Ys)
+    return jnp.max(jnp.sqrt(jnp.sum(XtY * XtY, axis=1)))
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "nlambda", "path_mode"))
+def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
+             eps_abs, eps_rel, *, standardize_x, intercept, path_mode):
+    n, p = X.shape
+    K = Y.shape[1]
+    dtype = X.dtype
+    from ..data.standardize import _guard, _sd_n
+
+    mean_x = jnp.zeros((p,), dtype)
+    sd_x = jnp.ones((p,), dtype)
+    mean_y = jnp.zeros((K,), dtype)
+    col_mean = jnp.mean(X, axis=0)
+    Xs = X
+    if intercept:
+        mean_y = jnp.mean(Y, axis=0)
+        Xs = X - col_mean[None, :]
+        Ys = Y - mean_y[None, :]
+        mean_x = col_mean
+    else:
+        Ys = Y
+    if standardize_x:
+        # glmnet 1/n sd (centered two-pass) with the relative
+        # zero-variance guard, as data/standardize.py.
+        sd_x = _guard(_sd_n(X, axis=0), col_mean)
+        Xs = Xs / sd_x[None, :]
+
+    lam0 = _mt_lambda0(Xs, Ys) / n
+    if user_lams is None:
+        lams = jnp.exp(jnp.linspace(
+            jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
+    else:
+        lams = user_lams
+    ilams = lams * n
+
+    if n > p:
+        XtX = gram(Xs)
+        sprad = spectral_radius_sym(XtX)
+        rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                        jnp.cbrt(sprad) * ilams[0] ** (2.0 / 3.0))
+        Minv = ridge_inverse(XtX, rho)
+        XtY = dot(Xs.T, Ys)
+        ops = _mt_tall_ops(Minv, XtY, p, K)
+        solve = make_fadmm_solver(ops, adapt_rho=False)
+        zeros = jnp.zeros((p, K), dtype)
+        st0 = make_state(zeros, zeros, zeros, rho, ilams[0], dtype=dtype)
+        report = lambda st: st.z
+        aux_shape = None
+    else:
+        sprad = spectral_radius_gram(Xs)
+        rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                        jnp.cbrt(ilams[0] / sprad))
+        lambda0_int = _mt_lambda0(Xs, Ys)
+        ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K)
+        solve = make_admm_solver(ops, adapt_rho=True)
+        st0 = make_state(jnp.zeros((p, K), dtype),
+                         jnp.zeros((n, K), dtype),
+                         jnp.zeros((n, K), dtype), rho, ilams[0],
+                         aux=jnp.zeros((n, K), dtype), dtype=dtype)
+        report = lambda st: st.x
+        aux_shape = (n, K)
+
+    if path_mode == "batch":
+        k = ilams.shape[0]
+        bsolve = make_batched_solver(solve)
+
+        def bc(a):
+            return jnp.broadcast_to(a, (k,) + a.shape).astype(dtype)
+
+        st = ADMMState(
+            x=bc(st0.x), z=bc(st0.z), y=bc(st0.y),
+            adj_z=bc(st0.adj_z), adj_y=bc(st0.adj_y),
+            aux=None if st0.aux is None else bc(st0.aux),
+            adj_a=jnp.ones((k,), dtype),
+            adj_c=9999.0 * jnp.ones((k,), dtype),
+            rho=jnp.broadcast_to(st0.rho, (k,)).astype(dtype),
+            lam=jnp.asarray(ilams, dtype),
+            eps_pri=jnp.zeros((k,), dtype),
+            eps_dua=jnp.zeros((k,), dtype),
+            r_pri=9999.0 * jnp.ones((k,), dtype),
+            r_dua=9999.0 * jnp.ones((k,), dtype),
+            it=jnp.zeros((k,), jnp.int32),
+            done=jnp.zeros((k,), bool),
+        )
+        st = bsolve(st, maxit, eps_abs, eps_rel)
+        coefs, niter = report(st), st.it
+    else:
+        def step(st, lam):
+            st = warm_start(st, lam)
+            st = solve(st, maxit, eps_abs, eps_rel)
+            return st, (report(st), st.it)
+
+        _, (coefs, niter) = lax.scan(step, st0, ilams)
+
+    # Recover: coef rows rescaled by sd_x; per-task intercepts.
+    coef = coefs / sd_x[None, :, None]
+    beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
+    return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
+                        niter=niter)
+
+
+def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
+                         nlambda: int = 50,
+                         lambda_min_ratio: float = 1e-2,
+                         standardize: bool = True, intercept: bool = True,
+                         maxit: int = 10000, eps_abs: float = 1e-5,
+                         eps_rel: float = 1e-5, rho: float = -1.0,
+                         path_mode: str = "batch",
+                         dtype=jnp.float32) -> MTPathResult:
+    """Solve the multi-task Lasso lambda path on device.
+
+    ``Y`` is (n, K) — one column per task; coefficient rows are jointly
+    penalized (``sum_j ||B_j.||_2``), so the support is shared across
+    tasks.  ``path_mode``: "batch" (default, lambdas as lanes) or
+    "scan" (warm-started sequential).  Oracle: sklearn
+    ``MultiTaskLasso`` (tests/test_multitask.py).
+    """
+    X = jnp.asarray(X, dtype)
+    Y = jnp.asarray(Y, dtype)
+    if Y.ndim != 2:
+        raise ValueError("Y must be (n, K) — use lasso_path for a "
+                         "single response")
+    if X.shape[0] != Y.shape[0]:
+        raise ValueError("nrow(x) should be equal to nrow(y)")
+    if path_mode not in ("batch", "scan"):
+        raise ValueError("path_mode must be 'batch' or 'scan'")
+    lams = (None if lambdas is None
+            else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    return _mt_path(X, Y, int(nlambda), lambda_min_ratio, lams, rho,
+                    maxit, eps_abs, eps_rel, standardize_x=standardize,
+                    intercept=intercept, path_mode=path_mode)

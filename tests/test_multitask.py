@@ -1,0 +1,86 @@
+"""Multi-task (multi-response) Lasso (admm_tpu.models.multitask).
+
+Extension beyond the reference (single-response only); oracle: sklearn
+MultiTaskLasso solves the identical objective by coordinate descent."""
+import numpy as np
+import pytest
+
+from admm_tpu.models.multitask import multitask_lasso_path
+
+
+def _problem(n=200, p=20, K=4, seed=0):
+    rng = np.random.default_rng(seed)
+    B = np.zeros((p, K))
+    B[:5] = rng.uniform(0.5, 2.0, (5, K)) * rng.choice([-1, 1], (5, K))
+    X = rng.normal(size=(n, p))
+    Y = 1.0 + X @ B + 0.3 * rng.normal(size=(n, K))
+    return X, Y, B
+
+
+def test_matches_sklearn_multitask_lasso():
+    from sklearn.linear_model import MultiTaskLasso
+
+    X, Y, _ = _problem()
+    lam = 0.1
+    r = multitask_lasso_path(X, Y, lambdas=np.array([lam]),
+                             standardize=False, intercept=True,
+                             eps_abs=1e-7, eps_rel=1e-7)
+    sk = MultiTaskLasso(alpha=lam, fit_intercept=True, tol=1e-12,
+                        max_iter=100000).fit(X, Y)
+    np.testing.assert_allclose(np.asarray(r.coef)[0], sk.coef_.T,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r.beta0)[0], sk.intercept_,
+                               atol=2e-4)
+
+
+def test_matches_sklearn_wide_regime():
+    from sklearn.linear_model import MultiTaskLasso
+
+    rng = np.random.default_rng(3)
+    n, p, K = 60, 120, 3
+    B = np.zeros((p, K))
+    B[:4] = rng.uniform(1.0, 2.0, (4, K))
+    X = rng.normal(size=(n, p))
+    Y = X @ B + 0.2 * rng.normal(size=(n, K))
+    lam = 0.15
+    r = multitask_lasso_path(X, Y, lambdas=np.array([lam]),
+                             standardize=False, intercept=False,
+                             eps_abs=1e-7, eps_rel=1e-7)
+    sk = MultiTaskLasso(alpha=lam, fit_intercept=False, tol=1e-12,
+                        max_iter=100000).fit(X, Y)
+    np.testing.assert_allclose(np.asarray(r.coef)[0], sk.coef_.T,
+                               atol=5e-4)
+
+
+def test_shared_support_and_grid_top():
+    """Rows die jointly (the defining property) and the auto grid top
+    nulls the whole matrix."""
+    X, Y, B = _problem()
+    r = multitask_lasso_path(X, Y, nlambda=8)
+    c = np.asarray(r.coef)
+    assert np.allclose(c[0], 0.0)  # all-zero at lambda_max
+    # At the smallest lambda: a row is zero for ALL tasks or none.
+    last = c[-1]
+    rownz = np.abs(last).max(axis=1) > 1e-6
+    for j in range(last.shape[0]):
+        if rownz[j]:
+            assert np.all(np.abs(last[j]) > 0)
+    assert rownz[:5].all()
+
+
+def test_batch_matches_scan():
+    X, Y, _ = _problem(n=150, p=12, K=3, seed=5)
+    b = multitask_lasso_path(X, Y, nlambda=6, path_mode="batch",
+                             eps_abs=1e-6, eps_rel=1e-6)
+    s = multitask_lasso_path(X, Y, nlambda=6, path_mode="scan",
+                             eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(b.coef), np.asarray(s.coef),
+                               atol=2e-4)
+
+
+def test_validates_inputs():
+    X, Y, _ = _problem()
+    with pytest.raises(ValueError, match="single response"):
+        multitask_lasso_path(X, Y[:, 0])
+    with pytest.raises(ValueError, match="nrow"):
+        multitask_lasso_path(X[:50], Y)
