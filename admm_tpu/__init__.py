@@ -39,6 +39,7 @@ from .models.genlasso import (difference_matrix, fused_lasso_path,
                               gen_lasso_path)
 from .models.grouplasso import group_lasso_path
 from .models.lad import quantile_fit
+from .models.multinomial import multinomial_lasso_path
 from .models.multitask import multitask_lasso_path
 from .models.logistic import logistic_lasso_path
 from .parallel.consensus import (parallel_glm_lasso_path,
@@ -60,6 +61,6 @@ __all__ = [
     "glm_lasso_path", "huber_lasso_path", "poisson_lasso_path",
     "cv_glm_path", "quantile_fit", "cv_dantzig_path",
     "cv_gen_lasso_path", "cv_fused_lasso_path",
-    "multitask_lasso_path",
+    "multitask_lasso_path", "multinomial_lasso_path",
     "__version__",
 ]

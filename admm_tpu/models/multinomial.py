@@ -1,0 +1,231 @@
+"""Sparse multinomial (softmax) logistic regression paths by ADMM.
+
+Extension beyond the reference (gaussian-only) — glmnet's
+``family="multinomial"`` ::
+
+    minimize  1/n sum_i [log sum_c exp(eta_ic) - eta_{i, y_i}]
+              + lambda * P(B),      eta = b0 + X B,  B (p, C)
+
+with either the UNGROUPED penalty ``P = alpha ||B||_1 + (1-alpha)/2
+||B||_F^2`` (glmnet's default: classes select features independently)
+or the GROUPED one ``P = sum_j ||B_j.||_2`` (glmnet's
+``type.multinomial = "grouped"``: a feature enters for all classes at
+once, as in models/multitask.py).
+
+TPU-native structure — the multinomial instance of the fixed-majorizer
+design (models/glm.py, DESIGN.md "GLM tier"): the softmax Hessian in
+eta satisfies ``diag(pi) - pi pi' <= 1/2 I`` in the PSD order, so the
+loss Hessian over vec(B) is dominated by ``(X'X/(2n)) (x) I_C`` —
+BLOCK-DIAGONAL across classes with ONE shared (q, q) matrix.  The
+majorize-minimize x-update is therefore a single
+``(q, q) x (q, C)`` MXU matmul per inner step against a
+once-factorized inverse, for ANY number of classes; the whole lambda
+path runs as batched (k, q, C) lanes sharing that matrix.
+
+Like glmnet and sklearn we keep the symmetric over-parameterized
+softmax (C columns, not C-1): the penalty makes the SLOPES unique,
+while the unpenalized intercepts keep a free additive constant — they
+are reported sum-to-zero normalized (glmnet's convention; compare
+against other solvers after centering theirs too).
+
+Oracle: sklearn LogisticRegression(multinomial saga, penalty="l1")
+(tests/test_multinomial.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.engine import (ADMMState, make_admm_solver,
+                           make_batched_solver, make_state, warm_start)
+from ..core.prox import l2norm, soft_threshold, sqnorm
+from ..linalg import dot, ridge_inverse
+
+
+class MNPathResult(NamedTuple):
+    """Multinomial path result (original data scale)."""
+    lambdas: jnp.ndarray  # (nlambda,)
+    beta0: jnp.ndarray    # (nlambda, C) sum-to-zero intercepts
+    coef: jnp.ndarray     # (nlambda, p, C)
+    niter: jnp.ndarray    # (nlambda,) int32
+
+
+def _softmax_grad(Xa, B, Yoh, n):
+    """(q, C) gradient of the mean NLL at B: Xa'(softmax(eta) - Y)/n."""
+    eta = dot(Xa, B)
+    pi = jax.nn.softmax(eta, axis=1)
+    return dot(Xa.T, pi - Yoh) / n
+
+
+def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
+            fixed_minv):
+    from ..core.engine import ProblemOps
+
+    mask = pen_mask[:, None]  # (q, 1): 0 on the intercept row
+
+    def next_x(st):
+        v = st.z - st.y / st.rho
+
+        def step(_, B):
+            grad = _softmax_grad(Xa, B, Yoh, n) + st.rho * (B - v)
+            return B - dot(fixed_minv, grad)
+
+        return lax.fori_loop(0, newton_steps, step, st.x)
+
+    def next_z(st, x_new):
+        v = x_new + st.y / st.rho
+        pen = st.lam / st.rho * mask
+        if grouped:
+            rn = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+            z = v * jnp.maximum(0.0, 1.0 - pen / jnp.maximum(rn, 1e-30))
+        else:
+            zl1 = soft_threshold(v, alpha * pen)
+            z = zl1 / (1.0 + pen * (1.0 - alpha))
+        return z, st.aux
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: x - z,
+        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.x),
+                                                l2norm(st.z)),
+        eps_dual_scale=lambda st: l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
+        combined_extra=lambda st, z_new: sqnorm(z_new - st.adj_z),
+        dim_main=q * C, dim_dual=q * C,
+    )
+
+
+@partial(jax.jit, static_argnames=("nclass", "standardize_x",
+                                   "intercept", "nlambda", "path_mode",
+                                   "grouped", "newton_steps"))
+def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
+             eps_abs, eps_rel, alpha, *, nclass, standardize_x,
+             intercept, path_mode, grouped, newton_steps):
+    from .glm import prep_design
+
+    n, p = X.shape
+    C = nclass
+    dtype = X.dtype
+    Yoh = jax.nn.one_hot(y.astype(jnp.int32), C, dtype=dtype)
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize_x, intercept)
+    Xs = Xa[:, 1:] if intercept else Xa
+    q = Xa.shape[1]
+
+    # glmnet lambda_max: the null model's score.  Null probabilities =
+    # class frequencies (the intercept-only optimum) or uniform.
+    pi0 = (jnp.mean(Yoh, axis=0) if intercept
+           else jnp.full((C,), 1.0 / C, dtype))
+    G0 = dot(Xs.T, pi0[None, :] - Yoh) / n  # (p, C)
+    if grouped:
+        # 1.001 nudge past the exact row-norm boundary: the l2 group
+        # prox (unlike the soft-threshold) only reaches exact zero when
+        # the threshold strictly exceeds the row norm, so the marginal
+        # row would otherwise hover at ~eps instead of 0 at the top.
+        lam0 = 1.001 * jnp.max(jnp.sqrt(jnp.sum(G0 * G0, axis=1)))
+    else:
+        lam0 = jnp.max(jnp.abs(G0)) / jnp.maximum(alpha, 1e-3)
+    if user_lams is None:
+        lams = jnp.exp(jnp.linspace(
+            jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
+    else:
+        lams = user_lams
+
+    # Fixed majorizer: softmax curvature bound 1/2 (PSD order), shared
+    # across classes; auto-rho = the bound (the measured principle of
+    # DESIGN.md "GLM rho": balance the prox against the curvature).
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.asarray(0.5, dtype))
+    H_fix = dot(Xa.T, Xa) / (2.0 * n)
+    Minv = ridge_inverse(H_fix, rho)
+
+    ops = _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped,
+                  newton_steps, Minv)
+    solve = make_admm_solver(ops, adapt_rho=False)
+    zeros = jnp.zeros((q, C), dtype)
+    st0 = make_state(zeros, zeros, zeros, rho, lams[0], dtype=dtype)
+
+    if path_mode == "batch":
+        k = lams.shape[0]
+        bc = lambda a: jnp.broadcast_to(a, (k,) + a.shape).astype(dtype)
+        st = ADMMState(
+            x=bc(st0.x), z=bc(st0.z), y=bc(st0.y),
+            adj_z=bc(st0.adj_z), adj_y=bc(st0.adj_y), aux=None,
+            adj_a=jnp.ones((k,), dtype),
+            adj_c=9999.0 * jnp.ones((k,), dtype),
+            rho=jnp.broadcast_to(rho, (k,)).astype(dtype),
+            lam=jnp.asarray(lams, dtype),
+            eps_pri=jnp.zeros((k,), dtype),
+            eps_dua=jnp.zeros((k,), dtype),
+            r_pri=9999.0 * jnp.ones((k,), dtype),
+            r_dua=9999.0 * jnp.ones((k,), dtype),
+            it=jnp.zeros((k,), jnp.int32),
+            done=jnp.zeros((k,), bool),
+        )
+        st = make_batched_solver(solve)(st, maxit, eps_abs, eps_rel)
+        coefs_a, niter = st.z, st.it
+    else:
+        def step(st, lam):
+            st = warm_start(st, lam)
+            st = solve(st, maxit, eps_abs, eps_rel)
+            return st, (st.z, st.it)
+
+        _, (coefs_a, niter) = lax.scan(step, st0, lams)
+
+    # Recover to the original scale; intercepts sum-to-zero normalized
+    # (the softmax shift gauge).
+    if intercept:
+        b0_std, slopes_std = coefs_a[:, 0, :], coefs_a[:, 1:, :]
+    else:
+        b0_std = jnp.zeros((coefs_a.shape[0], C), dtype)
+        slopes_std = coefs_a
+    coef = slopes_std / sd_x[None, :, None]
+    beta0 = b0_std - jnp.einsum("kpc,p->kc", coef, mean_x)
+    beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
+    return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
+                        niter=niter)
+
+
+def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
+                           lambdas: Optional[jnp.ndarray] = None,
+                           nlambda: int = 50,
+                           lambda_min_ratio: float = 1e-2,
+                           alpha: float = 1.0, grouped: bool = False,
+                           standardize: bool = True,
+                           intercept: bool = True, maxit: int = 10000,
+                           eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+                           rho: float = -1.0, path_mode: str = "batch",
+                           newton_steps: int = 2,
+                           dtype=jnp.float32) -> MNPathResult:
+    """Solve the sparse multinomial (softmax) regression lambda path.
+
+    ``y``: integer class labels in ``[0, C)``; ``nclass`` defaults to
+    ``max(y) + 1``.  ``grouped=True`` uses the row-wise group penalty
+    (glmnet's ``type.multinomial="grouped"``: one shared support across
+    classes); the default penalizes every coefficient independently
+    with the elastic-net mix ``alpha``.  Oracle: sklearn saga
+    (tests/test_multinomial.py).
+    """
+    X = jnp.asarray(X, dtype)
+    y_np = jnp.asarray(y).ravel()
+    if nclass is None:
+        import numpy as np
+
+        nclass = int(np.asarray(y_np).max()) + 1
+    if nclass < 2:
+        raise ValueError("need at least 2 classes")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if path_mode not in ("batch", "scan"):
+        raise ValueError("path_mode must be 'batch' or 'scan'")
+    lams = (None if lambdas is None
+            else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    return _mn_path(X, y_np, int(nlambda), lambda_min_ratio, lams, rho,
+                    maxit, eps_abs, eps_rel, alpha, nclass=int(nclass),
+                    standardize_x=standardize, intercept=intercept,
+                    path_mode=path_mode, grouped=bool(grouped),
+                    newton_steps=int(newton_steps))

@@ -1,0 +1,84 @@
+"""Sparse multinomial (softmax) regression (admm_tpu.models.multinomial).
+
+Extension beyond the reference; oracle: sklearn LogisticRegression with
+the multinomial saga solver (identical objective up to the softmax
+intercept gauge, which both sides fix by sum-to-zero centering)."""
+import numpy as np
+import pytest
+
+from admm_tpu.models.multinomial import multinomial_lasso_path
+
+
+def _problem(n=400, p=12, C=3, seed=0):
+    rng = np.random.default_rng(seed)
+    B = np.zeros((p, C))
+    B[:4] = rng.uniform(0.8, 2.0, (4, C)) * rng.choice([-1, 1], (4, C))
+    X = rng.normal(size=(n, p))
+    eta = 0.3 * rng.normal(size=C) + X @ B
+    pr = np.exp(eta - eta.max(axis=1, keepdims=True))
+    pr /= pr.sum(axis=1, keepdims=True)
+    y = np.array([rng.choice(C, p=pi) for pi in pr])
+    return X, y, B
+
+
+def test_matches_sklearn_multinomial_saga():
+    from sklearn.linear_model import LogisticRegression
+
+    X, y, _ = _problem()
+    n = X.shape[0]
+    lam = 0.02
+    r = multinomial_lasso_path(X, y, lambdas=np.array([lam]),
+                               standardize=False, eps_abs=1e-7,
+                               eps_rel=1e-7)
+    sk = LogisticRegression(penalty="l1", C=1.0 / (n * lam),
+                            solver="saga", tol=1e-10, max_iter=200000,
+                            fit_intercept=True)
+    sk.fit(X, y)
+    np.testing.assert_allclose(np.asarray(r.coef)[0], sk.coef_.T,
+                               atol=3e-4)
+    sk_b0 = sk.intercept_ - sk.intercept_.mean()
+    np.testing.assert_allclose(np.asarray(r.beta0)[0], sk_b0, atol=3e-4)
+
+
+def test_grid_top_nulls_and_path_is_finite():
+    X, y, _ = _problem(seed=2)
+    r = multinomial_lasso_path(X, y, nlambda=8)
+    c = np.asarray(r.coef)
+    assert np.all(np.isfinite(c))
+    assert np.allclose(c[0], 0.0)       # all slopes zero at lambda_max
+    assert np.abs(c[-1]).max() > 0.5    # signal recovered at the bottom
+
+
+def test_grouped_penalty_shared_support():
+    """type.multinomial='grouped': a feature's row dies for ALL classes
+    at once."""
+    X, y, _ = _problem(n=500, seed=3)
+    r = multinomial_lasso_path(X, y, nlambda=6, grouped=True,
+                               eps_abs=1e-6, eps_rel=1e-6)
+    mid = np.asarray(r.coef)[3]
+    rownz = np.abs(mid).max(axis=1) > 1e-6
+    for j in range(mid.shape[0]):
+        if rownz[j]:
+            assert np.all(np.abs(mid[j]) > 0), f"row {j} partially zero"
+    # Grid top nulls the model to solver tolerance (the l2 prox reaches
+    # exact zero only strictly inside the boundary, hence the 1.001
+    # lambda_max nudge; residual magnitudes are O(eps)).
+    assert np.abs(np.asarray(r.coef)[0]).max() < 1e-4
+
+
+def test_batch_matches_scan():
+    X, y, _ = _problem(n=300, seed=4)
+    b = multinomial_lasso_path(X, y, nlambda=5, path_mode="batch",
+                               eps_abs=1e-6, eps_rel=1e-6)
+    s = multinomial_lasso_path(X, y, nlambda=5, path_mode="scan",
+                               eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(b.coef), np.asarray(s.coef),
+                               atol=3e-4)
+
+
+def test_validates_inputs():
+    X, y, _ = _problem()
+    with pytest.raises(ValueError, match="classes"):
+        multinomial_lasso_path(X, np.zeros(X.shape[0]))
+    with pytest.raises(ValueError, match="alpha"):
+        multinomial_lasso_path(X, y, alpha=0.0)
