@@ -1,0 +1,80 @@
+"""Round-3 surface tour: weights, penalty factors, quantiles, and the
+multi-output families.
+
+Run:  python examples/round3_features_demo.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+import admm_tpu
+import admm_tpu.models.lasso
+
+rng = np.random.default_rng(7)
+n, p = 400, 20
+X = rng.normal(size=(n, p))
+b = np.zeros(p)
+b[:5] = [2.0, -1.5, 1.0, -0.8, 0.6]
+y = 1.0 + X @ b + 0.4 * rng.normal(size=n)
+
+# Observation weights (glmnet's `weights`) — here: downweight a
+# contaminated block so it cannot drag the fit.
+y_bad = y.copy()
+y_bad[:40] += 25.0
+w = np.ones(n)
+w[:40] = 0.05
+fit_w = admm_tpu.admm_lasso(X, y_bad).penalty(nlambda=30).fit()
+res_w = admm_tpu.models.lasso.lasso_path(X, y_bad, nlambda=30, weights=w)
+print(f"weights: unweighted top |coef| err "
+      f"{np.abs(np.asarray(res_w.coef)[-1] - b).max():.3f} with w, "
+      f"vs contaminated fit available via fit_w")
+
+# Per-coefficient penalty factors (glmnet's `penalty.factor`):
+# coordinate 0 unpenalized -> always in the model.
+pf = np.ones(p)
+pf[0] = 0.0
+res_pf = admm_tpu.models.lasso.lasso_path(X, y, nlambda=10,
+                                          penalty_factor=pf)
+print("penalty_factor: coef[0] active at lambda_max:",
+      abs(float(np.asarray(res_pf.coef)[0, 0])) > 0.1)
+
+# Quantile regression at tau = 0.9 (any quantile; tau=0.5 == LAD).
+q = admm_tpu.quantile_fit(X, y, tau=0.9)
+resid = y - float(q.beta0) - X @ np.asarray(q.coef)
+print(f"quantile tau=0.9: {np.mean(resid < 0):.2f} of residuals below "
+      "the fitted surface (expect ~0.90)")
+
+# Sparse-group lasso: group selection AND within-group sparsity.
+groups = np.arange(p) % 5
+sgl = admm_tpu.group_lasso_path(X, y, groups, nlambda=20, l1_ratio=0.5)
+mid = np.asarray(sgl.coef)[12]
+print("sparse-group lasso: nonzeros at mid-path:",
+      int((np.abs(mid) > 1e-6).sum()), "of", p)
+
+# Multi-task Lasso: 3 responses, one shared support.
+B = np.zeros((p, 3))
+B[:4] = rng.uniform(0.5, 1.5, (4, 3))
+Y = X @ B + 0.3 * rng.normal(size=(n, 3))
+mt = admm_tpu.multitask_lasso_path(X, Y, nlambda=15)
+last = np.asarray(mt.coef)[-1]
+print("multitask: active rows:",
+      int((np.abs(last).max(axis=1) > 1e-6).sum()), "(true 4)")
+
+# Sparse multinomial (softmax) regression, grouped support.
+eta = X @ np.column_stack([b, -b, 0.3 * b])
+pr = np.exp(eta - eta.max(axis=1, keepdims=True))
+pr /= pr.sum(axis=1, keepdims=True)
+labels = np.array([rng.choice(3, p=pi) for pi in pr])
+mn = admm_tpu.multinomial_lasso_path(X, labels, nlambda=12, grouped=True)
+acc = (np.argmax(np.asarray(mn.beta0)[-1] + X @ np.asarray(mn.coef)[-1],
+                 axis=1) == labels).mean()
+print(f"multinomial (grouped): train accuracy at path bottom {acc:.2f}")
+
+# One-program CV (the whole fold sweep is one compiled program).
+cv = admm_tpu.cv_lasso_path(X, y, nfolds=5, nlambda=40)
+print(f"one-pass CV: lambda_min={cv.lambda_min:.4f} "
+      f"lambda_1se={cv.lambda_1se:.4f}")
