@@ -32,7 +32,8 @@ from .models.bp import bp_fit_batch
 from .models.cv import (cv_dantzig_path, cv_enet_path,
                         cv_fused_lasso_path, cv_gen_lasso_path,
                         cv_glm_path, cv_group_lasso_path,
-                        cv_lasso_path, cv_logistic_path)
+                        cv_lasso_path, cv_logistic_path,
+                        cv_multinomial_path, cv_multitask_lasso_path)
 from .models.glm import (glm_lasso_path, huber_lasso_path,
                          poisson_lasso_path)
 from .models.genlasso import (difference_matrix, fused_lasso_path,
@@ -62,5 +63,6 @@ __all__ = [
     "cv_glm_path", "quantile_fit", "cv_dantzig_path",
     "cv_gen_lasso_path", "cv_fused_lasso_path",
     "multitask_lasso_path", "multinomial_lasso_path",
+    "cv_multitask_lasso_path", "cv_multinomial_path",
     "__version__",
 ]

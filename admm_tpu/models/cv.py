@@ -64,8 +64,8 @@ def binomial_deviance(eta, y):
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale"))
 def _gaussian_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
-                        eps_rel, alpha, *, standardize_x, intercept,
-                        enet_scale):
+                        eps_rel, alpha, pf=None, *, standardize_x,
+                        intercept, enet_scale):
     """Jitted CORE of the gaussian fold sweep — a MODULE-LEVEL jit so
     compilations cache across cv_lasso_path calls (a per-call
     ``jax.jit`` closure recompiled the whole vmapped program every CV:
@@ -79,7 +79,7 @@ def _gaussian_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
 
     def one(mask):
         res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
-                         alpha, mask, standardize_x=standardize_x,
+                         alpha, mask, pf, standardize_x=standardize_x,
                          intercept=intercept, enet_scale=enet_scale,
                          path_mode="batch", pallas_ok=False)
         return res.beta0[:, None] + res.coef @ X.T
@@ -101,13 +101,20 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
     eps_abs = solver_kw.get("eps_abs", 1e-5)
     eps_rel = solver_kw.get("eps_rel", 1e-5)
     dtype = solver_kw.get("dtype", jnp.float32)
+    pf = solver_kw.get("penalty_factor")
+    if pf is not None:
+        # Same glmnet sum-to-p rescaling the public path applies
+        # (models/lasso.py::lasso_path) — the fold solves must see the
+        # identical factors as the full fit.
+        pf = jnp.asarray(pf, dtype).ravel()
+        pf = pf * (pf.shape[0] / jnp.sum(pf))
 
     def run(X, y, lams, masks, fid):
         return _gaussian_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
             jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
             jnp.asarray(fid, jnp.int32),
-            rho, maxit, eps_abs, eps_rel, alpha,
+            rho, maxit, eps_abs, eps_rel, alpha, pf,
             standardize_x=standardize, intercept=intercept,
             enet_scale=enet_scale)
 
@@ -462,3 +469,113 @@ def cv_fused_lasso_path(X, y, *, order: int = 1, **kw) -> CVResult:
     p = np.asarray(np.shape(X))[1]
     return cv_gen_lasso_path(X, y, difference_matrix(int(p), order),
                              **kw)
+
+
+def _cv_foldid(n, nfolds, seed, foldid):
+    """Shared fold-assignment resolution (glmnet conventions, -1
+    sentinel supported) for the standalone multi-output CV drivers."""
+    if foldid is None:
+        if not 2 <= nfolds <= n:
+            raise ValueError("nfolds must be in [2, nrow(x)]")
+        rng = np.random.default_rng(seed)
+        foldid = np.resize(np.arange(nfolds, dtype=np.int64), n)
+        foldid = foldid[rng.permutation(n)]
+    else:
+        foldid = np.asarray(foldid, np.int64)
+        if foldid.shape != (n,):
+            raise ValueError("foldid must have one entry per row")
+        nfolds = int(foldid.max()) + 1
+        counts = np.bincount(foldid[foldid >= 0], minlength=nfolds)
+        if nfolds < 2 or np.any(counts == 0):
+            raise ValueError("foldid must assign at least one row to "
+                             "each of >= 2 folds")
+    return foldid, nfolds
+
+
+def _cv_curve(per_obs, foldid):
+    """cvm/cvsd/lambda_min/lambda_1se from an (n, nlambda)
+    per-observation loss matrix (glmnet aggregation)."""
+    scored = foldid >= 0
+    n_sc = int(scored.sum())
+    cvm = per_obs[scored].mean(axis=0)
+    cvsd = np.sqrt(((per_obs[scored] - cvm) ** 2).mean(axis=0)
+                   / (n_sc - 1))
+    return cvm, cvsd
+
+
+def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
+                        foldid: Optional[np.ndarray] = None,
+                        nlambda: int = 50, **path_kw) -> CVResult:
+    """Cross-validated sparse multinomial path (extension), scored by
+    per-observation MULTINOMIAL DEVIANCE ``-2 log p_{i, y_i}``
+    (glmnet's type.measure="deviance" for family="multinomial").
+    ``path_kw`` forwards to
+    :func:`admm_tpu.models.multinomial.multinomial_lasso_path`; the
+    ``fit`` field holds the full-data MNPathResult."""
+    from .multinomial import multinomial_lasso_path
+
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y).ravel().astype(np.int64)
+    n = X.shape[0]
+    C = int(y.max()) + 1
+    path_kw.setdefault("nclass", C)
+    full = multinomial_lasso_path(X, y, nlambda=nlambda, **path_kw)
+    lams = np.asarray(full.lambdas, np.float64)
+    foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
+
+    dev = np.full((n, lams.shape[0]), np.nan)
+    for f in range(nfolds):
+        tr = foldid != f
+        va = foldid == f
+        res = multinomial_lasso_path(X[tr], y[tr], lambdas=lams,
+                                     **path_kw)
+        # (L, n_va, C) linear predictors -> stable log-softmax.
+        eta = (np.asarray(res.beta0)[:, None, :]
+               + np.einsum("vp,lpc->lvc", X[va], np.asarray(res.coef)))
+        eta = eta - eta.max(axis=2, keepdims=True)
+        logp = eta - np.log(np.exp(eta).sum(axis=2, keepdims=True))
+        dev[va] = -2.0 * logp[:, np.arange(va.sum()), y[va]].T
+
+    cvm, cvsd = _cv_curve(dev, foldid)
+    i_min = int(np.argmin(cvm))
+    within = cvm <= cvm[i_min] + cvsd[i_min]
+    return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
+                    lambda_min=float(lams[i_min]),
+                    lambda_1se=float(lams[np.flatnonzero(within)[0]]),
+                    fit=full, foldid=foldid)
+
+
+def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
+                            foldid: Optional[np.ndarray] = None,
+                            nlambda: int = 50, **path_kw) -> CVResult:
+    """Cross-validated multi-task Lasso path (extension), scored by the
+    per-observation squared error SUMMED OVER TASKS (the Frobenius
+    analog of the gaussian MSE).  ``path_kw`` forwards to
+    :func:`admm_tpu.models.multitask.multitask_lasso_path`."""
+    from .multitask import multitask_lasso_path
+
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    n = X.shape[0]
+    full = multitask_lasso_path(X, Y, nlambda=nlambda, **path_kw)
+    lams = np.asarray(full.lambdas, np.float64)
+    foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
+
+    err = np.full((n, lams.shape[0]), np.nan)
+    for f in range(nfolds):
+        tr = foldid != f
+        va = foldid == f
+        res = multitask_lasso_path(X[tr], Y[tr], lambdas=lams,
+                                   **path_kw)
+        pred = (np.asarray(res.beta0)[:, None, :]
+                + np.einsum("vp,lpk->lvk", X[va],
+                            np.asarray(res.coef)))  # (L, n_va, K)
+        err[va] = ((pred - Y[va][None]) ** 2).sum(axis=2).T
+
+    cvm, cvsd = _cv_curve(err, foldid)
+    i_min = int(np.argmin(cvm))
+    within = cvm <= cvm[i_min] + cvsd[i_min]
+    return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
+                    lambda_min=float(lams[i_min]),
+                    lambda_1se=float(lams[np.flatnonzero(within)[0]]),
+                    fit=full, foldid=foldid)

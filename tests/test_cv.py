@@ -245,3 +245,19 @@ def test_cv_dantzig_and_fused():
     # At the selected lambda the fit recovers the step structure.
     coef = np.asarray(cvf.fit.coef[i])
     assert np.corrcoef(coef, bstep)[0, 1] > 0.9
+
+
+def test_cv_penalty_factor_onepass_matches_loop():
+    """penalty_factor must reach the fold solves, not just the full fit
+    (onepass == loop with factors in play)."""
+    X, y, _ = _problem(n=120, p=12)
+    pf = np.ones(12)
+    pf[0] = 0.3
+    pf[5] = 2.0
+    foldid = np.arange(120) % 4
+    one = cv_lasso_path(X, y, foldid=foldid, nlambda=6,
+                        penalty_factor=pf, cv_mode="onepass")
+    loop = cv_lasso_path(X, y, foldid=foldid, nlambda=6,
+                         penalty_factor=pf, cv_mode="loop")
+    np.testing.assert_allclose(one.cvm, loop.cvm, rtol=1e-4, atol=1e-5)
+    assert one.lambda_min == loop.lambda_min

@@ -82,3 +82,15 @@ def test_validates_inputs():
         multinomial_lasso_path(X, np.zeros(X.shape[0]))
     with pytest.raises(ValueError, match="alpha"):
         multinomial_lasso_path(X, y, alpha=0.0)
+
+
+def test_cv_multinomial():
+    from admm_tpu.models.cv import cv_multinomial_path
+
+    X, y, _ = _problem(n=240, seed=6)
+    cv = cv_multinomial_path(X, y, nfolds=4, nlambda=6, maxit=2000)
+    assert np.all(np.isfinite(cv.cvm)) and np.all(cv.cvsd >= 0)
+    assert cv.lambda_1se >= cv.lambda_min
+    # Deviance at lambda_min beats the null top of the grid.
+    assert cv.cvm[np.argmin(np.abs(cv.lambdas - cv.lambda_min))] \
+        < cv.cvm[0]

@@ -84,3 +84,14 @@ def test_validates_inputs():
         multitask_lasso_path(X, Y[:, 0])
     with pytest.raises(ValueError, match="nrow"):
         multitask_lasso_path(X[:50], Y)
+
+
+def test_cv_multitask():
+    from admm_tpu.models.cv import cv_multitask_lasso_path
+
+    X, Y, _ = _problem(n=160, p=12, K=3, seed=7)
+    cv = cv_multitask_lasso_path(X, Y, nfolds=4, nlambda=6, maxit=2000)
+    assert np.all(np.isfinite(cv.cvm)) and np.all(cv.cvsd >= 0)
+    assert cv.lambda_1se >= cv.lambda_min
+    assert cv.cvm[np.argmin(np.abs(cv.lambdas - cv.lambda_min))] \
+        < cv.cvm[0]
