@@ -46,6 +46,8 @@ from .models.logistic import logistic_lasso_path
 from .parallel.consensus import (parallel_glm_lasso_path,
                                  parallel_huber_lasso_path,
                                  parallel_logistic_lasso_path,
+                                 parallel_multinomial_lasso_path,
+                                 parallel_multitask_lasso_path,
                                  parallel_poisson_lasso_path)
 
 __version__ = "0.1.0"
@@ -64,5 +66,6 @@ __all__ = [
     "cv_gen_lasso_path", "cv_fused_lasso_path",
     "multitask_lasso_path", "multinomial_lasso_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
+    "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "__version__",
 ]

@@ -157,7 +157,8 @@ def _bp_x_update(Xi, yi, rho, *, jitter: float = 1e-6):
 
 
 def _glm_x_update(Xi, yi, rho, *, family, n_total: int,
-                  newton_steps: int = 2, weighted: bool = False):
+                  newton_steps: int = 2, weighted: bool = False,
+                  hessian: str = "exact"):
     """Per-worker inexact Newton on ``loss_i/n + rho/2||x - v||^2`` for
     ANY :class:`~admm_tpu.models.glm.GLMFamily` — the model-generic
     consensus worker the reference's template promises (reference:
@@ -175,12 +176,19 @@ def _glm_x_update(Xi, yi, rho, *, family, n_total: int,
     (specs, partitioning, the fused psum) is untouched; the weights
     multiply the per-observation grad/IRLS terms exactly as the serial
     weighted engine does (models/glm.py::_glm_ops).
+
+    ``hessian="fixed"`` caches the per-worker curvature majorizer
+    inverse ``(bound * Xa_i'W Xa_i/n + rho I)^{-1}`` once per cold
+    start (the consensus analog of the serial fixed-majorizer design,
+    DESIGN.md "GLM tier") — each Newton step is then one batched
+    matvec against it, no per-step Hessian build or Cholesky.
     """
     import jax.scipy.linalg as jsl
 
     Wl, rows, q = Xi.shape
     dtype = Xi.dtype
     eye = jnp.eye(q, dtype=dtype)
+    wi = None
     if weighted:
         yi, wi = yi[..., 0], yi[..., 1]
 
@@ -188,18 +196,30 @@ def _glm_x_update(Xi, yi, rho, *, family, n_total: int,
         c, low = jsl.cho_factor(H)
         return jsl.cho_solve((c, low), g)
 
+    fixed_minv = None
+    if hessian == "fixed":
+        assert family.curvature_bound is not None
+        Xw = Xi if wi is None else Xi * jnp.sqrt(wi)[..., None]
+        H_fix = (family.curvature_bound / n_total) * jnp.einsum(
+            "wrq,wrs->wqs", Xw, Xw,
+            precision=lax.Precision.HIGHEST) + rho * eye
+        fixed_minv = jax.vmap(chol_inverse)(H_fix)
+
     def x_update(z, y, rho_, x_prev):
         v = z[None, :] - y / rho_
 
         def step(_, b):
             u = _bmm("wrq,wq->wr", Xi, b)
             g = family.grad_eta(u, yi)
-            w = family.weight_eta(u, yi)
             if weighted:
                 g = wi * g
-                w = wi * w
             grad = (_bmm("wrq,wr->wq", Xi, g) / n_total
                     + rho_ * (b - v))
+            if fixed_minv is not None:
+                return b - _bmm("wqs,ws->wq", fixed_minv, grad)
+            w = family.weight_eta(u, yi)
+            if weighted:
+                w = wi * w
             H = (jnp.einsum("wrq,wr,wrs->wqs", Xi, w, Xi,
                             precision=lax.Precision.HIGHEST) / n_total
                  + rho_ * eye)
@@ -268,6 +288,114 @@ def _bp_master_prox(W: int):
     return prox
 
 
+def _mn_x_update(Xi, yi, rho, *, nclass: int, n_total: int,
+                 newton_steps: int = 2):
+    """Per-worker fixed-majorizer Newton for the consensus MULTINOMIAL
+    (softmax) model — the matrix-variable plug-in for the generic
+    consensus template: the (q, C) coefficient block rides the engine
+    FLATTENED to q*C (the packed psum and all specs are untouched).
+    The per-worker majorizer inverse ``(Xa_i'Xa_i/(2n) + rho I)^{-1}``
+    (softmax curvature bound 1/2, models/multinomial.py) is cached once
+    and shared across classes — each step is two batched matmuls.
+
+    Zero-padded rows one-hot to class 0 but contribute zero grad
+    (zero feature rows), so they are exactly inert."""
+    Wl, rows, q = Xi.shape
+    C = nclass
+    dtype = Xi.dtype
+    Yoh = jax.nn.one_hot(yi.astype(jnp.int32), C, dtype=dtype)
+    eye = jnp.eye(q, dtype=dtype)
+    H_fix = (jnp.einsum("wrq,wrs->wqs", Xi, Xi,
+                        precision=lax.Precision.HIGHEST)
+             / (2.0 * n_total) + rho * eye)
+    Minv = jax.vmap(chol_inverse)(H_fix)
+
+    def x_update(z, y, rho_, x_prev):
+        V = (z[None, :] - y / rho_).reshape(Wl, q, C)
+
+        def step(_, B):
+            eta = _bmm("wrq,wqc->wrc", Xi, B)
+            pi = jax.nn.softmax(eta, axis=-1)
+            G = (_bmm("wrq,wrc->wqc", Xi, pi - Yoh) / n_total
+                 + rho_ * (B - V))
+            return B - _bmm("wqs,wsc->wqc", Minv, G)
+
+        B = lax.fori_loop(0, newton_steps, step,
+                          x_prev.reshape(Wl, q, C))
+        return B.reshape(Wl, q * C)
+
+    return x_update
+
+
+def _mn_master_prox(W: int, alpha: float, pen_mask, q: int, C: int,
+                    grouped: bool):
+    """Master prox for the consensus multinomial: masked elastic-net
+    per entry (ungrouped) or row-norm group shrinkage (grouped), on the
+    (q, C)-reshaped consensus mean; the intercept row (pen_mask 0)
+    passes through unpenalized."""
+    def prox(zbar, lam, rho):
+        wr = W * rho
+        V = zbar.reshape(q, C)
+        pen = lam * pen_mask[:, None]
+        if grouped:
+            rn = jnp.sqrt(jnp.sum(V * V, axis=1, keepdims=True))
+            Z = V * jnp.maximum(0.0, 1.0 - pen / jnp.maximum(
+                wr * rn, 1e-30))
+        else:
+            zl1 = soft_threshold(wr * V, alpha * pen)
+            Z = zl1 / (pen * (1.0 - alpha) + wr)
+        return Z.reshape(q * C)
+
+    return prox
+
+
+def _mt_x_update(Xi, yi, rho, *, ntask: int, tall_block: bool):
+    """Per-worker ridge solve with a MATRIX right-hand side for the
+    consensus multi-task Lasso (models/multitask.py): the (p, K)
+    coefficient block flattened to p*K, the factorization cached once
+    (tall direct / wide Woodbury, as reference: src/PADMMLasso.h:17-31
+    with K columns at once)."""
+    Wl, rows, p = Xi.shape
+    K = ntask
+    dtype = Xi.dtype
+    AtY = _bmm("wrp,wrk->wpk", Xi, yi)   # (Wl, p, K)
+    eye = jnp.eye(p if tall_block else rows, dtype=dtype)
+    if tall_block:
+        G = _bmm("wrp,wrq->wpq", Xi, Xi) + rho * eye
+        Minv = jax.vmap(chol_inverse)(G)
+
+        def x_update(z, y, rho_, x_prev):
+            rhs = (AtY - y.reshape(Wl, p, K)
+                   + rho_ * z.reshape(p, K)[None])
+            return _bmm("wpq,wqk->wpk", Minv, rhs).reshape(Wl, p * K)
+    else:
+        G = _bmm("wrp,wsp->wrs", Xi, Xi) + rho * eye
+        Winv = jax.vmap(chol_inverse)(G)
+
+        def x_update(z, y, rho_, x_prev):
+            rhs = (AtY - y.reshape(Wl, p, K)
+                   + rho_ * z.reshape(p, K)[None])
+            t = _bmm("wrs,wsk->wrk", Winv,
+                     _bmm("wrp,wpk->wrk", Xi, rhs))
+            return ((rhs - _bmm("wrp,wrk->wpk", Xi, t))
+                    / rho_).reshape(Wl, p * K)
+
+    return x_update
+
+
+def _mt_master_prox(W: int, p: int, K: int):
+    """Row-norm group soft-threshold of the (p, K)-reshaped consensus
+    mean (the multi-task mixed-norm master)."""
+    def prox(zbar, lam, rho):
+        V = zbar.reshape(p, K)
+        rn = jnp.sqrt(jnp.sum(V * V, axis=1, keepdims=True))
+        Z = V * jnp.maximum(0.0, 1.0 - lam / jnp.maximum(
+            rho * W * rn, 1e-30))
+        return Z.reshape(p * K)
+
+    return prox
+
+
 # ---------------------------------------------------------------------------
 # Generic consensus engine (per-device body under shard_map)
 # ---------------------------------------------------------------------------
@@ -294,7 +422,12 @@ def _consensus_shard(Xi, yi, x0, y0, z0, ilams, rho0, maxit, eps_abs,
     Returns ``(coefs, niter, (x, y, z, rho))`` plus ``traces`` when
     tracing — the final state tuple is what a resumed path needs.
     """
-    Wl, rows, p = Xi.shape
+    Wl, rows, _ = Xi.shape
+    # The consensus-variable dimension comes from the STATE, not the
+    # data block: matrix-variable models (multinomial (q, C),
+    # multi-task (p, K)) ride the engine flattened, so x is
+    # (W_local, q*C) while Xi stays (W_local, rows, q).
+    p = x0.shape[-1]
     dtype = Xi.dtype
     W = nworkers
     sqrtW = math.sqrt(W)
@@ -478,15 +611,17 @@ def _partition_rows(Xs, ys, W):
     Zero rows do not change A_i'A_i or A_i'b_i (Lasso) and are exactly
     inert under the jittered BP projection, so the consensus optimum is
     unchanged (the reference gives the last OpenMP worker the remainder
-    instead, reference: src/PADMMLasso.h:163-179).
+    instead, reference: src/PADMMLasso.h:163-179).  ``ys`` may be (n,)
+    or a (n, K) multi-response matrix.
     """
     n, p = Xs.shape
     n_pad = -(-n // W) * W
     if n_pad != n:
         Xs = jnp.pad(Xs, ((0, n_pad - n), (0, 0)))
-        ys = jnp.pad(ys, (0, n_pad - n))
+        ys = jnp.pad(ys, ((0, n_pad - n),) + ((0, 0),) * (ys.ndim - 1))
     rows_w = n_pad // W
-    return Xs.reshape(W, rows_w, p), ys.reshape(W, rows_w), rows_w
+    return (Xs.reshape(W, rows_w, p),
+            ys.reshape((W, rows_w) + ys.shape[1:]), rows_w)
 
 
 def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
@@ -714,7 +849,7 @@ def parallel_glm_lasso_path(
         maxit: int = 10000, eps_abs: float = 1e-5,
         eps_rel: float = 1e-5, rho: float = -1.0,
         newton_steps: int = 2, trace_len: Optional[int] = None,
-        weights: Optional[jnp.ndarray] = None,
+        weights: Optional[jnp.ndarray] = None, hessian: str = "auto",
         dtype=jnp.float32) -> PathResult:
     """Consensus penalized-GLM path over the mesh for ANY
     :class:`~admm_tpu.models.glm.GLMFamily` (extension): the distributed
@@ -736,6 +871,11 @@ def parallel_glm_lasso_path(
     n, p = X.shape
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1] for GLM paths")
+    if hessian == "auto":
+        hessian = "fixed" if fam.curvature_bound is not None else "exact"
+    if hessian == "fixed" and fam.curvature_bound is None:
+        raise ValueError(f"family {fam.name!r} has unbounded curvature; "
+                         "hessian='fixed' is not available")
     W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
 
     # Shared GLM design prep / lambda rule (models/glm.py) so the
@@ -770,7 +910,7 @@ def parallel_glm_lasso_path(
         _consensus_shard, nworkers=W,
         make_x_update=partial(_glm_x_update, family=fam, n_total=n,
                               newton_steps=int(newton_steps),
-                              weighted=w is not None),
+                              weighted=w is not None, hessian=hessian),
         master_prox=_glm_master_prox(W, float(alpha), pen_mask),
         # Auto-rho = (curvature bound or 1)/W: each worker's loss share
         # carries ~ bound/W of the global curvature, so the prox term
@@ -818,3 +958,167 @@ def parallel_poisson_lasso_path(X, y, **kw) -> PathResult:
     from ..models.glm import poisson
 
     return parallel_glm_lasso_path(X, y, poisson(), **kw)
+
+
+def parallel_multinomial_lasso_path(
+        X, y, *, nclass: Optional[int] = None,
+        nworkers: Optional[int] = None, mesh: Optional[Mesh] = None,
+        lambdas: Optional[jnp.ndarray] = None, nlambda: int = 50,
+        lambda_min_ratio: float = 1e-2, alpha: float = 1.0,
+        grouped: bool = False, standardize: bool = True,
+        intercept: bool = True, maxit: int = 10000,
+        eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
+        newton_steps: int = 2, trace_len: Optional[int] = None,
+        dtype=jnp.float32):
+    """Consensus sparse MULTINOMIAL (softmax) regression over the mesh
+    (extension): the matrix-variable instance of the generic consensus
+    template — each worker runs the fixed-majorizer Newton on its row
+    block's share of the softmax NLL with the (q, C) coefficient block
+    flattened to q*C lanes, the master applies the (un)grouped prox,
+    and the iteration is still exactly one fused psum (now of length
+    q*C + 3).  Semantics match
+    :func:`admm_tpu.models.multinomial.multinomial_lasso_path`, to
+    which the result converges (tested).
+    """
+    from ..models.glm import prep_design
+    from ..models.multinomial import MNPathResult
+
+    X = jnp.asarray(X, dtype)
+    y_np = np.asarray(y).ravel()
+    n, p = X.shape
+    if nclass is None:
+        nclass = int(y_np.max()) + 1
+    C = int(nclass)
+    if C < 2:
+        raise ValueError("need at least 2 classes")
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
+
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize, intercept)
+    Xs = Xa[:, 1:] if intercept else Xa
+    q = Xa.shape[1]
+    yj = jnp.asarray(y_np.astype(np.float32), dtype)
+    Yoh = jax.nn.one_hot(yj.astype(jnp.int32), C, dtype=dtype)
+
+    if lambdas is not None:
+        lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    else:
+        # Same grid rule as the serial driver (models/multinomial.py).
+        pi0 = (jnp.mean(Yoh, axis=0) if intercept
+               else jnp.full((C,), 1.0 / C, dtype))
+        G0 = dot(Xs.T, pi0[None, :] - Yoh) / n
+        if grouped:
+            lam0 = 1.001 * jnp.max(jnp.sqrt(jnp.sum(G0 * G0, axis=1)))
+        else:
+            lam0 = jnp.max(jnp.abs(G0)) / jnp.maximum(alpha, 1e-3)
+        lams = jnp.exp(jnp.linspace(
+            jnp.log(lam0), jnp.log(lambda_min_ratio * lam0),
+            int(nlambda)))
+
+    Xb, yb, rows_w = _partition_rows(Xa, yj, W)
+    trace_len = None if trace_len is None else int(trace_len)
+    solver = partial(
+        _consensus_shard, nworkers=W,
+        make_x_update=partial(_mn_x_update, nclass=C, n_total=n,
+                              newton_steps=int(newton_steps)),
+        master_prox=_mn_master_prox(W, float(alpha), pen_mask, q, C,
+                                    bool(grouped)),
+        # Softmax curvature bound 1/2, split over W workers (the
+        # measured bound/W principle, DESIGN.md "GLM rho").
+        auto_rho=lambda lam_first: 0.5 / W,
+        trace_len=trace_len)
+    init = (jnp.zeros((W, q * C), dtype), jnp.zeros((W, q * C), dtype),
+            jnp.zeros((q * C,), dtype))
+    out = _run_consensus(Xb, yb, lams, rho, maxit, eps_abs, eps_rel,
+                         mesh=mesh, axis=axis, D=D, solver=solver,
+                         traced=trace_len is not None, init=init)
+    coefs_flat, niter = out[0], out[1]
+    coefs_a = coefs_flat.reshape(-1, q, C)
+
+    if intercept:
+        b0_std, slopes_std = coefs_a[:, 0, :], coefs_a[:, 1:, :]
+    else:
+        b0_std = jnp.zeros((coefs_a.shape[0], C), dtype)
+        slopes_std = coefs_a
+    coef = slopes_std / sd_x[None, :, None]
+    beta0 = b0_std - jnp.einsum("kpc,p->kc", coef, mean_x)
+    beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
+    return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
+                        niter=niter)
+
+
+def parallel_multitask_lasso_path(
+        X, Y, *, nworkers: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
+        lambdas: Optional[jnp.ndarray] = None, nlambda: int = 50,
+        lambda_min_ratio: float = 1e-2, standardize: bool = True,
+        intercept: bool = True, maxit: int = 10000,
+        eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
+        trace_len: Optional[int] = None, dtype=jnp.float32):
+    """Consensus MULTI-TASK Lasso over the mesh (extension): per-worker
+    cached ridge solves with a MATRIX right-hand side (tall direct /
+    wide Woodbury, the K-column generalization of the reference's
+    per-worker factorizations, reference: src/PADMMLasso.h:17-31), the
+    master applying the row-norm mixed prox; one fused psum of length
+    p*K + 3 per iteration.  Converges to
+    :func:`admm_tpu.models.multitask.multitask_lasso_path` (tested).
+    """
+    from ..models.multitask import MTPathResult, _mt_lambda0
+
+    X = jnp.asarray(X, dtype)
+    Y = jnp.asarray(Y, dtype)
+    if Y.ndim != 2:
+        raise ValueError("Y must be (n, K)")
+    n, p = X.shape
+    K = Y.shape[1]
+    W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
+
+    # Standardization replicating the serial driver (models/multitask).
+    from ..data.standardize import _guard, _sd_n
+
+    col_mean = jnp.mean(X, axis=0)
+    sd_x = jnp.ones((p,), dtype)
+    mean_x = jnp.zeros((p,), dtype)
+    mean_y = jnp.zeros((K,), dtype)
+    Xs, Ys = X, Y
+    if intercept:
+        mean_y = jnp.mean(Y, axis=0)
+        Xs = X - col_mean[None, :]
+        Ys = Y - mean_y[None, :]
+        mean_x = col_mean
+    if standardize:
+        sd_x = _guard(_sd_n(X, axis=0), col_mean)
+        Xs = Xs / sd_x[None, :]
+
+    lam0 = _mt_lambda0(Xs, Ys) / n
+    if lambdas is not None:
+        lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    else:
+        lams = jnp.exp(jnp.linspace(
+            jnp.log(lam0), jnp.log(lambda_min_ratio * lam0),
+            int(nlambda)))
+    ilams = lams * n
+
+    Xb, Yb, rows_w = _partition_rows(Xs, Ys, W)
+    trace_len = None if trace_len is None else int(trace_len)
+    solver = partial(
+        _consensus_shard, nworkers=W,
+        make_x_update=partial(_mt_x_update, ntask=K,
+                              tall_block=rows_w >= p),
+        master_prox=_mt_master_prox(W, p, K),
+        # Consensus-lasso auto-rho rule (reference:
+        # src/PADMMLasso.h:199-200), on the internal lambda scale.
+        auto_rho=lambda lam_first: lam_first / W,
+        trace_len=trace_len)
+    init = (jnp.zeros((W, p * K), dtype), jnp.zeros((W, p * K), dtype),
+            jnp.zeros((p * K,), dtype))
+    out = _run_consensus(Xb, Yb, ilams, rho, maxit, eps_abs, eps_rel,
+                         mesh=mesh, axis=axis, D=D, solver=solver,
+                         traced=trace_len is not None, init=init)
+    coefs_flat, niter = out[0], out[1]
+    coefs = coefs_flat.reshape(-1, p, K)
+    coef = coefs / sd_x[None, :, None]
+    beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
+    return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
+                        niter=niter)

@@ -89,9 +89,11 @@ def test_consensus_full_path_standardized():
 
 
 def _compiled_consensus_hlo(solver_factory, Xb, yb, nlam=3, mesh=None,
-                            axis=None):
+                            axis=None, state_dim=None):
     """Compile a consensus shard body over the 8-device mesh and return
-    its post-optimization HLO text."""
+    its post-optimization HLO text.  ``state_dim`` overrides the
+    consensus-variable dimension (matrix-variable models carry
+    flattened (q, C)/(p, K) blocks wider than the data columns)."""
     import jax.numpy as jnp
     from functools import partial
     from jax.sharding import PartitionSpec as P
@@ -101,6 +103,8 @@ def _compiled_consensus_hlo(solver_factory, Xb, yb, nlam=3, mesh=None,
     axis = mesh.axis_names[0] if axis is None else axis
     solver = solver_factory(axis)
     W, _, p = Xb.shape
+    if state_dim is not None:
+        p = state_dim
     state_specs = (P(axis), P(axis), P())
     fn = shard_map(solver, mesh=mesh,
                    in_specs=(P(axis), P(axis)) + state_specs
@@ -124,7 +128,8 @@ def _allreduce_shapes(hlo):
 
 
 @pytest.mark.parametrize("variant", ["lasso", "bp", "group", "logistic",
-                                     "huber", "poisson"])
+                                     "huber", "poisson", "multinomial",
+                                     "multitask"])
 def test_exactly_one_psum_per_iteration(variant):
     """THE central distributed invariant (consensus.py module docstring):
     the whole compiled consensus program contains exactly ONE all-reduce,
@@ -163,6 +168,38 @@ def test_exactly_one_psum_per_iteration(variant):
         factory = lambda ax: partial(C._consensus_lasso_shard, axis=ax,
                                      nworkers=8, tall_block=True,
                                      group_prox=(gj, wj))
+    elif variant == "multinomial":
+        # Matrix-variable model: the state (and the packed psum) is the
+        # FLATTENED (q, nc) block — q*nc + 3 lanes, still one
+        # collective.
+        q, nc = 16, 3
+        p = q * nc
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(160, q))
+        lab = rng.integers(0, nc, 160).astype(float)
+        Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, q)
+        yb = jnp.asarray(lab, jnp.float32).reshape(8, 20)
+        mask = jnp.ones((q,), jnp.float32)
+        factory = lambda ax: partial(
+            C._consensus_shard, axis=ax, nworkers=8,
+            make_x_update=partial(C._mn_x_update, nclass=nc,
+                                  n_total=160, newton_steps=2),
+            master_prox=C._mn_master_prox(8, 1.0, mask, q, nc, False),
+            auto_rho=lambda lam: 0.25)
+    elif variant == "multitask":
+        pdim, K = 16, 3
+        p = pdim * K
+        rng = np.random.default_rng(8)
+        X = rng.normal(size=(160, pdim))
+        Y = rng.normal(size=(160, K))
+        Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, pdim)
+        yb = jnp.asarray(Y, jnp.float32).reshape(8, 20, K)
+        factory = lambda ax: partial(
+            C._consensus_shard, axis=ax, nworkers=8,
+            make_x_update=partial(C._mt_x_update, ntask=K,
+                                  tall_block=True),
+            master_prox=C._mt_master_prox(8, pdim, K),
+            auto_rho=lambda lam: lam / 8)
     else:
         # The GLM worker is family-generic (consensus.py::_glm_x_update);
         # every family must keep the one-collective invariant.
@@ -184,7 +221,9 @@ def test_exactly_one_psum_per_iteration(variant):
             master_prox=C._glm_master_prox(8, 1.0, mask),
             auto_rho=lambda lam: 1.0)
 
-    hlo = _compiled_consensus_hlo(factory, Xb, yb)
+    hlo = _compiled_consensus_hlo(
+        factory, Xb, yb,
+        state_dim=p if variant in ("multinomial", "multitask") else None)
     shapes = _allreduce_shapes(hlo)
     assert len(shapes) == 1, (
         f"expected exactly one all-reduce, found {len(shapes)}: {shapes}")

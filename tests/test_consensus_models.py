@@ -258,3 +258,68 @@ def test_parallel_glm_auto_grid_matches_serial():
     ser = glm_lasso_path(X, y, huber(1.345), nlambda=5, maxit=200)
     np.testing.assert_allclose(np.asarray(par.lambdas),
                                np.asarray(ser.lambdas), rtol=1e-5)
+
+
+def test_consensus_multinomial_matches_serial():
+    """Matrix-variable consensus (flattened (q, C) blocks): the
+    distributed multinomial path must converge to the serial solver,
+    ungrouped and grouped."""
+    from admm_tpu.models.multinomial import multinomial_lasso_path
+    from admm_tpu.parallel.consensus import (
+        parallel_multinomial_lasso_path)
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(21)
+    n, p, C = 480, 12, 3
+    B = np.zeros((p, C))
+    B[:4] = rng.uniform(0.8, 1.8, (4, C)) * rng.choice([-1, 1], (4, C))
+    X = rng.normal(size=(n, p))
+    eta = X @ B
+    pr = np.exp(eta - eta.max(axis=1, keepdims=True))
+    pr /= pr.sum(axis=1, keepdims=True)
+    y = np.array([rng.choice(C, p=pi) for pi in pr])
+    lams = np.array([0.04, 0.015])
+    for grouped in (False, True):
+        par = parallel_multinomial_lasso_path(
+            X, y, nworkers=8, mesh=make_mesh(8), lambdas=lams,
+            grouped=grouped, eps_abs=1e-6, eps_rel=1e-6)
+        ser = multinomial_lasso_path(X, y, lambdas=lams,
+                                     grouped=grouped, eps_abs=1e-6,
+                                     eps_rel=1e-6)
+        np.testing.assert_allclose(np.asarray(par.coef),
+                                   np.asarray(ser.coef), atol=3e-3,
+                                   err_msg=f"grouped={grouped}")
+        np.testing.assert_allclose(np.asarray(par.beta0),
+                                   np.asarray(ser.beta0), atol=3e-3,
+                                   err_msg=f"grouped={grouped}")
+
+
+def test_consensus_multitask_matches_serial():
+    from admm_tpu.models.multitask import multitask_lasso_path
+    from admm_tpu.parallel.consensus import (
+        parallel_multitask_lasso_path)
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(22)
+    n, p, K = 320, 16, 3
+    B = np.zeros((p, K))
+    B[:4] = rng.uniform(0.5, 1.5, (4, K))
+    X = rng.normal(size=(n, p))
+    Y = 0.5 + X @ B + 0.3 * rng.normal(size=(n, K))
+    lams = np.array([0.2, 0.06])
+    par = parallel_multitask_lasso_path(X, Y, nworkers=8,
+                                        mesh=make_mesh(8), lambdas=lams,
+                                        eps_abs=1e-6, eps_rel=1e-6)
+    ser = multitask_lasso_path(X, Y, lambdas=lams, eps_abs=1e-6,
+                               eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef),
+                               np.asarray(ser.coef), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(par.beta0),
+                               np.asarray(ser.beta0), atol=2e-3)
+    # Auto grids agree (shared row-norm rule).
+    par2 = parallel_multitask_lasso_path(X, Y, nworkers=8,
+                                         mesh=make_mesh(8), nlambda=5,
+                                         maxit=200)
+    ser2 = multitask_lasso_path(X, Y, nlambda=5, maxit=200)
+    np.testing.assert_allclose(np.asarray(par2.lambdas),
+                               np.asarray(ser2.lambdas), rtol=1e-5)
