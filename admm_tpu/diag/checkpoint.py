@@ -474,3 +474,109 @@ def checkpointed_parallel_lasso_path(
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def checkpointed_multitask_lasso_path(
+        X, Y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        standardize_x: bool = True, intercept: bool = True,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """Multi-task Lasso lambda path in resumable chunks (same protocol
+    as :func:`checkpointed_lasso_path`; the (p, K) coefficient-matrix
+    state rides the pytree container unchanged)."""
+    from ..data.standardize import _guard, _sd_n
+    from ..models.multitask import MTPathResult, _mt_engine
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    Y = jnp.asarray(Y, dtype)
+    n, p = X.shape
+    K = Y.shape[1]
+    col_mean = jnp.mean(X, axis=0)
+    sd_x = jnp.ones((p,), dtype)
+    mean_x = jnp.zeros((p,), dtype)
+    mean_y = jnp.zeros((K,), dtype)
+    Xs, Ys = X, Y
+    if intercept:
+        mean_y = jnp.mean(Y, axis=0)
+        Xs = X - col_mean[None, :]
+        Ys = Y - mean_y[None, :]
+        mean_x = col_mean
+    if standardize_x:
+        sd_x = _guard(_sd_n(X, axis=0), col_mean)
+        Xs = Xs / sd_x[None, :]
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n
+
+    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho)
+    fp = _fingerprint(Xs, Ys, ilams, 1.0, maxit, eps_abs, eps_rel, rho,
+                      standardize_x, intercept, False, model="multitask")
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    coef = coefs / sd_x[None, :, None]
+    beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
+    return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
+                        niter=niter)
+
+
+def checkpointed_multinomial_path(
+        X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        nclass: Optional[int] = None, alpha: float = 1.0,
+        grouped: bool = False, standardize_x: bool = True,
+        intercept: bool = True, maxit: int = 10000,
+        eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
+        newton_steps: int = 2, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """Sparse multinomial lambda path in resumable chunks.  The penalty
+    style (grouped flag) and class count enter the fingerprint's model
+    tag; labels enter via the hashed data."""
+    from ..models.glm import prep_design
+    from ..models.multinomial import MNPathResult, _mn_engine
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y_np = np.asarray(y).ravel()
+    if nclass is None:
+        nclass = int(y_np.max()) + 1
+    C = int(nclass)
+    n, p = X.shape
+    Yoh = jax.nn.one_hot(jnp.asarray(y_np.astype(np.int32)), C,
+                         dtype=dtype)
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize_x, intercept)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+
+    st0, solve, report = _mn_engine(Xa, Yoh, lams[0], rho, pen_mask,
+                                    alpha, bool(grouped),
+                                    int(newton_steps))
+    fp = _fingerprint(
+        Xa, Yoh, lams, alpha, maxit, eps_abs, eps_rel, rho,
+        standardize_x, intercept, False,
+        model=f"multinomial-C{C}-{'grouped' if grouped else 'enet'}"
+              f"-ns{int(newton_steps)}")
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, lams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs_a, niter = out
+    if intercept:
+        b0_std, slopes_std = coefs_a[:, 0, :], coefs_a[:, 1:, :]
+    else:
+        b0_std = jnp.zeros((coefs_a.shape[0], C), dtype)
+        slopes_std = coefs_a
+    coef = slopes_std / sd_x[None, :, None]
+    beta0 = b0_std - jnp.einsum("kpc,p->kc", coef, mean_x)
+    beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
+    return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
+                        niter=niter)

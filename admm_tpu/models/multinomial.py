@@ -100,6 +100,29 @@ def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
     )
 
 
+def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
+               newton_steps):
+    """Engine triple (cold state, solver, reported iterate) — shared by
+    the path driver and the checkpointed driver.
+
+    Fixed majorizer: softmax curvature bound 1/2 (PSD order), shared
+    across classes; auto-rho = the bound (the measured principle of
+    DESIGN.md "GLM rho": balance the prox against the curvature)."""
+    n, q = Xa.shape
+    C = Yoh.shape[1]
+    dtype = Xa.dtype
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.asarray(0.5, dtype))
+    H_fix = dot(Xa.T, Xa) / (2.0 * n)
+    Minv = ridge_inverse(H_fix, rho)
+    ops = _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped,
+                  newton_steps, Minv)
+    solve = make_admm_solver(ops, adapt_rho=False)
+    zeros = jnp.zeros((q, C), dtype)
+    st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
+    return st0, solve, (lambda st: st.z)
+
+
 @partial(jax.jit, static_argnames=("nclass", "standardize_x",
                                    "intercept", "nlambda", "path_mode",
                                    "grouped", "newton_steps"))
@@ -135,19 +158,8 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
     else:
         lams = user_lams
 
-    # Fixed majorizer: softmax curvature bound 1/2 (PSD order), shared
-    # across classes; auto-rho = the bound (the measured principle of
-    # DESIGN.md "GLM rho": balance the prox against the curvature).
-    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.asarray(0.5, dtype))
-    H_fix = dot(Xa.T, Xa) / (2.0 * n)
-    Minv = ridge_inverse(H_fix, rho)
-
-    ops = _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped,
-                  newton_steps, Minv)
-    solve = make_admm_solver(ops, adapt_rho=False)
-    zeros = jnp.zeros((q, C), dtype)
-    st0 = make_state(zeros, zeros, zeros, rho, lams[0], dtype=dtype)
+    st0, solve, report = _mn_engine(Xa, Yoh, lams[0], rho0, pen_mask,
+                                    alpha, grouped, newton_steps)
 
     if path_mode == "batch":
         k = lams.shape[0]
@@ -157,7 +169,7 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
             adj_z=bc(st0.adj_z), adj_y=bc(st0.adj_y), aux=None,
             adj_a=jnp.ones((k,), dtype),
             adj_c=9999.0 * jnp.ones((k,), dtype),
-            rho=jnp.broadcast_to(rho, (k,)).astype(dtype),
+            rho=jnp.broadcast_to(st0.rho, (k,)).astype(dtype),
             lam=jnp.asarray(lams, dtype),
             eps_pri=jnp.zeros((k,), dtype),
             eps_dua=jnp.zeros((k,), dtype),

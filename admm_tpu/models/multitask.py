@@ -116,6 +116,39 @@ def _mt_lambda0(Xs, Ys):
     return jnp.max(jnp.sqrt(jnp.sum(XtY * XtY, axis=1)))
 
 
+def _mt_engine(Xs, Ys, ilam_first, rho0):
+    """Engine triple (cold state, solver, reported iterate) — shared by
+    the path driver and the checkpointed driver
+    (admm_tpu.diag.checkpoint.checkpointed_multitask_lasso_path)."""
+    n, p = Xs.shape
+    K = Ys.shape[1]
+    dtype = Xs.dtype
+    if n > p:
+        XtX = gram(Xs)
+        sprad = spectral_radius_sym(XtX)
+        rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                        jnp.cbrt(sprad) * ilam_first ** (2.0 / 3.0))
+        Minv = ridge_inverse(XtX, rho)
+        XtY = dot(Xs.T, Ys)
+        ops = _mt_tall_ops(Minv, XtY, p, K)
+        solve = make_fadmm_solver(ops, adapt_rho=False)
+        zeros = jnp.zeros((p, K), dtype)
+        st0 = make_state(zeros, zeros, zeros, rho, ilam_first,
+                         dtype=dtype)
+        return st0, solve, (lambda st: st.z)
+    sprad = spectral_radius_gram(Xs)
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    jnp.cbrt(ilam_first / sprad))
+    lambda0_int = _mt_lambda0(Xs, Ys)
+    ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K)
+    solve = make_admm_solver(ops, adapt_rho=True)
+    st0 = make_state(jnp.zeros((p, K), dtype),
+                     jnp.zeros((n, K), dtype),
+                     jnp.zeros((n, K), dtype), rho, ilam_first,
+                     aux=jnp.zeros((n, K), dtype), dtype=dtype)
+    return st0, solve, (lambda st: st.x)
+
+
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "nlambda", "path_mode"))
 def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
@@ -151,32 +184,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         lams = user_lams
     ilams = lams * n
 
-    if n > p:
-        XtX = gram(Xs)
-        sprad = spectral_radius_sym(XtX)
-        rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                        jnp.cbrt(sprad) * ilams[0] ** (2.0 / 3.0))
-        Minv = ridge_inverse(XtX, rho)
-        XtY = dot(Xs.T, Ys)
-        ops = _mt_tall_ops(Minv, XtY, p, K)
-        solve = make_fadmm_solver(ops, adapt_rho=False)
-        zeros = jnp.zeros((p, K), dtype)
-        st0 = make_state(zeros, zeros, zeros, rho, ilams[0], dtype=dtype)
-        report = lambda st: st.z
-        aux_shape = None
-    else:
-        sprad = spectral_radius_gram(Xs)
-        rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                        jnp.cbrt(ilams[0] / sprad))
-        lambda0_int = _mt_lambda0(Xs, Ys)
-        ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K)
-        solve = make_admm_solver(ops, adapt_rho=True)
-        st0 = make_state(jnp.zeros((p, K), dtype),
-                         jnp.zeros((n, K), dtype),
-                         jnp.zeros((n, K), dtype), rho, ilams[0],
-                         aux=jnp.zeros((n, K), dtype), dtype=dtype)
-        report = lambda st: st.x
-        aux_shape = (n, K)
+    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho0)
 
     if path_mode == "batch":
         k = ilams.shape[0]

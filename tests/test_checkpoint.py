@@ -379,3 +379,61 @@ def test_genlasso_crash_and_resume_identical(tmp_path):
         checkpointed_gen_lasso_path(X, y, difference_matrix(p, 2),
                                     lambdas=lams, checkpoint=ck + ".3",
                                     chunk_size=5)
+
+
+def test_multitask_and_multinomial_crash_and_resume(tmp_path):
+    """Checkpoint/resume for the matrix-variable families: crash after
+    one chunk, resume, compare bit-exactly to an uninterrupted
+    checkpointed run and (to tolerance) to the plain scan path."""
+    from admm_tpu.diag.checkpoint import (checkpointed_multinomial_path,
+                                          checkpointed_multitask_lasso_path)
+    from admm_tpu.models.multinomial import multinomial_lasso_path
+    from admm_tpu.models.multitask import multitask_lasso_path
+
+    rng = np.random.default_rng(23)
+    n, p, K = 150, 10, 3
+    B = np.zeros((p, K))
+    B[:3] = rng.uniform(0.5, 1.5, (3, K))
+    X = rng.normal(size=(n, p))
+    Y = X @ B + 0.3 * rng.normal(size=(n, K))
+    lams = np.geomspace(0.3, 0.01, 12)
+    ck = str(tmp_path / "mt.npz")
+    assert checkpointed_multitask_lasso_path(
+        X, Y, lambdas=lams, checkpoint=ck, chunk_size=5,
+        _stop_after_chunks=1) is None
+    res = checkpointed_multitask_lasso_path(X, Y, lambdas=lams,
+                                            checkpoint=ck, chunk_size=5)
+    full = checkpointed_multitask_lasso_path(X, Y, lambdas=lams,
+                                             checkpoint=ck + ".2",
+                                             chunk_size=5)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    plain = multitask_lasso_path(X, Y, lambdas=lams, path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-5)
+
+    ylab = rng.integers(0, 3, n)
+    lamsn = np.geomspace(0.1, 0.01, 10)
+    ck2 = str(tmp_path / "mn.npz")
+    assert checkpointed_multinomial_path(
+        X, ylab, lambdas=lamsn, checkpoint=ck2, chunk_size=4,
+        _stop_after_chunks=1) is None
+    resn = checkpointed_multinomial_path(X, ylab, lambdas=lamsn,
+                                         checkpoint=ck2, chunk_size=4)
+    fulln = checkpointed_multinomial_path(X, ylab, lambdas=lamsn,
+                                          checkpoint=ck2 + ".2",
+                                          chunk_size=4)
+    np.testing.assert_array_equal(np.asarray(resn.coef),
+                                  np.asarray(fulln.coef))
+    plainn = multinomial_lasso_path(X, ylab, lambdas=lamsn,
+                                    path_mode="scan")
+    np.testing.assert_allclose(np.asarray(resn.coef),
+                               np.asarray(plainn.coef), atol=1e-5)
+    # A grouped-flag change must refuse to resume.
+    assert checkpointed_multinomial_path(
+        X, ylab, lambdas=lamsn, checkpoint=ck2 + ".3", chunk_size=4,
+        _stop_after_chunks=1) is None
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_multinomial_path(X, ylab, lambdas=lamsn,
+                                      checkpoint=ck2 + ".3",
+                                      chunk_size=4, grouped=True)
