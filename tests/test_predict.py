@@ -1,0 +1,72 @@
+"""Prediction utilities (admm_tpu.predict — glmnet's predict analog)."""
+import numpy as np
+import pytest
+
+import admm_tpu
+
+
+def test_predict_gaussian_and_lam_selection():
+    rng = np.random.default_rng(0)
+    n, p = 150, 10
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:3] = [2.0, -1.0, 0.5]
+    y = 1.0 + X @ b + 0.2 * rng.normal(size=n)
+    res = admm_tpu.models.lasso.lasso_path(X, y, nlambda=8)
+    eta = admm_tpu.predict(res, X)
+    assert eta.shape == (8, n)
+    # Manual assembly matches.
+    i = 5
+    np.testing.assert_allclose(
+        eta[i], np.asarray(res.beta0)[i] + X @ np.asarray(res.coef)[i],
+        rtol=1e-6)
+    # Nearest-lambda selection drops the leading axis.
+    one = admm_tpu.predict(res, X, lam=float(res.lambdas[i]))
+    np.testing.assert_allclose(one, eta[i], rtol=1e-6)
+
+
+def test_predict_binomial_response_and_class():
+    rng = np.random.default_rng(1)
+    n, p = 200, 8
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[2.0, -2.0], np.zeros(p - 2)])
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-(X @ b)))).astype(float)
+    res = admm_tpu.logistic_lasso_path(X, y, nlambda=6)
+    pr = admm_tpu.predict(res, X, type="response", family="binomial")
+    assert np.all((pr >= 0) & (pr <= 1))
+    lab = admm_tpu.predict(res, X, type="class", family="binomial",
+                           lam=float(res.lambdas[-1]))
+    assert (lab == y).mean() > 0.8
+
+
+def test_predict_multinomial_and_multitask():
+    rng = np.random.default_rng(2)
+    n, p, C = 200, 8, 3
+    X = rng.normal(size=(n, p))
+    y = rng.integers(0, C, n)
+    mn = admm_tpu.multinomial_lasso_path(X, y, nlambda=4, maxit=300)
+    pr = admm_tpu.predict(mn, X, type="response")
+    assert pr.shape == (4, n, C)
+    np.testing.assert_allclose(pr.sum(axis=2), 1.0, atol=1e-5)
+    lab = admm_tpu.predict(mn, X, type="class")
+    assert lab.shape == (4, n) and lab.dtype.kind == "i"
+
+    Y = X @ np.ones((p, 2)) + rng.normal(size=(n, 2))
+    mt = admm_tpu.multitask_lasso_path(X, Y, nlambda=4, maxit=300)
+    eta = admm_tpu.predict(mt, X)
+    assert eta.shape == (4, n, 2)
+    with pytest.raises(ValueError, match="link"):
+        admm_tpu.predict(mt, X, type="response")
+
+
+def test_predict_validates():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 5))
+    res = admm_tpu.models.lasso.lasso_path(X, rng.normal(size=50),
+                                           nlambda=4)
+    with pytest.raises(ValueError, match="type"):
+        admm_tpu.predict(res, X, type="nope")
+    with pytest.raises(ValueError, match="family"):
+        admm_tpu.predict(res, X, type="response", family="nope")
+    with pytest.raises(ValueError, match="class"):
+        admm_tpu.predict(res, X, type="class")
