@@ -106,13 +106,19 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
     the path driver and the checkpointed driver.
 
     Fixed majorizer: softmax curvature bound 1/2 (PSD order), shared
-    across classes; auto-rho = the bound (the measured principle of
-    DESIGN.md "GLM rho": balance the prox against the curvature)."""
+    across classes.  Auto-rho = 1/(4C) — the PER-CLASS curvature scale
+    (pi(1-pi) at near-uniform probabilities ~ 1/C, and the binomial
+    C=1 case recovers the measured 1/4 of DESIGN.md "GLM rho").
+    MEASURED on chip (2026-08-17, 2000x200 C=5, 30 lambdas): the
+    iteration minimum sits at rho ~ 0.05 = 1/(4*5) — 7x fewer
+    iterations than the earlier rho = 1/2 guess — and at rho ~ 0.1 =
+    1/(4*3) on a 400x12 C=3 problem, with sklearn-saga agreement
+    unchanged at every point."""
     n, q = Xa.shape
     C = Yoh.shape[1]
     dtype = Xa.dtype
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.asarray(0.5, dtype))
+                    jnp.asarray(1.0 / (4.0 * C), dtype))
     H_fix = dot(Xa.T, Xa) / (2.0 * n)
     Minv = ridge_inverse(H_fix, rho)
     ops = _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped,

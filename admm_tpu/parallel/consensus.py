@@ -1024,9 +1024,10 @@ def parallel_multinomial_lasso_path(
                               newton_steps=int(newton_steps)),
         master_prox=_mn_master_prox(W, float(alpha), pen_mask, q, C,
                                     bool(grouped)),
-        # Softmax curvature bound 1/2, split over W workers (the
+        # Per-class curvature scale 1/(4C) (the serial measured default,
+        # models/multinomial.py::_mn_engine), split over W workers (the
         # measured bound/W principle, DESIGN.md "GLM rho").
-        auto_rho=lambda lam_first: 0.5 / W,
+        auto_rho=lambda lam_first: 1.0 / (4.0 * C * W),
         trace_len=trace_len)
     init = (jnp.zeros((W, q * C), dtype), jnp.zeros((W, q * C), dtype),
             jnp.zeros((q * C,), dtype))

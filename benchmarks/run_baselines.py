@@ -270,6 +270,67 @@ def bench_glm(fast):
     return out
 
 
+def bench_multi(fast):
+    """Informational rows for the matrix-variable families (no
+    reference baseline — single-response only there): the multi-task
+    Lasso at flagship scale (10000 x 1000, K=8 tasks) and the
+    multinomial path (2000 x 200, C=5), both at shipped defaults
+    (batched lambda lanes; shared factorized matrices)."""
+    import jax.numpy as jnp
+    from admm_tpu.models.multinomial import _mn_path
+    from admm_tpu.models.multitask import _mt_path
+
+    rng = np.random.default_rng(123)
+    out = {}
+
+    n, p, K = 10000, 1000, 8
+    B = np.zeros((p, K), np.float32)
+    B[rng.choice(p, 100, replace=False)] = rng.uniform(
+        -1, 1, (100, K)).astype(np.float32)
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    Y = (X @ B + rng.normal(size=(n, K))).astype(np.float32)
+    Xj, Yj = jnp.asarray(X), jnp.asarray(Y)
+
+    def one_mt(i, Xj, Yj):
+        YY = Yj * (1.0 + 1e-6 * (i + 1).astype(Yj.dtype))
+        r = _mt_path(Xj, YY, 50, 1e-2, None, -1.0, 10000, 1e-5, 1e-5,
+                     standardize_x=True, intercept=True,
+                     path_mode="batch")
+        return jnp.sum(r.coef) + jnp.sum(r.niter)
+
+    ks = (1, 4) if fast else (2, 10)
+    out["multitask_path_10000x1000_K8_ms"] = dict(
+        value=amortized_ms(one_mt, *ks, args=(Xj, Yj)),
+        baseline_ms=None,
+        note="50-lambda batched path, 8 tasks, shared support; "
+             "extension (reference is single-response)")
+
+    n2, p2, C = 2000, 200, 5
+    X2 = rng.normal(size=(n2, p2)).astype(np.float32)
+    BC = np.zeros((p2, C), np.float32)
+    BC[:10] = rng.uniform(-1.5, 1.5, (10, C)).astype(np.float32)
+    eta = X2 @ BC
+    pr = np.exp(eta - eta.max(axis=1, keepdims=True))
+    pr /= pr.sum(axis=1, keepdims=True)
+    lab = np.array([rng.choice(C, p=pi) for pi in pr]).astype(np.float32)
+    X2j, labj = jnp.asarray(X2), jnp.asarray(lab)
+
+    def one_mn(i, X2j, labj):
+        XX = X2j * (1.0 + 1e-7 * (i + 1).astype(X2j.dtype))
+        r = _mn_path(XX, labj, 30, 1e-2, None, -1.0, 10000, 1e-5, 1e-5,
+                     1.0, nclass=C, standardize_x=True, intercept=True,
+                     path_mode="batch", grouped=False, newton_steps=2)
+        return jnp.sum(r.coef) + jnp.sum(r.niter)
+
+    ks = (2, 8) if fast else (4, 24)
+    out["multinomial_path_2000x200_C5_ms"] = dict(
+        value=amortized_ms(one_mn, *ks, args=(X2j, labj)),
+        baseline_ms=None,
+        note="30-lambda batched softmax path, 5 classes, fixed "
+             "majorizer; extension (reference is gaussian-only)")
+    return out
+
+
 def bench_cv(fast):
     """One-program CV vs the host fold loop on the flagship problem
     (10-fold, 100 lambdas).  Unlike the other rows this one measures
@@ -439,7 +500,8 @@ def main():
     for name, fn in [("lasso", bench_lasso_path),
                      ("lasso_wide", bench_lasso_wide),
                      ("lad", bench_lad), ("bp", bench_bp),
-                     ("glm", bench_glm), ("cv", bench_cv),
+                     ("glm", bench_glm), ("multi", bench_multi),
+                     ("cv", bench_cv),
                      ("consensus_scaling", bench_consensus_scaling)]:
         t0 = time.time()
         results.update(fn(args.fast))
