@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.engine import (ADMMState, make_admm_solver,
-                           make_batched_solver, make_state, warm_start)
+                           make_batched_solver, make_state)
 from ..core.prox import l2norm, soft_threshold, sqnorm
 from ..linalg import dot, ridge_inverse
 
@@ -52,6 +52,9 @@ class MNPathResult(NamedTuple):
     beta0: jnp.ndarray    # (nlambda, C) sum-to-zero intercepts
     coef: jnp.ndarray     # (nlambda, p, C)
     niter: jnp.ndarray    # (nlambda,) int32
+    # (nlambda, trace_len, 5) per-iteration residual trace when
+    # requested (admm_tpu.diag.trace).
+    trace: Optional[jnp.ndarray] = None
 
 
 def _softmax_grad(Xa, B, Yoh, n):
@@ -131,10 +134,12 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
 
 @partial(jax.jit, static_argnames=("nclass", "standardize_x",
                                    "intercept", "nlambda", "path_mode",
-                                   "grouped", "newton_steps"))
+                                   "grouped", "newton_steps",
+                                   "trace_len"))
 def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
              eps_abs, eps_rel, alpha, *, nclass, standardize_x,
-             intercept, path_mode, grouped, newton_steps):
+             intercept, path_mode, grouped, newton_steps,
+             trace_len=None):
     from .glm import prep_design
 
     n, p = X.shape
@@ -185,14 +190,13 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
             done=jnp.zeros((k,), bool),
         )
         st = make_batched_solver(solve)(st, maxit, eps_abs, eps_rel)
-        coefs_a, niter = st.z, st.it
+        coefs_a, niter, traces = st.z, st.it, None
     else:
-        def step(st, lam):
-            st = warm_start(st, lam)
-            st = solve(st, maxit, eps_abs, eps_rel)
-            return st, (st.z, st.it)
+        from .lasso import _scan_path
 
-        _, (coefs_a, niter) = lax.scan(step, st0, lams)
+        _, coefs_a, niter, traces = _scan_path(st0, solve, report,
+                                               lams, maxit, eps_abs,
+                                               eps_rel, trace_len)
 
     # Recover to the original scale; intercepts sum-to-zero normalized
     # (the softmax shift gauge).
@@ -205,7 +209,7 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
     beta0 = b0_std - jnp.einsum("kpc,p->kc", coef, mean_x)
     beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
     return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
-                        niter=niter)
+                        niter=niter, trace=traces)
 
 
 def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
@@ -218,6 +222,8 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
                            eps_abs: float = 1e-5, eps_rel: float = 1e-5,
                            rho: float = -1.0, path_mode: str = "batch",
                            newton_steps: int = 2,
+                           trace_len: Optional[int] = None,
+                           data_mesh=None,
                            dtype=jnp.float32) -> MNPathResult:
     """Solve the sparse multinomial (softmax) regression lambda path.
 
@@ -240,10 +246,18 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
         raise ValueError("alpha must be in (0, 1]")
     if path_mode not in ("batch", "scan"):
         raise ValueError("path_mode must be 'batch' or 'scan'")
+    if trace_len is not None:
+        path_mode = "scan"
+        trace_len = int(trace_len)
+    if data_mesh is not None:
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     return _mn_path(X, y_np, int(nlambda), lambda_min_ratio, lams, rho,
                     maxit, eps_abs, eps_rel, alpha, nclass=int(nclass),
                     standardize_x=standardize, intercept=intercept,
                     path_mode=path_mode, grouped=bool(grouped),
-                    newton_steps=int(newton_steps))
+                    newton_steps=int(newton_steps),
+                    trace_len=trace_len)

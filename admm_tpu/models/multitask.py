@@ -35,7 +35,7 @@ from jax import lax
 
 from ..core.engine import (ADMMState, make_admm_solver,
                            make_batched_solver, make_fadmm_solver,
-                           make_state, warm_start)
+                           make_state)
 from ..core.prox import l2norm, sqnorm
 from ..linalg import dot, gram, spectral_radius_gram, spectral_radius_sym
 from ..linalg import ridge_inverse
@@ -47,6 +47,9 @@ class MTPathResult(NamedTuple):
     beta0: jnp.ndarray    # (nlambda, K) per-task intercepts
     coef: jnp.ndarray     # (nlambda, p, K)
     niter: jnp.ndarray    # (nlambda,) int32
+    # (nlambda, trace_len, 5) per-iteration residual trace when
+    # requested (admm_tpu.diag.trace).
+    trace: Optional[jnp.ndarray] = None
 
 
 def _row_prox(v, t):
@@ -150,9 +153,10 @@ def _mt_engine(Xs, Ys, ilam_first, rho0):
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "nlambda", "path_mode"))
+                                   "nlambda", "path_mode", "trace_len"))
 def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
-             eps_abs, eps_rel, *, standardize_x, intercept, path_mode):
+             eps_abs, eps_rel, *, standardize_x, intercept, path_mode,
+             trace_len=None):
     n, p = X.shape
     K = Y.shape[1]
     dtype = X.dtype
@@ -209,20 +213,19 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
             done=jnp.zeros((k,), bool),
         )
         st = bsolve(st, maxit, eps_abs, eps_rel)
-        coefs, niter = report(st), st.it
+        coefs, niter, traces = report(st), st.it, None
     else:
-        def step(st, lam):
-            st = warm_start(st, lam)
-            st = solve(st, maxit, eps_abs, eps_rel)
-            return st, (report(st), st.it)
+        from .lasso import _scan_path
 
-        _, (coefs, niter) = lax.scan(step, st0, ilams)
+        _, coefs, niter, traces = _scan_path(st0, solve, report, ilams,
+                                             maxit, eps_abs, eps_rel,
+                                             trace_len)
 
     # Recover: coef rows rescaled by sd_x; per-task intercepts.
     coef = coefs / sd_x[None, :, None]
     beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
     return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
-                        niter=niter)
+                        niter=niter, trace=traces)
 
 
 def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
@@ -232,13 +235,18 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                          maxit: int = 10000, eps_abs: float = 1e-5,
                          eps_rel: float = 1e-5, rho: float = -1.0,
                          path_mode: str = "batch",
+                         trace_len: Optional[int] = None,
+                         data_mesh=None,
                          dtype=jnp.float32) -> MTPathResult:
     """Solve the multi-task Lasso lambda path on device.
 
     ``Y`` is (n, K) — one column per task; coefficient rows are jointly
     penalized (``sum_j ||B_j.||_2``), so the support is shared across
     tasks.  ``path_mode``: "batch" (default, lambdas as lanes) or
-    "scan" (warm-started sequential).  Oracle: sklearn
+    "scan" (warm-started sequential).  ``trace_len`` records the
+    per-iteration residual trace (implies scan, as in the Lasso path);
+    ``data_mesh`` row-shards X/Y for operator parallelism (the same
+    pattern as ``lasso_path(data_mesh=...)``).  Oracle: sklearn
     ``MultiTaskLasso`` (tests/test_multitask.py).
     """
     X = jnp.asarray(X, dtype)
@@ -250,8 +258,17 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
         raise ValueError("nrow(x) should be equal to nrow(y)")
     if path_mode not in ("batch", "scan"):
         raise ValueError("path_mode must be 'batch' or 'scan'")
+    if trace_len is not None:
+        path_mode = "scan"
+        trace_len = int(trace_len)
+    if data_mesh is not None:
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
+        Y = put_dim_sharded(Y, data_mesh, 0)
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     return _mt_path(X, Y, int(nlambda), lambda_min_ratio, lams, rho,
                     maxit, eps_abs, eps_rel, standardize_x=standardize,
-                    intercept=intercept, path_mode=path_mode)
+                    intercept=intercept, path_mode=path_mode,
+                    trace_len=trace_len)

@@ -94,3 +94,17 @@ def test_cv_multinomial():
     # Deviance at lambda_min beats the null top of the grid.
     assert cv.cvm[np.argmin(np.abs(cv.lambdas - cv.lambda_min))] \
         < cv.cvm[0]
+
+
+def test_multinomial_trace_and_data_mesh():
+    from admm_tpu.parallel.mesh import make_mesh
+
+    X, y, _ = _problem(n=160, seed=9)
+    r = multinomial_lasso_path(X, y, nlambda=4, trace_len=64,
+                               maxit=500)
+    assert r.trace.shape == (4, 64, 5)
+    rep = multinomial_lasso_path(X, y, nlambda=4, maxit=500)
+    shd = multinomial_lasso_path(X, y, nlambda=4, maxit=500,
+                                 data_mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(shd.coef),
+                               np.asarray(rep.coef), atol=2e-4)

@@ -95,3 +95,18 @@ def test_cv_multitask():
     assert cv.lambda_1se >= cv.lambda_min
     assert cv.cvm[np.argmin(np.abs(cv.lambdas - cv.lambda_min))] \
         < cv.cvm[0]
+
+
+def test_multitask_trace_and_data_mesh():
+    from admm_tpu.parallel.mesh import make_mesh
+
+    X, Y, _ = _problem(n=120, p=10, K=2, seed=8)
+    r = multitask_lasso_path(X, Y, nlambda=4, trace_len=64)
+    assert r.trace.shape == (4, 64, 5)
+    nrec = int((~np.isnan(np.asarray(r.trace)[0, :, 0])).sum())
+    assert nrec == min(int(r.niter[0]), 64)
+    rep = multitask_lasso_path(X, Y, nlambda=4)
+    shd = multitask_lasso_path(X, Y, nlambda=4,
+                               data_mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(shd.coef),
+                               np.asarray(rep.coef), atol=2e-4)
