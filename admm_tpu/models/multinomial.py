@@ -57,15 +57,18 @@ class MNPathResult(NamedTuple):
     trace: Optional[jnp.ndarray] = None
 
 
-def _softmax_grad(Xa, B, Yoh, n):
-    """(q, C) gradient of the mean NLL at B: Xa'(softmax(eta) - Y)/n."""
+def _softmax_grad(Xa, B, Yoh, n, obs_w=None):
+    """(q, C) gradient of the mean NLL at B: Xa'(w o (softmax - Y))/n
+    (``obs_w`` = normalized observation weights, or None)."""
     eta = dot(Xa, B)
-    pi = jax.nn.softmax(eta, axis=1)
-    return dot(Xa.T, pi - Yoh) / n
+    g = jax.nn.softmax(eta, axis=1) - Yoh
+    if obs_w is not None:
+        g = obs_w[:, None] * g
+    return dot(Xa.T, g) / n
 
 
 def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
-            fixed_minv):
+            fixed_minv, obs_w=None):
     from ..core.engine import ProblemOps
 
     mask = pen_mask[:, None]  # (q, 1): 0 on the intercept row
@@ -74,7 +77,8 @@ def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
         v = st.z - st.y / st.rho
 
         def step(_, B):
-            grad = _softmax_grad(Xa, B, Yoh, n) + st.rho * (B - v)
+            grad = (_softmax_grad(Xa, B, Yoh, n, obs_w)
+                    + st.rho * (B - v))
             return B - dot(fixed_minv, grad)
 
         return lax.fori_loop(0, newton_steps, step, st.x)
@@ -104,7 +108,7 @@ def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
 
 
 def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
-               newton_steps):
+               newton_steps, obs_w=None):
     """Engine triple (cold state, solver, reported iterate) — shared by
     the path driver and the checkpointed driver.
 
@@ -122,10 +126,11 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
     dtype = Xa.dtype
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.asarray(1.0 / (4.0 * C), dtype))
-    H_fix = dot(Xa.T, Xa) / (2.0 * n)
+    Xw = Xa if obs_w is None else Xa * jnp.sqrt(obs_w)[:, None]
+    H_fix = dot(Xw.T, Xw) / (2.0 * n)
     Minv = ridge_inverse(H_fix, rho)
     ops = _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped,
-                  newton_steps, Minv)
+                  newton_steps, Minv, obs_w)
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q, C), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
@@ -137,24 +142,36 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
                                    "grouped", "newton_steps",
                                    "trace_len"))
 def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
-             eps_abs, eps_rel, alpha, *, nclass, standardize_x,
-             intercept, path_mode, grouped, newton_steps,
+             eps_abs, eps_rel, alpha, weights=None, *, nclass,
+             standardize_x, intercept, path_mode, grouped, newton_steps,
              trace_len=None):
     from .glm import prep_design
 
     n, p = X.shape
     C = nclass
     dtype = X.dtype
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))  # glmnet: weights sum to n
     Yoh = jax.nn.one_hot(y.astype(jnp.int32), C, dtype=dtype)
-    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize_x, intercept)
+    Xa, pen_mask, mean_x, sd_x = prep_design(X, standardize_x, intercept,
+                                             weights=w)
     Xs = Xa[:, 1:] if intercept else Xa
     q = Xa.shape[1]
 
-    # glmnet lambda_max: the null model's score.  Null probabilities =
-    # class frequencies (the intercept-only optimum) or uniform.
-    pi0 = (jnp.mean(Yoh, axis=0) if intercept
-           else jnp.full((C,), 1.0 / C, dtype))
-    G0 = dot(Xs.T, pi0[None, :] - Yoh) / n  # (p, C)
+    # glmnet lambda_max: the (weighted) null model's score.  Null
+    # probabilities = (weighted) class frequencies (the intercept-only
+    # optimum) or uniform.
+    if intercept:
+        pi0 = (jnp.mean(Yoh, axis=0) if w is None
+               else jnp.sum(w[:, None] * Yoh, axis=0) / n)
+    else:
+        pi0 = jnp.full((C,), 1.0 / C, dtype)
+    G0 = pi0[None, :] - Yoh
+    if w is not None:
+        G0 = w[:, None] * G0
+    G0 = dot(Xs.T, G0) / n  # (p, C)
     if grouped:
         # 1.001 nudge past the exact row-norm boundary: the l2 group
         # prox (unlike the soft-threshold) only reaches exact zero when
@@ -170,7 +187,8 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         lams = user_lams
 
     st0, solve, report = _mn_engine(Xa, Yoh, lams[0], rho0, pen_mask,
-                                    alpha, grouped, newton_steps)
+                                    alpha, grouped, newton_steps,
+                                    obs_w=w)
 
     if path_mode == "batch":
         k = lams.shape[0]
@@ -224,6 +242,7 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
                            newton_steps: int = 2,
                            trace_len: Optional[int] = None,
                            data_mesh=None,
+                           weights: Optional[jnp.ndarray] = None,
                            dtype=jnp.float32) -> MNPathResult:
     """Solve the sparse multinomial (softmax) regression lambda path.
 
@@ -231,8 +250,10 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
     ``max(y) + 1``.  ``grouped=True`` uses the row-wise group penalty
     (glmnet's ``type.multinomial="grouped"``: one shared support across
     classes); the default penalizes every coefficient independently
-    with the elastic-net mix ``alpha``.  Oracle: sklearn saga
-    (tests/test_multinomial.py).
+    with the elastic-net mix ``alpha``.  ``weights`` are glmnet-style
+    observation weights (weighted NLL, majorizer, standardization and
+    grid; integer weight k == repeating the row k times, tested).
+    Oracle: sklearn saga (tests/test_multinomial.py).
     """
     X = jnp.asarray(X, dtype)
     y_np = jnp.asarray(y).ravel()
@@ -255,8 +276,10 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
         X = put_dim_sharded(X, data_mesh, 0)
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    w = None if weights is None else jnp.asarray(weights, dtype)
     return _mn_path(X, y_np, int(nlambda), lambda_min_ratio, lams, rho,
-                    maxit, eps_abs, eps_rel, alpha, nclass=int(nclass),
+                    maxit, eps_abs, eps_rel, alpha, w,
+                    nclass=int(nclass),
                     standardize_x=standardize, intercept=intercept,
                     path_mode=path_mode, grouped=bool(grouped),
                     newton_steps=int(newton_steps),

@@ -155,30 +155,48 @@ def _mt_engine(Xs, Ys, ilam_first, rho0):
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "nlambda", "path_mode", "trace_len"))
 def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
-             eps_abs, eps_rel, *, standardize_x, intercept, path_mode,
-             trace_len=None):
+             eps_abs, eps_rel, weights=None, *, standardize_x,
+             intercept, path_mode, trace_len=None):
     n, p = X.shape
     K = Y.shape[1]
     dtype = X.dtype
-    from ..data.standardize import _guard, _sd_n
+    from ..data.standardize import _guard
+
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))  # glmnet: weights sum to n
+    wcol = jnp.ones((n,), dtype) if w is None else w
+
+    def wmean(v, axis=None):
+        ww = wcol if v.ndim == 1 else wcol[:, None]
+        return jnp.sum(ww * v, axis=axis) / n
 
     mean_x = jnp.zeros((p,), dtype)
     sd_x = jnp.ones((p,), dtype)
     mean_y = jnp.zeros((K,), dtype)
-    col_mean = jnp.mean(X, axis=0)
+    col_mean = wmean(X, axis=0)
     Xs = X
     if intercept:
-        mean_y = jnp.mean(Y, axis=0)
+        mean_y = wmean(Y, axis=0)
         Xs = X - col_mean[None, :]
         Ys = Y - mean_y[None, :]
         mean_x = col_mean
     else:
         Ys = Y
     if standardize_x:
-        # glmnet 1/n sd (centered two-pass) with the relative
+        # glmnet 1/n sd (weighted centered two-pass) with the relative
         # zero-variance guard, as data/standardize.py.
-        sd_x = _guard(_sd_n(X, axis=0), col_mean)
+        c = X - col_mean[None, :]
+        sd_x = _guard(jnp.sqrt(jnp.sum(wcol[:, None] * c * c, axis=0)
+                               / n), col_mean)
         Xs = Xs / sd_x[None, :]
+    if w is not None:
+        # sqrt(w) row scaling: the quadratic loss becomes weighted and
+        # everything downstream (Gram, lambda grid, solves) follows.
+        sw = jnp.sqrt(w)
+        Xs = Xs * sw[:, None]
+        Ys = Ys * sw[:, None]
 
     lam0 = _mt_lambda0(Xs, Ys) / n
     if user_lams is None:
@@ -237,6 +255,7 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                          path_mode: str = "batch",
                          trace_len: Optional[int] = None,
                          data_mesh=None,
+                         weights: Optional[jnp.ndarray] = None,
                          dtype=jnp.float32) -> MTPathResult:
     """Solve the multi-task Lasso lambda path on device.
 
@@ -247,7 +266,9 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
     per-iteration residual trace (implies scan, as in the Lasso path);
     ``data_mesh`` row-shards X/Y for operator parallelism (the same
     pattern as ``lasso_path(data_mesh=...)``).  Oracle: sklearn
-    ``MultiTaskLasso`` (tests/test_multitask.py).
+    ``MultiTaskLasso`` (tests/test_multitask.py); ``weights`` are
+    glmnet-style observation weights (integer weight k == repeating the
+    row k times, tested).
     """
     X = jnp.asarray(X, dtype)
     Y = jnp.asarray(Y, dtype)
@@ -268,7 +289,9 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
         Y = put_dim_sharded(Y, data_mesh, 0)
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    w = None if weights is None else jnp.asarray(weights, dtype)
     return _mt_path(X, Y, int(nlambda), lambda_min_ratio, lams, rho,
-                    maxit, eps_abs, eps_rel, standardize_x=standardize,
+                    maxit, eps_abs, eps_rel, w,
+                    standardize_x=standardize,
                     intercept=intercept, path_mode=path_mode,
                     trace_len=trace_len)

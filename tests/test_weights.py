@@ -222,3 +222,41 @@ def test_consensus_weights_match_serial_weighted():
                                np.asarray(serg.coef), atol=2e-3)
     np.testing.assert_allclose(np.asarray(parg.beta0),
                                np.asarray(serg.beta0), atol=2e-3)
+
+
+def test_matrix_families_integer_weights_equal_row_duplication():
+    """Weight k == repeating the row k times for the matrix-variable
+    families too (multi-task and multinomial)."""
+    from admm_tpu.models.multinomial import multinomial_lasso_path
+    from admm_tpu.models.multitask import multitask_lasso_path
+
+    rng = np.random.default_rng(7)
+    n, p, K = 150, 10, 3
+    X = rng.normal(size=(n, p))
+    B = np.zeros((p, K))
+    B[:3] = rng.uniform(0.5, 1.5, (3, K))
+    Y = X @ B + 0.3 * rng.normal(size=(n, K))
+    w = rng.integers(1, 4, n).astype(float)
+    Xd = np.repeat(X, w.astype(int), axis=0)
+    Yd = np.repeat(Y, w.astype(int), axis=0)
+    a = multitask_lasso_path(X, Y, nlambda=5, weights=w,
+                             eps_abs=1e-7, eps_rel=1e-7)
+    d = multitask_lasso_path(Xd, Yd, nlambda=5,
+                             eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(a.lambdas),
+                               np.asarray(d.lambdas), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(d.coef),
+                               atol=2e-4)
+
+    ylab = rng.integers(0, 3, n)
+    yd = np.repeat(ylab, w.astype(int))
+    am = multinomial_lasso_path(X, ylab, nlambda=5, weights=w,
+                                eps_abs=1e-7, eps_rel=1e-7)
+    dm = multinomial_lasso_path(Xd, yd, nlambda=5,
+                                eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(am.lambdas),
+                               np.asarray(dm.lambdas), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(am.coef), np.asarray(dm.coef),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(am.beta0),
+                               np.asarray(dm.beta0), atol=3e-4)
