@@ -54,7 +54,26 @@ def main() -> None:
                      intercept=False, eps_abs=1e-6, eps_rel=1e-6)
     gap = float(np.abs(coef - np.asarray(ser.coef)).max())
     assert gap < 2e-3, f"consensus/serial gap {gap}"
-    print(f"MULTIPROC_OK proc={proc_id} gap={gap:.2e}", flush=True)
+
+    # Distributed GLM across the process boundary too: the binomial
+    # consensus worker's one fused psum rides the same Gloo backend.
+    from admm_tpu.models.logistic import logistic_lasso_path
+    from admm_tpu.parallel.consensus import parallel_glm_lasso_path
+    from admm_tpu.models.glm import binomial
+
+    ylab = (rng.uniform(size=n) < 1.0 / (1.0 + np.exp(-X @ b))
+            ).astype(float)
+    lg = np.array([0.05, 0.02])
+    parg = parallel_glm_lasso_path(X, ylab, binomial(), nworkers=W,
+                                   mesh=make_mesh(W), lambdas=lg,
+                                   eps_abs=1e-6, eps_rel=1e-6)
+    serg = logistic_lasso_path(X, ylab, lambdas=lg, eps_abs=1e-6,
+                               eps_rel=1e-6)
+    gapg = float(np.abs(np.asarray(parg.coef)
+                        - np.asarray(serg.coef)).max())
+    assert gapg < 2e-3, f"consensus/serial GLM gap {gapg}"
+    print(f"MULTIPROC_OK proc={proc_id} gap={gap:.2e} glm={gapg:.2e}",
+          flush=True)
 
 
 if __name__ == "__main__":
