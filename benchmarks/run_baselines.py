@@ -247,7 +247,12 @@ def bench_glm(fast):
     for name, fam in fams.items():
         yj = jnp.asarray(ys[name])
 
-        def one(i, Xj=Xj, yj=yj, fam=fam):
+        # Shipped defaults: poisson (exact engine, warm-started scan)
+        # runs ONE exact Newton step per x-update (measured equivalent
+        # to 2; models/glm.py::poisson_lasso_path).
+        ns = 1 if fam.curvature_bound is None else 2
+
+        def one(i, Xj=Xj, yj=yj, fam=fam, ns=ns):
             # Perturb X (labels must stay 0/1 and counts integral) so
             # the solve depends on i and cannot be CSE'd out of the
             # timing loop.
@@ -255,7 +260,7 @@ def bench_glm(fast):
             r = _glm_path(XX, yj, 30, 1e-2, None, -1.0, 10000,
                           1e-5, 1e-5, 1.0, family=fam,
                           standardize_x=True, intercept=True,
-                          path_mode="auto")
+                          path_mode="auto", newton_steps=ns)
             return jnp.sum(r.coef) + jnp.sum(r.niter)
         # Sub-ms solves for the fixed-majorizer families: the K spread
         # must clear the ~30 ms tunnel jitter (CLAUDE.md).
