@@ -86,6 +86,9 @@ class GLMFamily(NamedTuple):
     # of an (n, q, q) Hessian build + Cholesky (the measured ~10x of
     # DESIGN.md "GLM tier").
     curvature_bound: Optional[float] = None
+    # Scalar family parameter (huber's M), exposed so non-closure
+    # consumers (the Pallas kernel) can rebuild the gradient.
+    param: float = 0.0
 
 
 @lru_cache(maxsize=None)
@@ -150,6 +153,7 @@ def huber(M: float = 1.345) -> GLMFamily:
         null_resid=null_resid,
         cv_loss=cv_loss,
         curvature_bound=1.0,  # the inlier indicator is <= 1
+        param=float(M),
     )
 
 
@@ -286,27 +290,45 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
     )
 
 
+def _use_pallas_glm(n: int, q: int, k: int, dtype) -> bool:
+    from ..ops._common import pallas_enabled
+    from ..ops.glm_kernel import supports_glm
+
+    return pallas_enabled(dtype) and supports_glm(n, q, k)
+
+
+def _glm_auto_rho(family, rho0, dtype):
+    """Auto-rho = the family's curvature bound (1.0 when unbounded):
+    after standardization the loss Hessian is ~ bound * I, so rho =
+    bound balances it against the prox term.  MEASURED on chip
+    (DESIGN.md "GLM rho, measured"): binomial's optimum is
+    rho ~ 0.2-0.3 (= its 1/4 bound, 2.7x fewer iterations than the
+    old rho = 1 guess), huber's and poisson's are 1.0."""
+    auto = family.curvature_bound or 1.0
+    return jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                     jnp.asarray(auto, dtype))
+
+
+def _glm_fixed_minv(Xa, family, rho, obs_w=None):
+    """The fixed-majorizer inverse ``(bound * Xa'W Xa/n + rho I)^{-1}``
+    (shared by the XLA engine and the Pallas kernel path)."""
+    from ..linalg import ridge_inverse
+
+    n = Xa.shape[0]
+    Xw = Xa if obs_w is None else Xa * jnp.sqrt(obs_w)[:, None]
+    H_fix = (family.curvature_bound / n) * dot(Xw.T, Xw)
+    return ridge_inverse(H_fix, rho)
+
+
 def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
                 newton_steps, obs_w=None, hessian="exact"):
     n, q = Xa.shape
     dtype = Xa.dtype
-    # Auto-rho = the family's curvature bound (1.0 when unbounded):
-    # after standardization the loss Hessian is ~ bound * I, so rho =
-    # bound balances it against the prox term.  MEASURED on chip
-    # (DESIGN.md "GLM rho, measured"): binomial's optimum is
-    # rho ~ 0.2-0.3 (= its 1/4 bound, 2.7x fewer iterations than the
-    # old rho = 1 guess), huber's and poisson's are 1.0.
-    auto = family.curvature_bound or 1.0
-    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.asarray(auto, dtype))
+    rho = _glm_auto_rho(family, rho0, dtype)
     fixed_minv = None
     if hessian == "fixed":
         assert family.curvature_bound is not None
-        from ..linalg import ridge_inverse
-
-        Xw = Xa if obs_w is None else Xa * jnp.sqrt(obs_w)[:, None]
-        H_fix = (family.curvature_bound / n) * dot(Xw.T, Xw)
-        fixed_minv = ridge_inverse(H_fix, rho)
+        fixed_minv = _glm_fixed_minv(Xa, family, rho, obs_w)
     ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps,
                    obs_w, fixed_minv)
     solve = make_admm_solver(ops, adapt_rho=False)
@@ -359,6 +381,29 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
         # ~6x over the warm-started scan; with exact per-lane Hessians
         # the scan wins ~2x.
         path_mode = "batch" if hessian == "fixed" else "scan"
+
+    # TPU fast path: the whole fixed-majorizer batched path in ONE
+    # Pallas kernel with Xa, the majorizer inverse and all lane state
+    # resident in VMEM (admm_tpu/ops/glm_kernel.py).  Same math as the
+    # XLA branch below; gated on the measured VMEM budget.
+    if (path_mode == "batch" and hessian == "fixed" and w is None
+            and fam.name in ("binomial", "huber")
+            and _use_pallas_glm(Xa.shape[0], q, lams.shape[0], dtype)):
+        from ..ops.glm_kernel import glm_batch_path_pallas
+
+        rho_v = _glm_auto_rho(fam, rho, dtype)
+        Minv = _glm_fixed_minv(Xa, fam, rho_v)
+        huber_m = fam.param  # huber's M; unused for binomial
+        coefs_a, niter = glm_batch_path_pallas(
+            Xa, Minv, y, pen_mask, lams, rho_v, eps_abs, eps_rel,
+            jnp.asarray(alpha, dtype), maxit, family=fam.name,
+            huber_m=huber_m, newton_steps=newton_steps, true_q=q,
+            n_total=Xa.shape[0])
+        traces = None
+        beta0, coef = recover_glm(coefs_a, mean_x, sd_x, intercept)
+        return PathResult(lambdas=lams, beta0=beta0, coef=coef,
+                          niter=niter, trace=traces)
+
     st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
                                      alpha, newton_steps, obs_w=w,
                                      hessian=hessian)

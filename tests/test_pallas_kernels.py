@@ -268,3 +268,50 @@ def test_bp_batch_kernel_matches_xla_solver():
     # Accumulation-order drift bound as elsewhere.
     for a, b in zip(np.asarray(niter), np.asarray(ref.niter)):
         assert abs(int(a) - int(b)) <= max(3, int(0.05 * int(b)))
+
+
+def test_glm_kernel_matches_xla_batch_solver():
+    """The fixed-majorizer GLM kernel must reproduce the XLA batched
+    engine's solutions and (±1) iteration counts for both bounded
+    families."""
+    import jax.numpy as jnp
+
+    from admm_tpu.models.glm import (_glm_auto_rho, _glm_fixed_minv,
+                                     binomial, glm_lasso_path, huber,
+                                     prep_design)
+    from admm_tpu.ops.glm_kernel import glm_batch_path_pallas
+
+    rng = np.random.default_rng(51)
+    n, p = 300, 16
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    b = np.zeros(p)
+    b[:4] = [1.5, -2.0, 1.0, 0.5]
+    cases = {
+        "binomial": (binomial(),
+                     (rng.uniform(size=n) < 1 / (1 + np.exp(-(X @ b))))
+                     .astype(np.float32)),
+        "huber": (huber(1.345),
+                  (X @ b + 0.3 * rng.normal(size=n)).astype(np.float32)),
+    }
+    for name, (fam, y) in cases.items():
+        ref = glm_lasso_path(X, y, fam, nlambda=6, path_mode="batch",
+                             hessian="fixed", eps_abs=1e-6,
+                             eps_rel=1e-6, dtype=jnp.float32)
+        Xa, pen_mask, mean_x, sd_x = prep_design(
+            jnp.asarray(X), True, True)
+        rho = _glm_auto_rho(fam, -1.0, jnp.float32)
+        Minv = _glm_fixed_minv(Xa, fam, rho)
+        lams = jnp.asarray(ref.lambdas, jnp.float32)
+        z, niter = glm_batch_path_pallas(
+            Xa, Minv, jnp.asarray(y), pen_mask, lams, rho, 1e-6, 1e-6,
+            jnp.float32(1.0), 2000, family=fam.name, huber_m=fam.param,
+            newton_steps=2, true_q=int(Xa.shape[1]),
+            n_total=n, interpret=True)
+        from admm_tpu.models.glm import recover_glm
+
+        beta0, coef = recover_glm(z, mean_x, sd_x, True)
+        np.testing.assert_allclose(np.asarray(coef),
+                                   np.asarray(ref.coef), atol=2e-5,
+                                   err_msg=name)
+        assert np.abs(np.asarray(niter)
+                      - np.asarray(ref.niter)).max() <= 1, name
