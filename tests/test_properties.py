@@ -83,3 +83,91 @@ def test_standardize_recover_roundtrip(n, p, std, icpt, seed):
     pred_s = np.asarray(Xs) @ coef_s * float(stats.scale_y) \
         + float(stats.mean_y)
     np.testing.assert_allclose(pred, pred_s, rtol=1e-8, atol=1e-6)
+
+
+def test_multitask_kkt_conditions():
+    """KKT at convergence for the multi-task mixed norm: active rows
+    satisfy G_j = -lam B_j/||B_j||, inactive rows ||G_j|| <= lam, with
+    G = X'(XB - Y)/n."""
+    from admm_tpu.models.multitask import multitask_lasso_path
+
+    rng = np.random.default_rng(61)
+    n, p, K = 200, 15, 3
+    B = np.zeros((p, K))
+    B[:4] = rng.uniform(0.5, 1.5, (4, K)) * rng.choice([-1, 1], (4, K))
+    X = rng.normal(size=(n, p))
+    Y = X @ B + 0.3 * rng.normal(size=(n, K))
+    lam = 0.15
+    r = multitask_lasso_path(X, Y, lambdas=np.array([lam]),
+                             standardize=False, intercept=False,
+                             eps_abs=1e-8, eps_rel=1e-8)
+    Bh = np.asarray(r.coef)[0]
+    G = X.T @ (X @ Bh - Y) / n
+    rn = np.linalg.norm(Bh, axis=1)
+    act = rn > 1e-6
+    # Active rows: gradient anti-parallel to the row at magnitude lam.
+    for j in np.flatnonzero(act):
+        np.testing.assert_allclose(G[j], -lam * Bh[j] / rn[j],
+                                   atol=5e-4)
+    # Inactive rows: subgradient bound.
+    assert np.all(np.linalg.norm(G[~act], axis=1) <= lam * (1 + 1e-3))
+
+
+def test_multinomial_kkt_conditions():
+    """KKT for the ungrouped softmax l1 path (no intercept, raw scale):
+    active entries G_jc = -lam sign(B_jc); inactive |G_jc| <= lam."""
+    from admm_tpu.models.multinomial import multinomial_lasso_path
+
+    rng = np.random.default_rng(62)
+    n, p, C = 300, 12, 3
+    Bt = np.zeros((p, C))
+    Bt[:4] = rng.uniform(1.0, 2.0, (4, C)) * rng.choice([-1, 1], (4, C))
+    X = rng.normal(size=(n, p))
+    eta = X @ Bt
+    pr = np.exp(eta - eta.max(axis=1, keepdims=True))
+    pr /= pr.sum(axis=1, keepdims=True)
+    y = np.array([rng.choice(C, p=pi) for pi in pr])
+    lam = 0.02
+    r = multinomial_lasso_path(X, y, lambdas=np.array([lam]),
+                               standardize=False, intercept=False,
+                               eps_abs=1e-8, eps_rel=1e-8)
+    Bh = np.asarray(r.coef)[0]
+    eh = X @ Bh
+    ph = np.exp(eh - eh.max(axis=1, keepdims=True))
+    ph /= ph.sum(axis=1, keepdims=True)
+    Yoh = np.eye(C)[y]
+    G = X.T @ (ph - Yoh) / n
+    act = np.abs(Bh) > 1e-6
+    np.testing.assert_allclose(G[act], -lam * np.sign(Bh[act]),
+                               atol=5e-4)
+    assert np.all(np.abs(G[~act]) <= lam * (1 + 1e-3))
+
+
+def test_quantile_kkt_subgradient():
+    """KKT for quantile regression: the subgradient of the check loss
+    lies in [tau - 1, tau] per residual, so X' v = 0 for some selection
+    v_i in that interval (v_i = tau - 1{r_i < 0} off the kink).  Checked
+    via the directional-derivative test: perturbing each coefficient by
+    ±h cannot decrease the pinball objective."""
+    from admm_tpu.models.lad import quantile_fit
+
+    rng = np.random.default_rng(63)
+    n, p, tau = 300, 8, 0.7
+    X = rng.normal(size=(n, p))
+    y = 1.0 + X @ rng.uniform(size=p) + rng.gumbel(size=n)
+    r = quantile_fit(X, y, tau=tau, eps_abs=1e-7, eps_rel=1e-7)
+    b0, coef = float(r.beta0), np.asarray(r.coef)
+
+    def pinball(b0_, c_):
+        res = y - b0_ - X @ c_
+        return np.sum(res * (tau - (res < 0)))
+
+    base = pinball(b0, coef)
+    h = 1e-4
+    for j in range(p):
+        e = np.zeros(p)
+        e[j] = h
+        assert pinball(b0, coef + e) >= base - 1e-4 * n * h
+        assert pinball(b0, coef - e) >= base - 1e-4 * n * h
+    assert pinball(b0 + h, coef) >= base - 1e-4 * n * h
+    assert pinball(b0 - h, coef) >= base - 1e-4 * n * h

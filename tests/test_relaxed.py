@@ -1,0 +1,72 @@
+"""Relaxed lasso (admm_tpu.models.relaxed — glmnet's relax=TRUE)."""
+import numpy as np
+import pytest
+
+from admm_tpu.models.relaxed import (cv_relaxed_lasso_path,
+                                     relaxed_lasso_path)
+
+
+def _problem(n=200, p=20, seed=0):
+    rng = np.random.default_rng(seed)
+    b = np.zeros(p)
+    b[:5] = [2.0, -1.5, 1.0, -0.8, 0.6]
+    X = rng.normal(size=(n, p))
+    y = 1.0 + X @ b + 0.4 * rng.normal(size=n)
+    return X, y, b
+
+
+def test_gamma_one_is_the_lasso():
+    X, y, _ = _problem()
+    r = relaxed_lasso_path(X, y, nlambda=8, gammas=(0.0, 1.0))
+    np.testing.assert_allclose(np.asarray(r.coef)[1],
+                               np.asarray(r.fit.coef), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r.beta0)[1],
+                               np.asarray(r.fit.beta0), atol=1e-7)
+
+
+def test_gamma_zero_is_the_support_restricted_ls():
+    """The gamma = 0 end must equal numpy lstsq on each support
+    (raw scale, no intercept, for an exact oracle)."""
+    X, y, _ = _problem()
+    r = relaxed_lasso_path(X, y, nlambda=6, gammas=(0.0,),
+                           standardize=False, intercept=False,
+                           eps_abs=1e-7, eps_rel=1e-7)
+    coefs = np.asarray(r.fit.coef)
+    refit = np.asarray(r.refit_coef)
+    for i in range(coefs.shape[0]):
+        S = np.flatnonzero(np.abs(coefs[i]) > 0)
+        expect = np.zeros(coefs.shape[1])
+        if S.size:
+            expect[S] = np.linalg.lstsq(X[:, S], y, rcond=None)[0]
+        np.testing.assert_allclose(refit[i], expect, atol=2e-4)
+
+
+def test_blend_is_affine():
+    X, y, _ = _problem()
+    r = relaxed_lasso_path(X, y, nlambda=5, gammas=(0.0, 0.5, 1.0))
+    c = np.asarray(r.coef)
+    np.testing.assert_allclose(c[1], 0.5 * (c[0] + c[2]), atol=1e-6)
+
+
+def test_refit_debiases_and_cv_selects():
+    """On a strong sparse signal the refit end recovers the true
+    coefficients better than the shrunken lasso at the same lambda, and
+    the joint (lambda, gamma) CV picks a small gamma."""
+    X, y, b = _problem(n=300)
+    r = relaxed_lasso_path(X, y, nlambda=20)
+    c = np.asarray(r.coef)
+    # The debiasing shows where shrinkage is heaviest: the LARGEST
+    # lambda whose lasso support is exactly the true support.
+    true_S = frozenset(np.flatnonzero(b))
+    i = next(i for i in range(c.shape[1])
+             if frozenset(np.flatnonzero(np.abs(c[-1, i]) > 1e-6))
+             == true_S)
+    err_lasso = np.abs(c[-1, i] - b).max()   # gamma = 1
+    err_refit = np.abs(c[0, i] - b).max()    # gamma = 0
+    assert err_refit < err_lasso
+
+    cv = cv_relaxed_lasso_path(X, y, nfolds=4, nlambda=12,
+                               gammas=(0.0, 0.5, 1.0))
+    assert cv["cvm"].shape == (3, 12)
+    assert np.isfinite(cv["cvm"]).all()
+    assert cv["gamma_min"] in (0.0, 0.5)  # debiasing helps here
