@@ -52,13 +52,17 @@ class RelaxedPathResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept"))
-def _masked_refits(X, y, masks, *, standardize_x, intercept):
+def _masked_refits(X, y, masks, weights=None, *, standardize_x,
+                   intercept):
     """(L, p) unpenalized LS refits restricted to each row of ``masks``
-    (one compiled program; lax.map keeps one (p, p) system live)."""
+    (one compiled program; lax.map keeps one (p, p) system live).
+    ``weights`` make the refit the WEIGHTED least squares matching the
+    weighted lasso it de-biases (sqrt(w) row scaling via the shared
+    standardization)."""
     import jax.scipy.linalg as jsl
 
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
-                                intercept=intercept)
+                                intercept=intercept, weights=weights)
     XtX = gram(Xs)
     Xty = dot(Xs.T, ys)
     p = XtX.shape[0]
@@ -95,8 +99,10 @@ def relaxed_lasso_path(X, y, *, gammas=(0.0, 0.25, 0.5, 0.75, 1.0),
                      dtype=dtype, **lasso_kw)
     coefs = jnp.asarray(res.coef)
     masks = (jnp.abs(coefs) > 0).astype(dtype)      # (L, p)
+    w = lasso_kw.get("weights")
+    w = None if w is None else jnp.asarray(w, dtype)
     refit_beta0, refit_coef = _masked_refits(
-        X, y, masks, standardize_x=standardize, intercept=intercept)
+        X, y, masks, w, standardize_x=standardize, intercept=intercept)
     g = gam[:, None, None]
     coef = g * coefs[None] + (1.0 - g) * refit_coef[None]
     beta0 = (gam[:, None] * jnp.asarray(res.beta0)[None]

@@ -70,3 +70,20 @@ def test_refit_debiases_and_cv_selects():
     assert cv["cvm"].shape == (3, 12)
     assert np.isfinite(cv["cvm"]).all()
     assert cv["gamma_min"] in (0.0, 0.5)  # debiasing helps here
+
+
+def test_relaxed_weighted_refit_matches_duplication():
+    """Integer weights == row duplication for the whole (lambda, gamma)
+    grid — the refit must be the WEIGHTED least squares, not the plain
+    one."""
+    X, y, _ = _problem(n=120, p=10, seed=3)
+    rng = np.random.default_rng(4)
+    w = rng.integers(1, 4, 120).astype(float)
+    Xd = np.repeat(X, w.astype(int), axis=0)
+    yd = np.repeat(y, w.astype(int))
+    a = relaxed_lasso_path(X, y, nlambda=5, gammas=(0.0, 0.5),
+                           weights=w, eps_abs=1e-7, eps_rel=1e-7)
+    d = relaxed_lasso_path(Xd, yd, nlambda=5, gammas=(0.0, 0.5),
+                           eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(d.coef),
+                               atol=3e-4)
