@@ -229,7 +229,7 @@ def recover_glm(coefs_a, mean_x, sd_x, intercept: bool):
 
 
 def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
-             newton_steps, obs_w=None, fixed_minv=None):
+             newton_steps, obs_w=None, fixed_minv=None, offset=None):
     """ProblemOps for the smooth-loss ADMM; ``Xa`` (n, q) includes the
     ones column when an intercept is fitted.  ``obs_w`` (normalized
     observation weights summing to n, or None) multiplies the
@@ -249,6 +249,8 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
     def newton(v, rho, b0):
         def step(_, b):
             eta = dot(Xa, b)
+            if offset is not None:
+                eta = eta + offset
             g = family.grad_eta(eta, ys)
             if obs_w is not None:
                 g = obs_w * g
@@ -290,6 +292,38 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
     )
 
 
+def _null_resid_with_offset(family, y, offset, intercept, w=None):
+    """Null-model residual (-grad) when an OFFSET rides the linear
+    predictor: the null intercept solves the monotone 1-D score
+    ``sum w grad_eta(b0 + offset, y) = 0`` (loss convex in eta, so
+    bisection on a widening bracket is globally convergent for every
+    family); without an intercept the null predictor is the offset
+    itself."""
+    if not intercept:
+        g = family.grad_eta(offset, y)
+        return -(g if w is None else w * g)
+
+    def score(b0):
+        g = family.grad_eta(b0 + offset, y)
+        return jnp.sum(g if w is None else w * g)
+
+    # Bracket: the data range shifted past the offset range covers the
+    # root for all shipped families (monotone nondecreasing score).
+    lo = jnp.min(y) - jnp.max(jnp.abs(offset)) - 30.0
+    hi = jnp.max(y) + jnp.max(jnp.abs(offset)) + 30.0
+
+    def step(_, ab):
+        l, h = ab
+        mid = 0.5 * (l + h)
+        pos = score(mid) < 0  # score increasing: root above mid
+        return (jnp.where(pos, mid, l), jnp.where(pos, h, mid))
+
+    l, h = jax.lax.fori_loop(0, 60, step, (lo, hi))
+    b0 = 0.5 * (l + h)
+    g = family.grad_eta(b0 + offset, y)
+    return -(g if w is None else w * g)
+
+
 def _use_pallas_glm(n: int, q: int, k: int, dtype) -> bool:
     from ..ops._common import pallas_enabled
     from ..ops.glm_kernel import supports_glm
@@ -321,7 +355,7 @@ def _glm_fixed_minv(Xa, family, rho, obs_w=None):
 
 
 def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
-                newton_steps, obs_w=None, hessian="exact"):
+                newton_steps, obs_w=None, hessian="exact", offset=None):
     n, q = Xa.shape
     dtype = Xa.dtype
     rho = _glm_auto_rho(family, rho0, dtype)
@@ -330,7 +364,7 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
         assert family.curvature_bound is not None
         fixed_minv = _glm_fixed_minv(Xa, family, rho, obs_w)
     ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps,
-                   obs_w, fixed_minv)
+                   obs_w, fixed_minv, offset)
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q,), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
@@ -341,9 +375,10 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
                                    "nlambda", "path_mode", "trace_len",
                                    "newton_steps", "hessian"))
 def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
-              eps_abs, eps_rel, alpha, weights=None, *, family,
-              standardize_x, intercept, path_mode, trace_len=None,
-              newton_steps=_NEWTON_STEPS, hessian="auto"):
+              eps_abs, eps_rel, alpha, weights=None, offset=None, *,
+              family, standardize_x, intercept, path_mode,
+              trace_len=None, newton_steps=_NEWTON_STEPS,
+              hessian="auto"):
     n, p = X.shape
     dtype = X.dtype
     fam = family() if not isinstance(family, GLMFamily) else family
@@ -358,10 +393,15 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
 
     if user_lams is None:
         # glmnet lambda_max rule: the (weighted) null model's score
-        # against X.
-        r0 = fam.null_resid(y, intercept, w)
-        if w is not None:
-            r0 = w * r0
+        # against X.  With an offset the null intercept solves the
+        # offset-shifted score (generic bisection; glmnet's offset
+        # semantics).
+        if offset is not None:
+            r0 = _null_resid_with_offset(fam, y, offset, intercept, w)
+        else:
+            r0 = fam.null_resid(y, intercept, w)
+            if w is not None:
+                r0 = w * r0
         lam0 = (jnp.max(jnp.abs(dot(Xs.T, r0))) / n
                 / jnp.maximum(alpha, 1e-3))
         lams = jnp.exp(jnp.linspace(
@@ -387,6 +427,7 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
     # resident in VMEM (admm_tpu/ops/glm_kernel.py).  Same math as the
     # XLA branch below; gated on the measured VMEM budget.
     if (path_mode == "batch" and hessian == "fixed" and w is None
+            and offset is None
             and fam.name in ("binomial", "huber")
             and _use_pallas_glm(Xa.shape[0], q, lams.shape[0], dtype)):
         from ..ops.glm_kernel import glm_batch_path_pallas
@@ -406,7 +447,7 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
 
     st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
                                      alpha, newton_steps, obs_w=w,
-                                     hessian=hessian)
+                                     hessian=hessian, offset=offset)
     if path_mode == "batch":
         bsolve = make_batched_solver(solve)
         st = _batched_cold_states(lams.shape[0], q, st0.rho, lams, dtype)
@@ -432,6 +473,7 @@ def glm_lasso_path(X, y, family, *,
                    trace_len: Optional[int] = None,
                    newton_steps: int = _NEWTON_STEPS,
                    weights: Optional[jnp.ndarray] = None,
+                   offset: Optional[jnp.ndarray] = None,
                    hessian: str = "auto", data_mesh=None,
                    dtype=jnp.float32) -> PathResult:
     """Solve a penalized smooth-loss path for any :class:`GLMFamily`.
@@ -442,7 +484,13 @@ def glm_lasso_path(X, y, family, *,
     family): observation weights, normalized to sum to n; the loss,
     the standardization moments and the lambda grid all become weighted
     (an integer weight of k is exactly equivalent to repeating the row
-    k times — tested per family).  ``hessian``: "fixed" uses the
+    k times — tested per family).  ``offset`` (glmnet's ``offset``
+    argument): a fixed (n,) term added to the linear predictor —
+    ``eta = b0 + X b + offset`` — for exposure/rate models (e.g.
+    poisson with ``offset = log(exposure)``); the auto grid's null
+    intercept solves the offset-shifted score, and the fixed-majorizer
+    kernel falls back to XLA when an offset is given.
+    ``hessian``: "fixed" uses the
     one-time-factorized curvature majorizer in the x-update (available
     for bounded-curvature families: binomial, huber), "exact" rebuilds
     the (q, q) Newton Hessian every inner step, "auto" (default) picks
@@ -474,8 +522,13 @@ def glm_lasso_path(X, y, family, *,
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     w = None if weights is None else jnp.asarray(weights, dtype)
+    off = (None if offset is None
+           else jnp.asarray(offset, dtype).ravel())
+    if off is not None and off.shape != (X.shape[0],):
+        raise ValueError("offset must have one entry per row")
     return _glm_path(X, y, int(nlambda), lambda_min_ratio, lams, rho,
-                     maxit, eps_abs, eps_rel, alpha, w, family=family,
+                     maxit, eps_abs, eps_rel, alpha, w, off,
+                     family=family,
                      standardize_x=standardize, intercept=intercept,
                      path_mode=path_mode, trace_len=trace_len,
                      newton_steps=int(newton_steps), hessian=hessian)

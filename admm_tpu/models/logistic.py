@@ -34,6 +34,7 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                         trace_len: Optional[int] = None,
                         newton_steps: int = _NEWTON_STEPS,
                         weights: Optional[jnp.ndarray] = None,
+                        offset: Optional[jnp.ndarray] = None,
                         hessian: str = "auto", data_mesh=None,
                         dtype=jnp.float32) -> PathResult:
     """Solve the L1/elastic-net logistic regression lambda path.
@@ -55,5 +56,6 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                           maxit=maxit, eps_abs=eps_abs, eps_rel=eps_rel,
                           rho=rho, path_mode=path_mode,
                           trace_len=trace_len, newton_steps=newton_steps,
-                          weights=weights, hessian=hessian,
+                          weights=weights, offset=offset,
+                          hessian=hessian,
                           data_mesh=data_mesh, dtype=dtype)

@@ -37,7 +37,8 @@ def _select_lam(result, lam):
 
 
 def predict(result, X, *, lam: Optional[float] = None,
-            type: str = "link", family: str = "gaussian"):
+            type: str = "link", family: str = "gaussian",
+            offset=None):
     """Predict from any fitted path result (module docstring).
 
     Returns numpy arrays; with ``lam`` set, the nearest grid point is
@@ -68,6 +69,10 @@ def predict(result, X, *, lam: Optional[float] = None,
             raise ValueError("type='class' needs family='binomial' "
                              "(or a multinomial result)")
         eta = beta0[:, None] + coef @ X.T            # (L, m)
+        if offset is not None:
+            # glmnet's newoffset: fits made with an offset need it at
+            # prediction time too.
+            eta = eta + np.asarray(offset, np.float64)[None, :]
         if type in ("response", "class"):
             if family == "binomial":
                 eta = 1.0 / (1.0 + np.exp(-eta))

@@ -193,3 +193,71 @@ def test_fixed_majorizer_matches_exact_hessian():
         poisson_lasso_path(X, yp, nlambda=4, hessian="fixed")
     with pytest.raises(ValueError, match="hessian"):
         glm_lasso_path(X, y, binomial(), hessian="nope")
+
+
+def test_offset_constant_equals_intercept_shift():
+    """glmnet's offset: a CONSTANT offset c must reproduce the
+    no-offset fit with the intercept shifted by -c (slopes identical),
+    for binomial and poisson."""
+    import jax.numpy as jnp
+
+    from admm_tpu.models.glm import binomial, poisson
+
+    rng = np.random.default_rng(71)
+    n, p = 300, 10
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:3] = [1.0, -0.8, 0.5]
+    c = 0.7
+    cases = {
+        "binomial": (binomial(),
+                     (rng.uniform(size=n)
+                      < 1 / (1 + np.exp(-(0.2 + X @ b))))
+                     .astype(float)),
+        "poisson": (poisson(),
+                    rng.poisson(np.exp(0.3 + 0.3 * X @ b))
+                    .astype(float)),
+    }
+    for name, (fam, y) in cases.items():
+        base = glm_lasso_path(X, y, fam, nlambda=5,
+                              eps_abs=1e-7, eps_rel=1e-7)
+        off = glm_lasso_path(X, y, fam, nlambda=5,
+                             offset=np.full(n, c),
+                             eps_abs=1e-7, eps_rel=1e-7)
+        # Same auto grid (the null score is offset-aware).
+        np.testing.assert_allclose(np.asarray(base.lambdas),
+                                   np.asarray(off.lambdas), rtol=1e-4,
+                                   err_msg=name)
+        np.testing.assert_allclose(np.asarray(off.coef),
+                                   np.asarray(base.coef), atol=3e-4,
+                                   err_msg=name)
+        np.testing.assert_allclose(np.asarray(off.beta0),
+                                   np.asarray(base.beta0) - c,
+                                   atol=3e-4, err_msg=name)
+
+
+def test_offset_kkt_poisson_exposure():
+    """A genuine per-row offset (log exposure): KKT subgradient check
+    at convergence with the offset in the predictor."""
+    from admm_tpu.models.glm import poisson_lasso_path
+
+    rng = np.random.default_rng(72)
+    n, p = 300, 8
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.5, -0.4], np.zeros(p - 2)])
+    expo = rng.uniform(0.5, 4.0, n)
+    y = rng.poisson(expo * np.exp(0.2 + X @ b)).astype(float)
+    lam = 0.05
+    off = np.log(expo)
+    r = poisson_lasso_path(X, y, lambdas=np.array([lam]),
+                           standardize=False, offset=off,
+                           eps_abs=1e-8, eps_rel=1e-8)
+    b0, coef = float(r.beta0[0]), np.asarray(r.coef)[0]
+    eta = b0 + X @ coef + off
+    g = X.T @ (np.exp(eta) - y) / n
+    act = np.abs(coef) > 1e-6
+    np.testing.assert_allclose(g[act], -lam * np.sign(coef[act]),
+                               atol=5e-4)
+    assert np.all(np.abs(g[~act]) <= lam * (1 + 1e-3))
+    # Intercept (unpenalized): gradient zero.
+    assert abs(np.mean(np.exp(eta) - y)) < 5e-4
