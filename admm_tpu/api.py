@@ -176,18 +176,25 @@ class ADMMLasso:
         self.path_mode = "batch"
         self.trace = False
         self.penalty_factor = None
+        self.lower_limits = None
+        self.upper_limits = None
 
     # -- chainable setters ------------------------------------------------
     def penalty(self, lambda_=None, nlambda: int = 100,
                 lambda_min_ratio: Optional[float] = None,
-                penalty_factor=None, **kw):
+                penalty_factor=None, lower_limits=None,
+                upper_limits=None, **kw):
         """(reference: R/30_admm_lasso.R:72-96).  ``penalty_factor``
         (TPU extension — glmnet's ``penalty.factor``): per-coefficient
-        nonnegative penalty multipliers; 0 = unpenalized
+        nonnegative penalty multipliers; 0 = unpenalized.
+        ``lower_limits``/``upper_limits`` (glmnet's coefficient box;
+        e.g. ``lower_limits=0`` = the nonnegative lasso)
         (models/lasso.py::lasso_path)."""
         self.penalty_factor = (None if penalty_factor is None
                                else np.asarray(penalty_factor,
                                                np.float64).ravel())
+        self.lower_limits = lower_limits
+        self.upper_limits = upper_limits
         if lambda_ is not None:
             lam = np.sort(np.asarray(lambda_, dtype=np.float64).ravel())[::-1]
             if np.any(lam <= 0):
@@ -280,12 +287,16 @@ class ADMMLasso:
             res = lasso_path(self.x, self.y, path_mode=self.path_mode,
                              trace_len=self._trace_len(),
                              penalty_factor=self.penalty_factor,
+                             lower_limits=self.lower_limits,
+                             upper_limits=self.upper_limits,
                              **self._path_kwargs())
         else:
-            if self.penalty_factor is not None:
+            if (self.penalty_factor is not None
+                    or self.lower_limits is not None
+                    or self.upper_limits is not None):
                 raise NotImplementedError(
-                    "penalty_factor is not supported by the consensus "
-                    "solver; use nthread=1")
+                    "penalty_factor / coefficient limits are not "
+                    "supported by the consensus solver; use nthread=1")
             res = parallel_lasso_path(self.x, self.y,
                                       nworkers=self.nthread,
                                       trace_len=self._trace_len(),
@@ -314,12 +325,15 @@ class ADMMEnet(ADMMLasso):
 
     def penalty(self, lambda_=None, nlambda: int = 100,
                 lambda_min_ratio: Optional[float] = None,
-                alpha: float = 1.0, penalty_factor=None, **kw):
+                alpha: float = 1.0, penalty_factor=None,
+                lower_limits=None, upper_limits=None, **kw):
         """(reference: R/40_admm_enet.R:35-47)"""
         if not (0.0 <= alpha <= 1.0):
             raise ValueError("alpha must be within [0,1]")
         super().penalty(lambda_, nlambda, lambda_min_ratio,
-                        penalty_factor=penalty_factor)
+                        penalty_factor=penalty_factor,
+                        lower_limits=lower_limits,
+                        upper_limits=upper_limits)
         self.alpha = float(alpha)
         return self
 
@@ -333,12 +347,16 @@ class ADMMEnet(ADMMLasso):
                             path_mode=self.path_mode,
                             trace_len=self._trace_len(),
                             penalty_factor=self.penalty_factor,
+                            lower_limits=self.lower_limits,
+                            upper_limits=self.upper_limits,
                             **self._path_kwargs())
         else:
-            if self.penalty_factor is not None:
+            if (self.penalty_factor is not None
+                    or self.lower_limits is not None
+                    or self.upper_limits is not None):
                 raise NotImplementedError(
-                    "penalty_factor is not supported by the consensus "
-                    "solver; use nthread=1")
+                    "penalty_factor / coefficient limits are not "
+                    "supported by the consensus solver; use nthread=1")
             res = parallel_enet_path(self.x, self.y, alpha=self.alpha,
                                      nworkers=self.nthread,
                                      trace_len=self._trace_len(),
@@ -358,10 +376,12 @@ class ADMMDantzig(ADMMLasso):
             "parallel computing is not supported for the Dantzig selector")
 
     def fit(self) -> ADMMLassoFit:
-        if self.penalty_factor is not None:
+        if (self.penalty_factor is not None
+                or self.lower_limits is not None
+                or self.upper_limits is not None):
             raise NotImplementedError(
-                "penalty_factor is not supported for the Dantzig "
-                "selector")
+                "penalty_factor / coefficient limits are not supported "
+                "for the Dantzig selector")
         if self.path_mode == "activeset":
             # The gathered-column active set exists only for the wide
             # Lasso/Enet x-update (the reference's own Dantzig TODO left

@@ -72,11 +72,14 @@ class PathResult(NamedTuple):
 # Tall regime (n > p): FADMM with cached ridge inverse
 # ---------------------------------------------------------------------------
 
-def _tall_ops(Minv, Xty, alpha, p, pf=None) -> ProblemOps:
+def _tall_ops(Minv, Xty, alpha, p, pf=None, bounds=None) -> ProblemOps:
     """``pf``: optional (p,) per-coefficient penalty factors (glmnet's
     ``penalty.factor``, rescaled to sum p) — the prox threshold becomes
     per-coordinate ``lam * pf_j``; ``pf_j = 0`` leaves coordinate j
-    unpenalized."""
+    unpenalized.  ``bounds``: optional (lo, up) coefficient box on the
+    STANDARDIZED scale (glmnet's lower/upper.limits) — both intervals
+    contain 0, so the prox of penalty + box indicator is exactly
+    clip-after-shrink (both terms separable)."""
     def next_x(st):
         rhs = Xty - st.adj_y + st.rho * st.adj_z
         return dot(Minv, rhs)
@@ -86,7 +89,10 @@ def _tall_ops(Minv, Xty, alpha, p, pf=None) -> ProblemOps:
         pen = st.lam / st.rho
         if pf is not None:
             pen = pen * pf
-        return enet_prox(v, pen, alpha), st.aux
+        z = enet_prox(v, pen, alpha)
+        if bounds is not None:
+            z = jnp.clip(z, bounds[0], bounds[1])
+        return z, st.aux
 
     return ProblemOps(
         next_x=next_x,
@@ -116,13 +122,13 @@ def _tall_setup(Xs, ys, lam_first, rho0):
     return Minv, Xty, rho
 
 
-def _tall_engine(Xs, ys, lam_first, rho0, alpha, pf=None):
+def _tall_engine(Xs, ys, lam_first, rho0, alpha, pf=None, bounds=None):
     """Build the tall-regime engine: cold state, solver, reported iterate."""
     n, p = Xs.shape
     dtype = Xs.dtype
     Minv, Xty, rho = _tall_setup(Xs, ys, lam_first, rho0)
 
-    ops = _tall_ops(Minv, Xty, alpha, p, pf)
+    ops = _tall_ops(Minv, Xty, alpha, p, pf, bounds)
     solve = make_fadmm_solver(ops, adapt_rho=False)
 
     zeros = jnp.zeros((p,), dtype)
@@ -157,13 +163,15 @@ def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel,
 
 
 def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
-                     pallas_ok=True, trace_len=None, pf=None):
+                     pallas_ok=True, trace_len=None, pf=None,
+                     bounds=None):
     # TPU fast path: the whole warm-started sequential path inside ONE
     # Pallas kernel with the ridge inverse resident in VMEM (the
     # reference's own path protocol, latency-optimised).  Per-coordinate
     # penalty factors take the XLA engines (the kernels carry scalar
     # lane penalties).
     if (trace_len is None and pallas_ok and pf is None
+            and bounds is None
             and _use_pallas_tall(Xs.shape[1], ilams.shape[0],
                                  Xs.dtype, mode="scan")):
         from ..ops.tall_path import tall_path_scan_pallas
@@ -174,7 +182,8 @@ def _solve_path_tall(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
             jnp.asarray(alpha, Xs.dtype), maxit, true_p=Xs.shape[1])
         return coefs, niter, None
 
-    st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho0, alpha, pf)
+    st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho0, alpha, pf,
+                                      bounds)
     _, coefs, niter, traces = _scan_path(st0, solve, report, ilams, maxit,
                                          eps_abs, eps_rel, trace_len)
     return coefs, niter, traces
@@ -198,7 +207,7 @@ def _batched_cold_states(k, dims, rho, ilams, dtype, aux_dim=None):
 
 def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
                            alpha, pallas_ok=True, trace_len=None,
-                           pf=None):
+                           pf=None, bounds=None):
     """All-lambdas-at-once tall solve (see make_batched_solver).
 
     Uses a single shared rho/factorization across lambdas — exactly the
@@ -214,6 +223,7 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # kernel with the ridge inverse resident in VMEM (no HBM re-reads
     # per iteration).  Bit-compatible with the XLA solver below.
     if (trace_len is None and pallas_ok and pf is None
+            and bounds is None
             and _use_pallas_tall(p, ilams.shape[0], dtype)):
         from ..ops.tall_path import tall_path_batch_pallas
 
@@ -222,7 +232,7 @@ def _solve_path_tall_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
             jnp.asarray(alpha, dtype), maxit, true_p=p)
         return coefs, niter, None
 
-    ops = _tall_ops(Minv, Xty, alpha, p, pf)
+    ops = _tall_ops(Minv, Xty, alpha, p, pf, bounds)
     engine = make_fadmm_solver(ops, adapt_rho=False)
     st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype)
     if trace_len is None:
@@ -268,7 +278,8 @@ def _wide_setup(Xs, ys, rho_lams, rho0, alpha, enet_lambda0_scale):
 
 def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
                            alpha, enet_lambda0_scale, pallas_ok=True,
-                           trace_len=None, pf=None, lambda0_pf=None):
+                           trace_len=None, pf=None, lambda0_pf=None,
+                           bounds=None):
     """All-lambdas-at-once wide solve; rho is per-lane (no factorization
     depends on it, so each lambda keeps its own auto-rho + ladder).
     ``trace_len`` records a per-lane residual trace (Pallas bypassed)."""
@@ -281,6 +292,7 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
     # path (the XLA solver re-reads the n x p matrix from HBM twice per
     # iteration).  Same math as the solver below.
     if (trace_len is None and pallas_ok and pf is None
+            and bounds is None
             and _use_pallas_wide(n, p, ilams.shape[0], dtype)):
         from ..ops.wide_path import wide_path_batch_pallas
 
@@ -291,7 +303,7 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
 
     if lambda0_pf is not None:
         lambda0 = lambda0_pf
-    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf)
+    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf, bounds)
     engine = make_admm_solver(ops, adapt_rho=True)
     k = ilams.shape[0]
     st = _batched_cold_states(k, p, 1.0, ilams, dtype, aux_dim=n)
@@ -312,7 +324,8 @@ def _solve_path_wide_batch(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel,
 # Wide regime (p >= n): linearized ADMM, adaptive rho
 # ---------------------------------------------------------------------------
 
-def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf=None) -> ProblemOps:
+def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf=None,
+              bounds=None) -> ProblemOps:
     sqrt_sprad = jnp.sqrt(sprad)
 
     def next_x(st):
@@ -323,6 +336,8 @@ def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf=None) -> ProblemOps:
         if pf is not None:
             pen = pen * pf
         x_new = enet_prox(v, pen, alpha)
+        if bounds is not None:
+            x_new = jnp.clip(x_new, bounds[0], bounds[1])
         # Early exit: penalty at/above lambda0 keeps beta = 0.  The
         # reference subtracts an ABSOLUTE 1e-5 slack
         # (reference: src/ADMMLassoWide.h:131-135), which on problems
@@ -351,7 +366,7 @@ def _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf=None) -> ProblemOps:
 
 
 def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale,
-                 pf=None, lambda0=None):
+                 pf=None, lambda0=None, bounds=None):
     """Build the wide-regime engine: cold state, solver, reported
     iterate.  ``lambda0`` overrides the all-zero threshold (the
     penalty-factor-aware grid top when factors are in play)."""
@@ -362,7 +377,7 @@ def _wide_engine(Xs, ys, lam_first, rho0, alpha, enet_lambda0_scale,
     if lambda0 is None:
         lambda0 = lambda0_auto
 
-    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf)
+    ops = _wide_ops(Xs, ys, sprad, lambda0, alpha, n, p, pf, bounds)
     solve = make_admm_solver(ops, adapt_rho=True)
 
     st0 = make_state(jnp.zeros((p,), dtype), jnp.zeros((n,), dtype),
@@ -505,9 +520,10 @@ def _solve_path_wide_activeset(Xs, ys, ilams, rho0, maxit, eps_abs,
 
 def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
                      enet_lambda0_scale, trace_len=None, pf=None,
-                     lambda0_pf=None):
+                     lambda0_pf=None, bounds=None):
     st0, solve, report = _wide_engine(Xs, ys, ilams[0], rho0, alpha,
-                                      enet_lambda0_scale, pf, lambda0_pf)
+                                      enet_lambda0_scale, pf, lambda0_pf,
+                                      bounds)
     _, coefs, niter, traces = _scan_path(st0, solve, report, ilams, maxit,
                                          eps_abs, eps_rel, trace_len)
     return coefs, niter, traces
@@ -521,9 +537,9 @@ def _solve_path_wide(Xs, ys, ilams, rho0, maxit, eps_abs, eps_rel, alpha,
                                    "enet_scale", "path_mode",
                                    "shard_data", "trace_len", "pallas_ok"))
 def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
-               eps_rel, alpha, weights=None, pf=None, *, standardize_x,
-               intercept, enet_scale, path_mode, shard_data=False,
-               trace_len=None, pallas_ok=True):
+               eps_rel, alpha, weights=None, pf=None, limits=None, *,
+               standardize_x, intercept, enet_scale, path_mode,
+               shard_data=False, trace_len=None, pallas_ok=True):
     """Auto lambda grid: log-linear from lambda0 down to ratio*lambda0
     (reference: src/Lasso.cpp:78-89).  With penalty factors the grid top
     is the factor-aware KKT boundary max_j |x_j'y| / pf_j over PENALIZED
@@ -532,7 +548,18 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     n = X.shape[0]
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept, weights=weights)
-    Xty_abs = jnp.abs(dot(Xs.T, ys))
+    Xty = dot(Xs.T, ys)
+    Xty_abs = jnp.abs(Xty)
+    if limits is not None:
+        # Bounds-aware KKT boundary for beta = 0: the gradient only
+        # matters along FEASIBLE directions — positive movement needs
+        # up_j > 0, negative needs lo_j < 0 (0 is always feasible,
+        # validated by the driver).
+        lo_std = limits[0] * stats.scale_x / stats.scale_y
+        up_std = limits[1] * stats.scale_x / stats.scale_y
+        dir_pos = jnp.where(up_std > 0, Xty, -jnp.inf)
+        dir_neg = jnp.where(lo_std < 0, -Xty, -jnp.inf)
+        Xty_abs = jnp.maximum(jnp.maximum(dir_pos, dir_neg), 0.0)
     if pf is None:
         lam0_int = jnp.max(Xty_abs)
     else:
@@ -546,29 +573,36 @@ def _path_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
                            enet_scale, path_mode, shard_data, trace_len,
-                           pallas_ok, pf)
+                           pallas_ok, pf, limits)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale", "path_mode",
                                    "shard_data", "trace_len", "pallas_ok"))
 def _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
-               weights=None, pf=None, *, standardize_x, intercept,
-               enet_scale, path_mode, shard_data=False, trace_len=None,
-               pallas_ok=True):
+               weights=None, pf=None, limits=None, *, standardize_x,
+               intercept, enet_scale, path_mode, shard_data=False,
+               trace_len=None, pallas_ok=True):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
                                 intercept=intercept, weights=weights)
     return _path_from_lams(Xs, ys, stats, lams, rho, maxit, eps_abs,
                            eps_rel, alpha, standardize_x, intercept,
                            enet_scale, path_mode, shard_data, trace_len,
-                           pallas_ok, pf)
+                           pallas_ok, pf, limits)
 
 
 def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
                     eps_rel, alpha, standardize_x, intercept, enet_scale,
                     path_mode="scan", shard_data=False, trace_len=None,
-                    pallas_ok=True, pf=None):
+                    pallas_ok=True, pf=None, limits=None):
     n, p = Xs.shape
+    # Coefficient box on the STANDARDIZED scale: coef_orig =
+    # coef_std * scale_y / scale_x, so the original-scale limits map by
+    # the inverse factor (0 stays 0 — feasibility is scale-free).
+    bounds = None
+    if limits is not None:
+        bounds = (limits[0] * stats.scale_x / stats.scale_y,
+                  limits[1] * stats.scale_x / stats.scale_y)
     # Penalty-factor-aware all-zero threshold for the wide engines'
     # early exit: exact KKT boundary when every factor is positive; +inf
     # (exit disabled) when any coordinate is unpenalized — beta never
@@ -594,18 +628,19 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
         if path_mode == "batch":
             coefs, niter, traces = _solve_path_tall_batch(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                pallas_ok, trace_len, pf)
+                pallas_ok, trace_len, pf, bounds)
         else:
             coefs, niter, traces = _solve_path_tall(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                pallas_ok, trace_len, pf)
+                pallas_ok, trace_len, pf, bounds)
     else:
         if path_mode == "batch":
             coefs, niter, traces = _solve_path_wide_batch(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                enet_scale, pallas_ok, trace_len, pf, lambda0_pf)
+                enet_scale, pallas_ok, trace_len, pf, lambda0_pf, bounds)
         elif (path_mode == "activeset"
               or (path_mode == "scan" and trace_len is None and pf is None
+                  and bounds is None
                   and not shard_data and p >= _ACTIVESET_AUTO_P)):
             # The reference's 4^k-1 cadence, gathered-column realisation
             # (reference: src/ADMMLassoWide.h:86-127); the measured
@@ -616,7 +651,7 @@ def _path_from_lams(Xs, ys, stats: StdStats, lams, rho, maxit, eps_abs,
         else:
             coefs, niter, traces = _solve_path_wide(
                 Xs, ys, ilams, rho, maxit, eps_abs, eps_rel, alpha,
-                enet_scale, trace_len, pf, lambda0_pf)
+                enet_scale, trace_len, pf, lambda0_pf, bounds)
     beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
                           intercept=intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
@@ -633,6 +668,7 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                trace_len: Optional[int] = None,
                weights: Optional[jnp.ndarray] = None,
                penalty_factor: Optional[jnp.ndarray] = None,
+               lower_limits=None, upper_limits=None,
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
 
@@ -678,6 +714,16 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     Takes the XLA engines (Pallas kernels and the active-set path carry
     scalar lane penalties).
 
+    ``lower_limits`` / ``upper_limits`` (extension — glmnet's
+    ``lower.limits``/``upper.limits``): coefficient box constraints on
+    the ORIGINAL scale, scalar or (p,); must satisfy ``lower <= 0 <=
+    upper`` (glmnet's requirement — 0 stays feasible).  The prox gains
+    an exact clip (penalty and box are both separable), the auto grid
+    top becomes the feasible-direction KKT boundary (e.g. the
+    NONNEGATIVE lasso via ``lower_limits=0``), and the XLA engines are
+    used.  Oracle: sklearn ``Lasso(positive=True)``
+    (tests/test_lasso.py).
+
     ``trace_len``: record the first ``trace_len`` iterations'
     (eps_primal, resid_primal, eps_dual, resid_dual, rho) per lambda in
     ``result.trace`` — the reference's (dead) residual printers as
@@ -716,6 +762,20 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
             raise ValueError("penalty_factor entries must be >= 0 with "
                              "at least one positive")
         pf = pf * (p / jnp.sum(pf))  # glmnet: factors sum to nvars
+    limits = None
+    if lower_limits is not None or upper_limits is not None:
+        if path_mode == "activeset":
+            raise ValueError("coefficient limits are not supported by "
+                             "the active-set path; use 'batch' or "
+                             "'scan'")
+        lo = (-jnp.inf if lower_limits is None else lower_limits)
+        up = (jnp.inf if upper_limits is None else upper_limits)
+        lo = jnp.broadcast_to(jnp.asarray(lo, dtype), (p,))
+        up = jnp.broadcast_to(jnp.asarray(up, dtype), (p,))
+        if bool(jnp.any(lo > 0)) or bool(jnp.any(up < 0)):
+            raise ValueError("limits must satisfy lower <= 0 <= upper "
+                             "(glmnet convention: 0 stays feasible)")
+        limits = (lo, up)
     if data_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -731,12 +791,12 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
         return _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
-                          w, pf, standardize_x=standardize,
+                          w, pf, limits, standardize_x=standardize,
                           intercept=intercept,
                           enet_scale=_enet_scale, path_mode=path_mode,
                           shard_data=shard, trace_len=trace_len)
     return _path_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
-                      eps_abs, eps_rel, alpha, w, pf,
+                      eps_abs, eps_rel, alpha, w, pf, limits,
                       standardize_x=standardize,
                       intercept=intercept, enet_scale=_enet_scale,
                       path_mode=path_mode, shard_data=shard,

@@ -229,3 +229,18 @@ def test_builder_penalty_factor():
             penalty_factor=np.ones(20)).parallel(2).fit()
     with pytest.raises(NotImplementedError, match="penalty_factor"):
         admm_tpu.admm_dantzig(X, y).penalty(penalty_factor=pf).fit()
+
+
+def test_builder_coefficient_limits():
+    """Nonnegative lasso via the builder (glmnet's lower.limits)."""
+    rng = np.random.default_rng(8)
+    n, p = 150, 10
+    X = rng.normal(size=(n, p))
+    y = X @ np.concatenate([[2.0, -1.5], np.zeros(p - 2)]) \
+        + 0.2 * rng.normal(size=n)
+    fit = admm_tpu.admm_lasso(X, y).penalty(nlambda=6,
+                                            lower_limits=0.0).fit()
+    beta = np.asarray(fit.beta.todense())[1:]   # slopes
+    assert beta.min() >= -1e-6
+    with pytest.raises(NotImplementedError, match="limits"):
+        admm_tpu.admm_dantzig(X, y).penalty(lower_limits=0.0).fit()

@@ -412,3 +412,60 @@ def test_penalty_factor_wide_zero_factor_no_early_exit():
                    eps_abs=1e-6, eps_rel=1e-6)
     # Even at the grid top the unpenalized coordinate is fitted.
     assert abs(np.asarray(r.coef)[0, 7]) > 1.0
+
+
+def test_nonnegative_lasso_matches_sklearn_positive():
+    """lower_limits=0 (the nonnegative lasso) pinned against sklearn
+    Lasso(positive=True) — an exact oracle for the box-constraint
+    machinery."""
+    from sklearn.linear_model import Lasso
+
+    rng = np.random.default_rng(81)
+    n, p = 200, 15
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:5] = [2.0, 1.5, -1.0, 0.8, -0.5]   # mixed signs: bounds bind
+    y = X @ b + 0.3 * rng.normal(size=n)
+    lam = 0.08
+    r = lasso_path(X, y, lambdas=np.array([lam]), standardize=False,
+                   intercept=True, lower_limits=0.0,
+                   eps_abs=1e-7, eps_rel=1e-7)
+    sk = Lasso(alpha=lam, positive=True, fit_intercept=True, tol=1e-12,
+               max_iter=500000).fit(X, y)
+    np.testing.assert_allclose(np.asarray(r.coef)[0], sk.coef_,
+                               atol=2e-4)
+    assert abs(float(r.beta0[0]) - sk.intercept_) < 2e-4
+    assert np.all(np.asarray(r.coef) >= -1e-7)
+
+
+def test_limits_validation_and_wide_regime():
+    rng = np.random.default_rng(82)
+    n, p = 60, 120
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:4] = [2.0, -1.5, 1.0, -0.8]
+    y = X @ b + 0.1 * rng.normal(size=n)
+    # Wide regime nonnegative: all coefficients >= 0 and KKT holds for
+    # the feasible-direction condition at an interior lambda.
+    r = lasso_path(X, y, nlambda=6, lower_limits=0.0,
+                   standardize=False, intercept=False,
+                   eps_abs=1e-7, eps_rel=1e-7)
+    c = np.asarray(r.coef)
+    assert np.all(c >= -1e-6)
+    lam = float(r.lambdas[3])
+    coef = c[3]
+    g = X.T @ (X @ coef - y) / n
+    act = coef > 1e-6
+    np.testing.assert_allclose(g[act], -lam * np.ones(act.sum()),
+                               atol=5e-4)
+    # Inactive (at the 0 boundary): only the positive direction is
+    # feasible, so the condition is one-sided: g_j + lam >= 0.
+    assert np.all(g[~act] + lam >= -5e-4)
+    # Per-coordinate vector limits and validation.
+    up = np.full(p, np.inf)
+    up[0] = 0.5
+    r2 = lasso_path(X, y, nlambda=4, lower_limits=0.0, upper_limits=up,
+                    standardize=False, intercept=False)
+    assert np.asarray(r2.coef)[:, 0].max() <= 0.5 + 1e-6
+    with pytest.raises(ValueError, match="lower <= 0 <= upper"):
+        lasso_path(X, y, lower_limits=1.0)
