@@ -240,6 +240,8 @@ def gen_lasso_path(X, y, D, *, lambdas: Optional[jnp.ndarray] = None,
     D = jnp.asarray(D, dtype)
     if D.ndim != 2 or D.shape[1] != X.shape[1]:
         raise ValueError("D must be (m, ncol(x))")
+    if path_mode not in ("batch", "scan"):
+        raise ValueError("path_mode must be 'batch' or 'scan'")
     if trace_len is not None:
         path_mode = "scan"
         trace_len = int(trace_len)
