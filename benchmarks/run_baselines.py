@@ -336,6 +336,41 @@ def bench_multi(fast):
     return out
 
 
+def bench_scale(fast):
+    """Scale headroom: the flagship path at 10x the reference's rows
+    (100k x 1000, 100 lambdas, device-resident data — the serving
+    shape: load once, solve repeatedly)."""
+    import jax
+    import jax.numpy as jnp
+    from admm_tpu.models.lasso import _path_auto
+
+    if fast:
+        return {}
+    n, p = 100_000, 1000
+    rng = np.random.default_rng(123)
+    b = np.zeros(p, np.float32)
+    b[rng.choice(p, 100, replace=False)] = rng.uniform(
+        -1, 1, 100).astype(np.float32)
+    X = rng.normal(size=(n, p)).astype(np.float32)
+    y = (5.0 + X @ b + rng.normal(size=n)).astype(np.float32)
+    Xj = jax.device_put(jnp.asarray(X))
+    yj = jax.device_put(jnp.asarray(y))
+    del X
+
+    def one(i, Xj, yj):
+        yy = yj * (1.0 + 1e-6 * (i + 1).astype(yj.dtype))
+        r = _path_auto(Xj, yy, 100, 1e-4, -1.0, 10000, 1e-5, 1e-5, 1.0,
+                       standardize_x=True, intercept=True,
+                       enet_scale=False, path_mode="batch")
+        return jnp.sum(r.coef) + jnp.sum(r.niter)
+
+    return {"lasso_path_100000x1000_ms": dict(
+        value=amortized_ms(one, 2, 10, args=(Xj, yj)), baseline_ms=None,
+        note="100-lambda batched path at 10x the reference's flagship "
+             "rows, device-resident (one-time 400 MB load excluded; "
+             "the on-device solve is what repeats in serving)")}
+
+
 def bench_cv(fast):
     """One-program CV vs the host fold loop on the flagship problem
     (10-fold, 100 lambdas).  Unlike the other rows this one measures
@@ -506,7 +541,7 @@ def main():
                      ("lasso_wide", bench_lasso_wide),
                      ("lad", bench_lad), ("bp", bench_bp),
                      ("glm", bench_glm), ("multi", bench_multi),
-                     ("cv", bench_cv),
+                     ("scale", bench_scale), ("cv", bench_cv),
                      ("consensus_scaling", bench_consensus_scaling)]:
         t0 = time.time()
         results.update(fn(args.fast))
