@@ -1,0 +1,105 @@
+"""L1 Cox proportional hazards (admm_tpu.models.cox).
+
+Oracle: an INDEPENDENT numpy proximal-gradient solver with explicit
+loops over risk sets (different algorithm, different risk-set code
+path), plus KKT and the partial-likelihood invariances."""
+import numpy as np
+import pytest
+
+from admm_tpu.models.cox import cox_lasso_path
+
+
+def _problem(n=120, p=6, seed=0, ties=True):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, p))
+    b = np.array([0.8, -0.6, 0.4] + [0.0] * (p - 3))
+    t = rng.exponential(np.exp(-(X @ b)))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    if ties:
+        t = np.round(t, 1)
+        t[t == 0] = 0.1
+    return X, t, d, b
+
+
+def _oracle(X, t, d, lam, iters=12000):
+    """Proximal gradient on the Breslow partial likelihood with
+    EXPLICIT risk-set loops (independent of the cumsum formulation)."""
+    n, p = X.shape
+    b = np.zeros(p)
+    L = d.sum() / (2 * n) * np.linalg.eigvalsh(X.T @ X).max()
+    step = 1.0 / L
+    for _ in range(iters):
+        ee = np.exp(X @ b)
+        g_eta = np.zeros(n)
+        for i in range(n):
+            if d[i] == 1:
+                R = t >= t[i]
+                g_eta[R] += ee[R] / ee[R].sum()
+                g_eta[i] -= 1.0
+        v = b - step * (X.T @ g_eta / n)
+        b_new = np.sign(v) * np.maximum(np.abs(v) - step * lam, 0.0)
+        if np.abs(b_new - b).max() < 1e-11:
+            return b_new
+        b = b_new
+    return b
+
+
+@pytest.mark.parametrize("ties", [False, True])
+def test_matches_independent_oracle(ties):
+    X, t, d, _ = _problem(ties=ties)
+    lam = 0.02
+    r = cox_lasso_path(X, t, d, lambdas=np.array([lam]),
+                       standardize=False, eps_abs=1e-8, eps_rel=1e-8)
+    np.testing.assert_allclose(np.asarray(r.coef)[0],
+                               _oracle(X, t, d, lam), atol=5e-5)
+
+
+def test_grid_top_nulls_and_invariances():
+    X, t, d, _ = _problem(seed=3)
+    r = cox_lasso_path(X, t, d, nlambda=8)
+    c = np.asarray(r.coef)
+    # Nulled at lambda_max to solver tolerance (the f32 grid top can
+    # land one ulp inside the exact KKT boundary).
+    assert np.abs(c[0]).max() < 1e-4
+    assert np.abs(c[-1]).max() > 0.3       # signal at the bottom
+    # Only the ORDER of times matters: a monotone transform changes
+    # nothing (risk sets identical).
+    r2 = cox_lasso_path(X, np.exp(t), d, nlambda=8)
+    np.testing.assert_allclose(np.asarray(r2.coef), c, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r2.lambdas),
+                               np.asarray(r.lambdas), rtol=1e-6)
+
+
+def test_batch_matches_scan_and_validation():
+    X, t, d, _ = _problem(seed=4)
+    b = cox_lasso_path(X, t, d, nlambda=6, path_mode="batch",
+                       eps_abs=1e-7, eps_rel=1e-7)
+    s = cox_lasso_path(X, t, d, nlambda=6, path_mode="scan",
+                       eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(b.coef), np.asarray(s.coef),
+                               atol=2e-4)
+    with pytest.raises(ValueError, match="event"):
+        cox_lasso_path(X, t, d + 0.5)
+    with pytest.raises(ValueError, match="no events"):
+        cox_lasso_path(X, t, np.zeros_like(d))
+
+
+def test_kkt_at_convergence():
+    """KKT with the gradient computed by the INDEPENDENT loop code."""
+    X, t, d, _ = _problem(seed=5)
+    n = X.shape[0]
+    lam = 0.03
+    r = cox_lasso_path(X, t, d, lambdas=np.array([lam]),
+                       standardize=False, eps_abs=1e-8, eps_rel=1e-8)
+    b = np.asarray(r.coef)[0]
+    ee = np.exp(X @ b)
+    g_eta = np.zeros(n)
+    for i in range(n):
+        if d[i] == 1:
+            R = t >= t[i]
+            g_eta[R] += ee[R] / ee[R].sum()
+            g_eta[i] -= 1.0
+    g = X.T @ g_eta / n
+    act = np.abs(b) > 1e-6
+    np.testing.assert_allclose(g[act], -lam * np.sign(b[act]), atol=5e-5)
+    assert np.all(np.abs(g[~act]) <= lam * (1 + 1e-3))
