@@ -41,7 +41,7 @@ from .models.genlasso import (difference_matrix, fused_lasso_path,
 from .models.grouplasso import group_lasso_path
 from .models.lad import quantile_fit
 from .models.multinomial import multinomial_lasso_path
-from .models.cox import cox_lasso_path
+from .models.cox import cox_lasso_path, cv_cox_path
 from .models.multitask import multitask_lasso_path
 from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
@@ -69,7 +69,7 @@ __all__ = [
     "cv_glm_path", "quantile_fit", "cv_dantzig_path",
     "cv_gen_lasso_path", "cv_fused_lasso_path",
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
-    "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path",
+    "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "__version__",

@@ -103,3 +103,17 @@ def test_kkt_at_convergence():
     act = np.abs(b) > 1e-6
     np.testing.assert_allclose(g[act], -lam * np.sign(b[act]), atol=5e-5)
     assert np.all(np.abs(g[~act]) <= lam * (1 + 1e-3))
+
+
+def test_cv_cox_vvh():
+    """V&VH CV deviance: finite, and the minimizer is interior on a
+    strong-signal problem (over- and under-penalized ends are worse)."""
+    from admm_tpu.models.cox import cv_cox_path
+
+    X, t, d, _ = _problem(n=240, p=10, seed=7)
+    cv = cv_cox_path(X, t, d, nfolds=4, nlambda=12,
+                     lambda_min_ratio=1e-3)
+    assert np.all(np.isfinite(cv.cvm)) and np.all(cv.cvsd >= 0)
+    assert cv.lambda_1se >= cv.lambda_min
+    i = int(np.argmin(cv.cvm))
+    assert cv.cvm[i] < cv.cvm[0]  # beats the null top
