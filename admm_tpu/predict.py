@@ -44,12 +44,22 @@ def predict(result, X, *, lam: Optional[float] = None,
     Returns numpy arrays; with ``lam`` set, the nearest grid point is
     used and the leading lambda axis is dropped.
     """
+    from .models.cox import CoxPathResult
     from .models.multinomial import MNPathResult
     from .models.multitask import MTPathResult
 
     if type not in ("link", "response", "class"):
         raise ValueError("type must be 'link', 'response' or 'class'")
     X = np.asarray(X, np.float64)
+    if isinstance(result, CoxPathResult):
+        # No intercept (baseline hazard); 'response' = relative risk.
+        eta = np.asarray(result.coef) @ X.T          # (L, m)
+        if type == "response":
+            eta = np.exp(eta)
+        elif type == "class":
+            raise ValueError("cox predictions are 'link' (linear "
+                             "predictor) or 'response' (relative risk)")
+        return eta if lam is None else eta[_select_lam(result, lam)]
     beta0 = np.asarray(result.beta0)
     coef = np.asarray(result.coef)
 

@@ -70,3 +70,17 @@ def test_predict_validates():
         admm_tpu.predict(res, X, type="response", family="nope")
     with pytest.raises(ValueError, match="class"):
         admm_tpu.predict(res, X, type="class")
+
+
+def test_predict_cox_relative_risk():
+    rng = np.random.default_rng(4)
+    n, p = 120, 6
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.8, -0.6], np.zeros(p - 2)])
+    t = rng.exponential(np.exp(-(X @ b)))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    r = admm_tpu.cox_lasso_path(X, t, d, nlambda=4, maxit=2000)
+    rr = admm_tpu.predict(r, X, type="response")
+    assert rr.shape == (4, n) and np.all(rr > 0)
+    with pytest.raises(ValueError, match="cox"):
+        admm_tpu.predict(r, X, type="class")
