@@ -11,6 +11,13 @@ regression by the Breslow partial likelihood ::
 No intercept — it is absorbed by the baseline hazard, exactly as in
 glmnet's cox family.
 
+No consensus (row-block) variant is offered DELIBERATELY: the partial
+likelihood couples every row through the risk sets, so the objective
+is not separable across row blocks — splitting it would silently
+change the model (each block would see truncated risk sets).  Use
+``data_mesh``-style sharding of the matvecs if the data outgrows a
+chip; the risk-set cumsums stay global.
+
 TPU-native structure: rows are sorted by time DESCENDING once on the
 host, after which every risk-set quantity is a CUMSUM —
 ``S_i = sum_{t_j >= t_i} e^{eta_j}`` is a prefix sum read at each tie
@@ -82,17 +89,25 @@ def _cox_grad_eta(eta, d, first, last, n):
     return (ee * G - d) / n
 
 
-def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps, fixed_minv):
+def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
+             fixed_minv=None):
+    """``fixed_minv`` None => the ADAPTIVE majorizer: the (p, p)
+    inverse rides ``st.aux`` and is refreshed once per lambda from the
+    warm-start iterate (see _cox_path) — ``V_k <= diag(pi_k)`` gives
+    the tight diagonal bound ``H <= X'diag(w)X/n`` with
+    ``w_i = e^{eta_i} G_i`` (the gradient's positive part), ~100x
+    tighter than the global d/2 bound on spread-out risk sets."""
     from ..core.engine import ProblemOps
 
     def next_x(st):
         v = st.z - st.y / st.rho
+        Minv = fixed_minv if fixed_minv is not None else st.aux
 
         def step(_, b):
             eta = dot(Xs, b)
             g = _cox_grad_eta(eta, d, first, last, n)
             grad = dot(Xs.T, g) + st.rho * (b - v)
-            return b - dot(fixed_minv, grad)
+            return b - dot(Minv, grad)
 
         return lax.fori_loop(0, newton_steps, step, st.x)
 
@@ -146,36 +161,65 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
     else:
         lams = user_lams
 
-    # Fixed majorizer: each of the d events contributes a softmax
-    # curvature <= I/2 in eta, so the (1/n-scaled) loss Hessian is
-    # dominated by H_fix = (d / 2n) Xs'Xs.  With standardized columns
-    # diag(Xs'Xs) ~ n, so the majorizer's curvature scale is ~ d/2;
-    # the actual curvature is far below the bound (risk-set softmaxes
-    # are spread thin).  Auto-rho = d/(4n) — the per-observation
-    # event-rate analog of the binomial 1/4 rule; a sweep over
-    # rho in [0.05, 1] is flat within ~15% and the auto value lands on
-    # its minimum — floored for nearly-all-censored data.
+    # Auto-rho = 1/2, the per-event softmax curvature bound (the same
+    # family-bound principle as binomial's measured 1/4; the cox sweep
+    # over [0.125, 125] at 2000x200 has its minimum at 0.5 in both
+    # protocols, and the small-problem sweep is flat).
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.maximum(d_total / (4.0 * n), 1e-3).astype(dtype))
-    H_fix = (d_total / (2.0 * n)) * dot(Xs.T, Xs)
-    Minv = ridge_inverse(H_fix, rho)
+                    jnp.asarray(0.5, dtype))
 
-    ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps, Minv)
-    solve = make_admm_solver(ops, adapt_rho=False)
+    def majorizer_inv(b):
+        # Tight diagonal bound at the current iterate: V_k <= diag(pi_k)
+        # => H <= Xs' diag(w) Xs / n with w = e^eta * G (the positive
+        # part of the gradient decomposition).
+        eta = dot(Xs, b)
+        ee = jnp.exp(jnp.minimum(eta, 30.0))
+        S = jnp.cumsum(ee)[last]
+        G = jnp.cumsum((d / S)[::-1])[::-1][first]
+        w = ee * G
+        H = dot(Xs.T * w[None, :], Xs) / n
+        return ridge_inverse(H, rho)
+
     zeros = jnp.zeros((p,), dtype)
-    st0 = make_state(zeros, zeros, zeros, rho, lams[0], dtype=dtype)
 
     if path_mode == "batch":
+        # Batch lanes share one GLOBAL-bound factorization (the lanes
+        # hold different iterates, so a shared adaptive refresh has no
+        # single anchor).  Measured: the warm-started adaptive scan
+        # dominates for cox (DESIGN.md "cox protocol") — scan is the
+        # shipped default.
         from .lasso import _batched_cold_states
 
+        H_fix = (d_total / (2.0 * n)) * dot(Xs.T, Xs)
+        Minv = ridge_inverse(H_fix, rho)
+        ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
+                       Minv)
+        solve = make_batched_solver(make_admm_solver(ops,
+                                                     adapt_rho=False))
         st = _batched_cold_states(lams.shape[0], p, rho, lams, dtype)
-        st = make_batched_solver(solve)(st, maxit, eps_abs, eps_rel)
+        st = solve(st, maxit, eps_abs, eps_rel)
         coefs_s, niter = st.z, st.it
     else:
-        from .lasso import _scan_path
+        # Warm-started scan with the PER-LAMBDA adaptive majorizer:
+        # the factorized inverse rides st.aux, refreshed at each
+        # lambda's warm start (a valid local majorizer; the ADMM prox
+        # term guards the inexact inner steps, and the independent
+        # oracle/KKT tests certify the solutions).
+        from ..core.engine import warm_start
 
-        _, coefs_s, niter, _ = _scan_path(st0, solve, (lambda st: st.z),
-                                          lams, maxit, eps_abs, eps_rel)
+        ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
+                       None)
+        solve = make_admm_solver(ops, adapt_rho=False)
+        st0 = make_state(zeros, zeros, zeros, rho, lams[0],
+                         aux=majorizer_inv(zeros), dtype=dtype)
+
+        def step(st, lam):
+            st = warm_start(st, lam)
+            st = st._replace(aux=majorizer_inv(st.x))
+            st = solve(st, maxit, eps_abs, eps_rel)
+            return st, (st.z, st.it)
+
+        _, (coefs_s, niter) = lax.scan(step, st0, lams)
 
     coef = coefs_s / sd_x[None, :]
     return CoxPathResult(lambdas=lams, coef=coef, niter=niter)
@@ -187,14 +231,19 @@ def cox_lasso_path(X, time, event, *,
                    alpha: float = 1.0, standardize: bool = True,
                    maxit: int = 10000, eps_abs: float = 1e-5,
                    eps_rel: float = 1e-5, rho: float = -1.0,
-                   path_mode: str = "batch", newton_steps: int = 2,
+                   path_mode: str = "scan", newton_steps: int = 2,
                    dtype=jnp.float32) -> CoxPathResult:
     """Solve the L1/elastic-net Cox partial-likelihood path.
 
     ``time``: (n,) observed/censoring times; ``event``: (n,) 1 = event
     observed, 0 = right-censored.  Ties handled by Breslow's
     approximation (glmnet's convention).  No intercept (absorbed by the
-    baseline hazard).  Returns coefficients on the original scale.
+    baseline hazard).  ``path_mode="scan"`` (default, MEASURED: the
+    warm-started sequential path with the per-lambda adaptive majorizer
+    converges in ~8x fewer step-units than cold batch lanes under the
+    global d/2 bound — cox solutions move smoothly along the path);
+    "batch" solves lambdas as lanes with the shared global-bound
+    factorization.  Returns coefficients on the original scale.
     """
     X_np = np.asarray(X)
     t_np = np.asarray(time, np.float64).ravel()
