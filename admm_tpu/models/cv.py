@@ -64,8 +64,8 @@ def binomial_deviance(eta, y):
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale"))
 def _gaussian_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
-                        eps_rel, alpha, pf=None, *, standardize_x,
-                        intercept, enet_scale):
+                        eps_rel, alpha, pf=None, limits=None, *,
+                        standardize_x, intercept, enet_scale):
     """Jitted CORE of the gaussian fold sweep — a MODULE-LEVEL jit so
     compilations cache across cv_lasso_path calls (a per-call
     ``jax.jit`` closure recompiled the whole vmapped program every CV:
@@ -79,7 +79,8 @@ def _gaussian_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
 
     def one(mask):
         res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
-                         alpha, mask, pf, standardize_x=standardize_x,
+                         alpha, mask, pf, limits,
+                         standardize_x=standardize_x,
                          intercept=intercept, enet_scale=enet_scale,
                          path_mode="batch", pallas_ok=False)
         return res.beta0[:, None] + res.coef @ X.T
@@ -108,13 +109,29 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
         # identical factors as the full fit.
         pf = jnp.asarray(pf, dtype).ravel()
         pf = pf * (pf.shape[0] / jnp.sum(pf))
+    lo, up = (solver_kw.get("lower_limits"),
+              solver_kw.get("upper_limits"))
+    limits = None
+    if lo is not None or up is not None:
+        # ORIGINAL-scale limits, broadcast like the public path; the
+        # fold sweep converts to the standardized scale internally.
+        def _full(v, fill):
+            a = jnp.asarray(fill if v is None else v, dtype).ravel()
+            return a
+
+        limits = (_full(lo, -jnp.inf), _full(up, jnp.inf))
 
     def run(X, y, lams, masks, fid):
+        lim = limits
+        if lim is not None:
+            p_ = np.shape(X)[1]
+            lim = (jnp.broadcast_to(lim[0], (p_,)),
+                   jnp.broadcast_to(lim[1], (p_,)))
         return _gaussian_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
             jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
             jnp.asarray(fid, jnp.int32),
-            rho, maxit, eps_abs, eps_rel, alpha, pf,
+            rho, maxit, eps_abs, eps_rel, alpha, pf, lim,
             standardize_x=standardize, intercept=intercept,
             enet_scale=enet_scale)
 

@@ -95,6 +95,14 @@ def relaxed_lasso_path(X, y, *, gammas=(0.0, 0.25, 0.5, 0.75, 1.0),
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     gam = jnp.sort(jnp.asarray(gammas, dtype).ravel())
+    if (lasso_kw.get("lower_limits") is not None
+            or lasso_kw.get("upper_limits") is not None):
+        # The unpenalized refit would need a box-CONSTRAINED LS solve
+        # (an active-set problem, not a clip) to stay feasible; rather
+        # than silently return infeasible refits, refuse.
+        raise NotImplementedError(
+            "relaxed_lasso_path does not support coefficient limits "
+            "(the support refit would need constrained least squares)")
     res = lasso_path(X, y, standardize=standardize, intercept=intercept,
                      dtype=dtype, **lasso_kw)
     coefs = jnp.asarray(res.coef)

@@ -261,3 +261,16 @@ def test_cv_penalty_factor_onepass_matches_loop():
                          penalty_factor=pf, cv_mode="loop")
     np.testing.assert_allclose(one.cvm, loop.cvm, rtol=1e-4, atol=1e-5)
     assert one.lambda_min == loop.lambda_min
+
+
+def test_cv_limits_onepass_matches_loop():
+    """Coefficient limits must reach the fold solves too (the nonneg
+    lasso under CV: onepass == loop)."""
+    X, y, _ = _problem(n=120, p=12)
+    foldid = np.arange(120) % 4
+    one = cv_lasso_path(X, y, foldid=foldid, nlambda=6,
+                        lower_limits=0.0, cv_mode="onepass")
+    loop = cv_lasso_path(X, y, foldid=foldid, nlambda=6,
+                         lower_limits=0.0, cv_mode="loop")
+    np.testing.assert_allclose(one.cvm, loop.cvm, rtol=1e-4, atol=1e-5)
+    assert one.lambda_min == loop.lambda_min
