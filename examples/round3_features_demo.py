@@ -74,6 +74,20 @@ acc = (np.argmax(np.asarray(mn.beta0)[-1] + X @ np.asarray(mn.coef)[-1],
                  axis=1) == labels).mean()
 print(f"multinomial (grouped): train accuracy at path bottom {acc:.2f}")
 
+# Cox survival regression (Breslow partial likelihood, right-censored).
+t_surv = rng.exponential(np.exp(-(X @ b)))
+d_surv = (rng.uniform(size=n) < 0.7).astype(float)
+cox = admm_tpu.cox_lasso_path(X, t_surv, d_surv, nlambda=15)
+rr = admm_tpu.predict(cox, X, type="response",
+                      lam=float(cox.lambdas[-1]))
+print("cox: active coefficients at path bottom:",
+      int((np.abs(np.asarray(cox.coef)[-1]) > 1e-6).sum()),
+      f"| relative-risk range [{rr.min():.2f}, {rr.max():.2f}]")
+
+# Relaxed lasso: de-bias by blending with the support refit.
+rel = admm_tpu.relaxed_lasso_path(X, y, nlambda=20)
+print("relaxed: gamma grid", np.asarray(rel.gammas).tolist())
+
 # One-program CV (the whole fold sweep is one compiled program).
 cv = admm_tpu.cv_lasso_path(X, y, nfolds=5, nlambda=40)
 print(f"one-pass CV: lambda_min={cv.lambda_min:.4f} "
