@@ -121,15 +121,29 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
 
         limits = (_full(lo, -jnp.inf), _full(up, jnp.inf))
 
+    fold_mesh = solver_kw.get("fold_mesh")
+
     def run(X, y, lams, masks, fid):
         lim = limits
         if lim is not None:
             p_ = np.shape(X)[1]
             lim = (jnp.broadcast_to(lim[0], (p_,)),
                    jnp.broadcast_to(lim[1], (p_,)))
+        masks_j = jnp.asarray(masks, dtype)
+        if fold_mesh is not None:
+            # Embarrassingly parallel CV: shard the FOLD axis over the
+            # mesh — each device solves its folds' whole paths; the
+            # only cross-device traffic is the batched while_loop's
+            # tiny all-done reduction and the final gather.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axes = tuple(fold_mesh.axis_names)
+            masks_j = jax.device_put(
+                masks_j, NamedSharding(fold_mesh,
+                                       PartitionSpec(axes, None)))
         return _gaussian_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
-            jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
+            jnp.asarray(lams, dtype), masks_j,
             jnp.asarray(fid, jnp.int32),
             rho, maxit, eps_abs, eps_rel, alpha, pf, lim,
             standardize_x=standardize, intercept=intercept,
@@ -211,6 +225,13 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     ``cv.glmnet``) — weight the full fit, every fold fit, and the
     cvm/cvsd aggregation.
 
+    ``fold_mesh`` (via ``solver_kw``, onepass only): a
+    ``jax.sharding.Mesh`` over which the FOLD axis of the one-pass
+    sweep is sharded — CV folds are independent, so each device solves
+    its folds' whole paths with only the batched while_loop's tiny
+    all-done reduction crossing the mesh (nfolds must be a multiple of
+    the mesh size).
+
     When an explicit ``foldid`` is given it defines the folds and
     ``nfolds`` is derived from it (glmnet convention).  Entries of -1
     (an extension; glmnet has no such sentinel) are excluded from CV
@@ -250,6 +271,9 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     # with the per-fold calls' grid argument.
     is_default_path = _path_fn is None
     if is_default_path:
+        path_solver_kw = {k: v for k, v in solver_kw.items()
+                          if k != "fold_mesh"}
+
         def _path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
                      lambda_min_ratio=lambda_min_ratio):
             return lasso_path(Xf, yf, lambdas=lambdas, nlambda=nlambda,
@@ -257,7 +281,7 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                               alpha=alpha, _enet_scale=_enet_scale,
                               standardize=standardize,
                               intercept=intercept, path_mode=path_mode,
-                              weights=wf, **solver_kw)
+                              weights=wf, **path_solver_kw)
 
         full = _path_fn(X, y, lambdas, w)
     else:

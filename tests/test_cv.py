@@ -274,3 +274,20 @@ def test_cv_limits_onepass_matches_loop():
                          lower_limits=0.0, cv_mode="loop")
     np.testing.assert_allclose(one.cvm, loop.cvm, rtol=1e-4, atol=1e-5)
     assert one.lambda_min == loop.lambda_min
+
+
+def test_cv_fold_mesh_matches_single_device():
+    """Sharding the fold axis over the 8-device mesh reproduces the
+    single-device one-pass CV (folds are independent; only the all-done
+    reduction crosses the mesh)."""
+    from admm_tpu.parallel.mesh import make_mesh
+
+    X, y, _ = _problem(n=160, p=12)
+    base = cv_lasso_path(X, y, nfolds=8, nlambda=6, seed=3,
+                         cv_mode="onepass")
+    shd = cv_lasso_path(X, y, nfolds=8, nlambda=6, seed=3,
+                        cv_mode="onepass", fold_mesh=make_mesh(8))
+    np.testing.assert_allclose(shd.cvm, base.cvm, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(shd.cvsd, base.cvsd, rtol=1e-3,
+                               atol=1e-6)
+    assert shd.lambda_min == base.lambda_min
