@@ -129,18 +129,7 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
             p_ = np.shape(X)[1]
             lim = (jnp.broadcast_to(lim[0], (p_,)),
                    jnp.broadcast_to(lim[1], (p_,)))
-        masks_j = jnp.asarray(masks, dtype)
-        if fold_mesh is not None:
-            # Embarrassingly parallel CV: shard the FOLD axis over the
-            # mesh — each device solves its folds' whole paths; the
-            # only cross-device traffic is the batched while_loop's
-            # tiny all-done reduction and the final gather.
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            axes = tuple(fold_mesh.axis_names)
-            masks_j = jax.device_put(
-                masks_j, NamedSharding(fold_mesh,
-                                       PartitionSpec(axes, None)))
+        masks_j = _shard_folds(jnp.asarray(masks, dtype), fold_mesh)
         return _gaussian_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
             jnp.asarray(lams, dtype), masks_j,
@@ -173,8 +162,24 @@ def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
     return etas[fid, :, jnp.arange(fid.shape[0])]
 
 
+def _shard_folds(masks_j, fold_mesh):
+    """Embarrassingly parallel CV: shard the FOLD axis of the mask
+    matrix over ``fold_mesh`` — the vmapped fold sweep then partitions
+    lane-wise, each device solving its folds' whole paths; the only
+    cross-device traffic is the batched while_loop's tiny all-done
+    reduction and the final eta gather."""
+    if fold_mesh is None:
+        return masks_j
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axes = tuple(fold_mesh.axis_names)
+    return jax.device_put(
+        masks_j, NamedSharding(fold_mesh, PartitionSpec(axes, None)))
+
+
 def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
-                       eps_abs, eps_rel, rho, path_mode, dtype=None):
+                       eps_abs, eps_rel, rho, path_mode, dtype=None,
+                       fold_mesh=None):
     """One-program fold sweep for any GLM family (same contract as
     :func:`_make_gaussian_fold_eta`): fold f = the weighted GLM path
     with weight 0 on held-out rows (models/glm.py), vmapped."""
@@ -183,7 +188,8 @@ def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
     def run(X, y, lams, masks, fid):
         return _glm_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
-            jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
+            jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
             jnp.asarray(fid, jnp.int32),
             rho, maxit, eps_abs, eps_rel, alpha, family=fam,
             standardize_x=standardize, intercept=intercept,
@@ -441,7 +447,8 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
 
     fold_eta = _make_glm_fold_eta(fam, alpha, standardize, intercept,
                                   maxit, eps_abs, eps_rel, rho,
-                                  path_mode)
+                                  path_mode,
+                                  fold_mesh=kw.get("fold_mesh"))
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,

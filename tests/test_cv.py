@@ -291,3 +291,20 @@ def test_cv_fold_mesh_matches_single_device():
     np.testing.assert_allclose(shd.cvsd, base.cvsd, rtol=1e-3,
                                atol=1e-6)
     assert shd.lambda_min == base.lambda_min
+
+
+def test_cv_glm_fold_mesh_matches_single_device():
+    from admm_tpu.models.cv import cv_glm_path
+    from admm_tpu.models.glm import binomial
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(160, 10))
+    b = np.zeros(10); b[:3] = [1.5, -1.0, 0.7]
+    y = (rng.uniform(size=160) < 1 / (1 + np.exp(-(X @ b)))).astype(float)
+    base = cv_glm_path(X, y, binomial(), nfolds=8, nlambda=6, seed=2,
+                       cv_mode="onepass")
+    shd = cv_glm_path(X, y, binomial(), nfolds=8, nlambda=6, seed=2,
+                      cv_mode="onepass", fold_mesh=make_mesh(8))
+    np.testing.assert_allclose(shd.cvm, base.cvm, rtol=1e-4, atol=1e-6)
+    assert shd.lambda_min == base.lambda_min
