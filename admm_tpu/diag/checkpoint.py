@@ -346,11 +346,19 @@ def checkpointed_glm_path(
     # loss gradient; models/glm.py::_glm_path).
     lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     if hessian == "auto":
+        # Checkpointed runs keep the exact engine for unbounded
+        # families: the adaptive majorizer's per-lambda refresh anchors
+        # on in-chunk warm starts and its aux does not cross chunk
+        # boundaries.
         hessian = ("fixed" if fam.curvature_bound is not None
                    else "exact")
-    st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
-                                     alpha, int(newton_steps), obs_w=w,
-                                     hessian=hessian)
+    if hessian == "adaptive":
+        raise ValueError("checkpointed GLM paths support hessian="
+                         "'fixed' or 'exact' (the adaptive majorizer's "
+                         "aux does not cross chunk boundaries)")
+    st0, solve, report, _refresh = _glm_engine(
+        Xa, y, fam, lams[0], rho, pen_mask, alpha, int(newton_steps),
+        obs_w=w, hessian=hessian)
     fp = _fingerprint(
         Xa, y, lams, alpha, maxit, eps_abs, eps_rel, rho,
         standardize, intercept, False,

@@ -229,7 +229,8 @@ def recover_glm(coefs_a, mean_x, sd_x, intercept: bool):
 
 
 def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
-             newton_steps, obs_w=None, fixed_minv=None, offset=None):
+             newton_steps, obs_w=None, fixed_minv=None, offset=None,
+             adaptive=False):
     """ProblemOps for the smooth-loss ADMM; ``Xa`` (n, q) includes the
     ones column when an intercept is fitted.  ``obs_w`` (normalized
     observation weights summing to n, or None) multiplies the
@@ -243,10 +244,23 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
     prox subproblem).  Replaces the per-step (n, q, q) Hessian build +
     Cholesky with two thin matvecs, and makes the batched (per-lambda
     lane) path share ONE (q, q) matrix instead of building per-lane
-    Hessians."""
+    Hessians.
+
+    ``adaptive``: ``st.aux = (Minv, w_warm)`` rides the state instead —
+    the majorizer inverse refreshed once per lambda at the warm start
+    (the cox protocol, models/cox.py) — for UNBOUNDED-curvature
+    families (poisson) where no global factorization exists.  Unlike
+    cox's softmax weights, poisson's ``w = e^eta`` can GROW without
+    bound mid-segment, so the stale inverse alone is not a majorizer;
+    each inner step is damped by the pointwise curvature ratio
+    ``r = max_i w_i(eta)/w_warm_i`` — ``(1/r) Minv grad`` is an exact
+    MM step for the inflated majorizer ``r (H_warm + rho I) >=
+    H(eta) + rho I``, so the inner iteration is monotone for ANY
+    iterate.  Cost: one (n,) divide + max per step instead of the
+    (n, q, q) Hessian build + Cholesky."""
     import jax.scipy.linalg as jsl
 
-    def newton(v, rho, b0):
+    def newton(v, rho, b0, minv, w_warm):
         def step(_, b):
             eta = dot(Xa, b)
             if offset is not None:
@@ -255,8 +269,14 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
             if obs_w is not None:
                 g = obs_w * g
             grad = dot(Xa.T, g) / n + rho * (b - v)
-            if fixed_minv is not None:
-                return b - dot(fixed_minv, grad)
+            if minv is not None:
+                d = dot(minv, grad)
+                if w_warm is None:
+                    return b - d
+                wc = family.weight_eta(eta, ys)
+                r = jnp.maximum(jnp.max(wc / jnp.maximum(w_warm, 1e-12)),
+                                1.0)
+                return b - d / r
             w = family.weight_eta(eta, ys)
             if obs_w is not None:
                 w = obs_w * w
@@ -270,7 +290,11 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
     def next_x(st):
         # Plain-ADMM engine: prox center from (z, y), not adj_*.
         v = st.z - st.y / st.rho
-        return newton(v, st.rho, st.x)
+        if adaptive:
+            minv, w_warm = st.aux
+        else:
+            minv, w_warm = fixed_minv, None
+        return newton(v, st.rho, st.x, minv, w_warm)
 
     def next_z(st, x_new):
         v = x_new + st.y / st.rho
@@ -356,6 +380,14 @@ def _glm_fixed_minv(Xa, family, rho, obs_w=None):
 
 def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
                 newton_steps, obs_w=None, hessian="exact", offset=None):
+    """Returns (st0, solve, report, refresh): ``refresh`` is None
+    except under ``hessian='adaptive'``, where it maps the warm-start
+    iterate to the refreshed per-lambda majorizer inverse (rides
+    st.aux; the cox protocol of models/cox.py applied to
+    unbounded-curvature GLMs — e.g. poisson's H = Xa'diag(e^eta)Xa/n
+    factorized ONCE per lambda instead of per inner step)."""
+    from ..linalg import ridge_inverse
+
     n, q = Xa.shape
     dtype = Xa.dtype
     rho = _glm_auto_rho(family, rho0, dtype)
@@ -364,11 +396,29 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
         assert family.curvature_bound is not None
         fixed_minv = _glm_fixed_minv(Xa, family, rho, obs_w)
     ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps,
-                   obs_w, fixed_minv, offset)
+                   obs_w, fixed_minv, offset,
+                   adaptive=(hessian == "adaptive"))
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q,), dtype)
-    st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
-    return st0, solve, (lambda st: st.z)
+    refresh = None
+    aux = 0.0
+    if hessian == "adaptive":
+        def refresh(b):
+            eta = dot(Xa, b)
+            if offset is not None:
+                eta = eta + offset
+            w_warm = family.weight_eta(eta, ys)
+            wm = w_warm if obs_w is None else obs_w * w_warm
+            H = dot(Xa.T * wm[None, :], Xa) / n
+            # (Minv, w_warm): the damping ratio compares RAW family
+            # curvatures (obs_w scales both sides identically and a
+            # zero weight must not poison the max).
+            return (ridge_inverse(H, rho), w_warm)
+
+        aux = refresh(zeros)
+    st0 = make_state(zeros, zeros, zeros, rho, lam_first, aux=aux,
+                     dtype=dtype)
+    return st0, solve, (lambda st: st.z), refresh
 
 
 @partial(jax.jit, static_argnames=("family", "standardize_x", "intercept",
@@ -410,11 +460,23 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
         lams = user_lams
 
     if hessian == "auto":
-        hessian = "fixed" if fam.curvature_bound is not None else "exact"
+        # Bounded curvature -> the one-time-factorized fixed majorizer;
+        # unbounded (poisson) -> the per-lambda adaptive majorizer with
+        # the curvature-ratio damping safeguard (_glm_ops) — measured
+        # 1.8x over exact per-step Newton at the 2000x200/30-lambda
+        # benchmark problem (7.4 ms vs 13.6 ms; the per-step Cholesky
+        # dominates exact's iteration cost on TPU).
+        hessian = ("fixed" if fam.curvature_bound is not None
+                   else "adaptive")
     if hessian == "fixed" and fam.curvature_bound is None:
         raise ValueError(
             f"family {fam.name!r} has unbounded curvature; "
             "hessian='fixed' is not available")
+    if hessian == "adaptive":
+        # The per-lambda refresh anchors on the warm-start iterate —
+        # batch lanes hold different iterates, so adaptive is
+        # scan-only (same restriction as cox's shipped protocol).
+        path_mode = "scan"
     if path_mode == "auto":
         # Chip-measured (DESIGN.md "GLM tier, closed"): with the fixed
         # majorizer the batched lanes share one (q, q) matrix and win
@@ -445,9 +507,9 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
         return PathResult(lambdas=lams, beta0=beta0, coef=coef,
                           niter=niter, trace=traces)
 
-    st0, solve, report = _glm_engine(Xa, y, fam, lams[0], rho, pen_mask,
-                                     alpha, newton_steps, obs_w=w,
-                                     hessian=hessian, offset=offset)
+    st0, solve, report, refresh = _glm_engine(
+        Xa, y, fam, lams[0], rho, pen_mask, alpha, newton_steps,
+        obs_w=w, hessian=hessian, offset=offset)
     if path_mode == "batch":
         bsolve = make_batched_solver(solve)
         st = _batched_cold_states(lams.shape[0], q, st0.rho, lams, dtype)
@@ -456,7 +518,7 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
     else:
         _, coefs_a, niter, traces = _scan_path(st0, solve, report, lams,
                                                maxit, eps_abs, eps_rel,
-                                               trace_len)
+                                               trace_len, refresh=refresh)
 
     beta0, coef = recover_glm(coefs_a, mean_x, sd_x, intercept)
     return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter,
@@ -492,10 +554,14 @@ def glm_lasso_path(X, y, family, *,
     kernel falls back to XLA when an offset is given.
     ``hessian``: "fixed" uses the
     one-time-factorized curvature majorizer in the x-update (available
-    for bounded-curvature families: binomial, huber), "exact" rebuilds
-    the (q, q) Newton Hessian every inner step, "auto" (default) picks
-    "fixed" whenever the family has a curvature bound — same solutions
-    to solver tolerance, ~10x faster per lambda (DESIGN.md "GLM tier").
+    for bounded-curvature families: binomial, huber), "adaptive"
+    refreshes a local majorizer once per lambda at the warm start with
+    a pointwise curvature-ratio damping safeguard (unbounded families —
+    poisson; the cox protocol of models/cox.py), "exact" rebuilds the
+    (q, q) Newton Hessian every inner step, "auto" (default) picks
+    "fixed" when the family has a curvature bound and "adaptive"
+    otherwise — same solutions to solver tolerance, ~10x ("fixed") and
+    ~1.8x ("adaptive") faster per lambda (DESIGN.md "GLM tier").
     ``data_mesh`` (operator parallelism): X/y are ROW-sharded over the
     mesh so the per-step gradient/Hessian reductions (and the
     fixed-majorizer Gram build) distribute via the SPMD partitioner,
@@ -515,8 +581,9 @@ def glm_lasso_path(X, y, family, *,
         trace_len = int(trace_len)
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1] for GLM paths")
-    if hessian not in ("auto", "fixed", "exact"):
-        raise ValueError("hessian must be 'auto', 'fixed' or 'exact'")
+    if hessian not in ("auto", "fixed", "exact", "adaptive"):
+        raise ValueError(
+            "hessian must be 'auto', 'fixed', 'exact' or 'adaptive'")
     if path_mode not in ("auto", "scan", "batch"):
         raise ValueError("path_mode must be 'auto', 'scan' or 'batch'")
     lams = (None if lambdas is None

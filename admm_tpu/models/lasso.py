@@ -139,18 +139,22 @@ def _tall_engine(Xs, ys, lam_first, rho0, alpha, pf=None, bounds=None):
 
 
 def _scan_path(st0, solve, report, ilams, maxit, eps_abs, eps_rel,
-               trace_len=None):
+               trace_len=None, refresh=None):
     """Warm-started scan over the lambda grid (any engine).
 
     With ``trace_len`` set, a per-iteration residual trace rides the
     while_loop carry (core.engine.make_traced_solve) and is returned per
-    lambda; otherwise ``traces`` is None.
+    lambda; otherwise ``traces`` is None.  ``refresh`` (optional) maps
+    the warm-start iterate to a new ``st.aux`` at each lambda — the
+    per-lambda adaptive-majorizer hook (glm hessian='adaptive').
     """
     solve_t = None if trace_len is None else make_traced_solve(solve,
                                                                trace_len)
 
     def step(st, lam):
         st = warm_start(st, lam)
+        if refresh is not None:
+            st = st._replace(aux=refresh(st.x))
         if trace_len is None:
             st = solve(st, maxit, eps_abs, eps_rel)
             buf = None

@@ -220,8 +220,9 @@ def bench_glm(fast):
     """Informational rows (no reference baseline: the reference is
     gaussian-only): the smooth-loss GLM paths at 2000 x 200, 30
     lambdas, at the SHIPPED defaults — fixed-majorizer x-update +
-    batched lambda lanes for the bounded-curvature families, exact
-    Newton + warm-started scan for poisson, measured auto-rho
+    batched lambda lanes for the bounded-curvature families, the
+    per-lambda adaptive majorizer (curvature-ratio damped) + warm
+    scan for poisson, measured auto-rho
     (DESIGN.md "GLM tier, closed"; the full decision sweep lives in
     benchmarks/glm_sweep.py)."""
     import jax.numpy as jnp
@@ -247,8 +248,8 @@ def bench_glm(fast):
     for name, fam in fams.items():
         yj = jnp.asarray(ys[name])
 
-        # Shipped defaults: poisson (exact engine, warm-started scan)
-        # runs ONE exact Newton step per x-update (measured equivalent
+        # Shipped defaults: poisson (adaptive majorizer, warm scan)
+        # runs ONE damped MM step per x-update (measured equivalent
         # to 2; models/glm.py::poisson_lasso_path).
         ns = 1 if fam.curvature_bound is None else 2
 
@@ -270,7 +271,8 @@ def bench_glm(fast):
         out[f"glm_{name}_path_2000x200_ms"] = dict(
             value=amortized_ms(one, *ks), baseline_ms=None,
             note="30-lambda path at shipped defaults (fixed-majorizer "
-                 "batch for binomial/huber, exact scan for poisson); "
+                 "batch for binomial/huber, adaptive-majorizer scan for "
+                 "poisson); "
                  "extension (reference is gaussian-only)")
     return out
 

@@ -315,9 +315,13 @@ def test_glm_crash_and_resume_identical(tmp_path):
                                       np.asarray(full.niter))
         # And the chunked chain agrees with the plain scan path (the
         # checkpointed driver cuts the warm-start chain, so compare
-        # against the scan protocol, not the batch default).
+        # against the scan protocol, not the batch default — and
+        # against the SAME hessian engine: checkpointing resolves auto
+        # to exact for unbounded families, while the plain poisson path
+        # defaults to the adaptive majorizer).
+        hess = "fixed" if fam.curvature_bound is not None else "exact"
         plain = glm_lasso_path(X, y, fam, lambdas=lams,
-                               path_mode="scan")
+                               path_mode="scan", hessian=hess)
         np.testing.assert_allclose(np.asarray(res.coef),
                                    np.asarray(plain.coef), atol=1e-5)
 
