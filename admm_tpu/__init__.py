@@ -47,6 +47,7 @@ from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
 from .models.logistic import logistic_lasso_path
 from .predict import predict
+from .summary import path_table, format_path_table
 from .parallel.consensus import (parallel_glm_lasso_path,
                                  parallel_huber_lasso_path,
                                  parallel_logistic_lasso_path,
@@ -69,6 +70,7 @@ __all__ = [
     "cv_glm_path", "quantile_fit", "cv_dantzig_path",
     "cv_gen_lasso_path", "cv_fused_lasso_path",
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
+    "path_table", "format_path_table",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",

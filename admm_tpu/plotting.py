@@ -64,3 +64,33 @@ def plot_fitted_vs_observed(fitted, observed, ax=None):
     ax.set_ylabel("Fitted")
     ax.set_title("LAD fit")
     return ax
+
+
+def plot_cv_curve(cv, ax=None):
+    """Cross-validation curve — glmnet's ``plot.cv.glmnet``: mean CV
+    loss with +/- one standard-error bars against log(lambda), dashed
+    vertical markers at ``lambda_min`` and ``lambda_1se``, and the
+    number of nonzero coefficients along the top axis (from the
+    full-data fit the CV result carries).  Extension beyond the
+    reference (its CV has no analog); ``cv`` is any
+    :class:`~admm_tpu.models.cv.CVResult`.
+    """
+    ax = _get_ax(ax)
+    loglam = np.log(np.asarray(cv.lambdas))
+    cvm = np.asarray(cv.cvm)
+    cvsd = np.asarray(cv.cvsd)
+    ax.errorbar(loglam, cvm, yerr=cvsd, fmt="o", ms=3, color="red",
+                ecolor="grey", elinewidth=1, capsize=2)
+    ax.axvline(np.log(cv.lambda_min), ls="--", lw=1, color="black")
+    ax.axvline(np.log(cv.lambda_1se), ls="--", lw=1, color="black")
+    ax.set_xlabel(r"$\log(\lambda)$")
+    ax.set_ylabel("CV loss")
+    ax.set_title("Cross-validation curve")
+    if getattr(cv, "fit", None) is not None:
+        nz = np.count_nonzero(np.asarray(cv.fit.coef), axis=-1)
+        top = ax.secondary_xaxis("top")
+        ticks = loglam[:: max(1, loglam.size // 8)]
+        labels = nz[:: max(1, loglam.size // 8)]
+        top.set_xticks(ticks)
+        top.set_xticklabels([str(int(k)) for k in labels])
+    return ax
