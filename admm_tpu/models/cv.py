@@ -61,6 +61,85 @@ def binomial_deviance(eta, y):
     return 2.0 * (np.logaddexp(0.0, eta) - y[None, :] * eta)
 
 
+def _resolve_measure(type_measure, fam, default_loss):
+    """glmnet's ``type.measure`` -> a per-observation ``loss(eta, y)``
+    (or the 'auc' sentinel, handled per fold by the caller).
+
+    Gaussian (``fam`` None): 'default'/'mse' (squared error), 'mae'.
+    GLM families: 'default'/'deviance' (the family's CV loss),
+    'mse'/'mae' on the RESPONSE scale (expit for binomial, exp for
+    poisson, the identity for huber — glmnet's definitions), and for
+    binomial additionally 'class' (misclassification at p = 1/2) and
+    'auc' (per-fold, Mann-Whitney).
+    """
+    if type_measure in ("default", None):
+        return default_loss, "min"
+    name = getattr(fam, "name", "gaussian") if fam is not None \
+        else "gaussian"
+
+    def response(eta):
+        if name == "binomial":
+            return 1.0 / (1.0 + np.exp(-eta))
+        if name == "poisson":
+            return np.exp(eta)
+        return eta
+
+    if type_measure == "deviance":
+        if fam is None:
+            return _squared_error, "min"      # gaussian deviance == mse
+        return default_loss, "min"
+    if type_measure == "mse":
+        return (lambda eta, y: (response(eta) - y[None, :]) ** 2), "min"
+    if type_measure == "mae":
+        return (lambda eta, y:
+                np.abs(response(eta) - y[None, :])), "min"
+    if type_measure == "class":
+        if name != "binomial":
+            raise ValueError("type_measure='class' needs a binomial "
+                             "family (or cv_multinomial_path)")
+        return (lambda eta, y:
+                ((eta > 0.0).astype(float) != y[None, :])
+                .astype(float)), "min"
+    if type_measure == "auc":
+        if name != "binomial":
+            raise ValueError(
+                "type_measure='auc' needs a binomial family")
+        return "auc", "max"
+    raise ValueError(
+        f"unknown type_measure {type_measure!r}; choose from "
+        "'default', 'deviance', 'mse', 'mae', 'class', 'auc'")
+
+
+def _fold_auc(eta_all, y, foldid, nfolds, w=None):
+    """Per-fold AUC (Mann-Whitney / normalized rank-sum, glmnet's
+    type.measure='auc'): returns (cvraw (nfolds, L), fold_w (nfolds,))
+    with weight 0 for degenerate folds (a single class — AUC
+    undefined; glmnet recommends small nfolds for exactly this
+    reason)."""
+    L = eta_all.shape[1]
+    cvraw = np.zeros((nfolds, L))
+    fold_w = np.zeros(nfolds)
+    for f in range(nfolds):
+        va = foldid == f
+        yv = y[va]
+        npos = int((yv == 1).sum())
+        nneg = int((yv == 0).sum())
+        if npos == 0 or nneg == 0:
+            continue
+        ev = eta_all[va]                      # (n_va, L)
+        # column-wise rank of positives among all (average ranks for
+        # ties via double argsort on a stable sort of (value, index))
+        from scipy.stats import rankdata
+        ranks = np.apply_along_axis(rankdata, 0, ev)
+        rpos = ranks[yv == 1].sum(axis=0)
+        cvraw[f] = (rpos - npos * (npos + 1) / 2.0) / (npos * nneg)
+        fold_w[f] = float(va.sum()) if w is None else float(w[va].sum())
+    if fold_w.sum() == 0:
+        raise ValueError("AUC is undefined in every fold (each fold "
+                         "held a single class); use fewer folds")
+    return cvraw, fold_w
+
+
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "enet_scale"))
 def _gaussian_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
@@ -206,8 +285,9 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                   seed: int = 0, foldid: Optional[np.ndarray] = None,
                   path_mode: str = "batch", cv_mode: str = "auto",
                   weights: Optional[np.ndarray] = None,
+                  type_measure: str = "default",
                   _path_fn=None, _loss_fn=None, _fold_eta_fn=None,
-                  **solver_kw) -> CVResult:
+                  _family=None, **solver_kw) -> CVResult:
     """Cross-validated Lasso/Elastic-Net path.
 
     Fold assignment and scoring follow ``cv.glmnet`` exactly: rows are
@@ -230,6 +310,13 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     ``weights``: observation weights (glmnet's ``weights`` in
     ``cv.glmnet``) — weight the full fit, every fold fit, and the
     cvm/cvsd aggregation.
+
+    ``type_measure`` (glmnet's ``type.measure``): 'default' scores by
+    the family's deviance measure (MSE here); 'mse'/'mae' score on the
+    response scale.  The GLM drivers (``cv_glm_path`` and friends)
+    additionally accept 'deviance', and for binomial 'class'
+    (misclassification) and 'auc' (per-fold Mann-Whitney; ``cvm`` is
+    then the fold-weighted AUC and ``lambda_min`` MAXIMISES it).
 
     ``fold_mesh`` (via ``solver_kw``, onepass only): a
     ``jax.sharding.Mesh`` over which the FOLD axis of the one-pass
@@ -310,8 +397,11 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
 
     # Per-observation losses (glmnet's cvraw), each row scored by the
     # model trained without its fold; the loss maps the linear
-    # predictor to the family's deviance measure (MSE for gaussian).
-    loss = _squared_error if _loss_fn is None else _loss_fn
+    # predictor to the family's deviance measure (MSE for gaussian),
+    # or to the glmnet ``type.measure`` alternative requested.
+    loss, sense = _resolve_measure(
+        type_measure, _family,
+        _squared_error if _loss_fn is None else _loss_fn)
     fold_eta = _fold_eta_fn
     if fold_eta is None and is_default_path and cv_mode != "loop":
         fold_eta = _make_gaussian_fold_eta(alpha, _enet_scale,
@@ -330,41 +420,54 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                  != np.arange(nfolds)[:, None]).astype(np.float64)
         if w is not None:
             masks = masks * w[None, :]
-        eta_sel = np.asarray(fold_eta(X, y, lams, masks,
+        eta_all = np.asarray(fold_eta(X, y, lams, masks,
                                       np.clip(foldid, 0, None)))
-        sqerr = loss(eta_sel.T, y).T           # eta_sel is (n, nlambda)
     else:
         if w is not None and not (is_default_path
                                   or _fold_eta_fn is not None):
             raise ValueError("weighted CV is not supported for this "
                              "driver (its path solver takes no weights)")
         X_np = np.asarray(X, np.float64)
-        sqerr = np.full((n, lams.shape[0]), np.nan)
+        eta_all = np.full((n, lams.shape[0]), np.nan)
         for f in range(nfolds):
             tr = foldid != f
             va = foldid == f
             res = (_path_fn(X_np[tr], y[tr], lams, w[tr])
                    if w is not None else _path_fn(X_np[tr], y[tr], lams))
-            pred = (np.asarray(res.beta0)[:, None]
-                    + np.asarray(res.coef) @ X_np[va].T)  # (nlambda, n_va)
-            sqerr[va] = loss(pred, y[va]).T
+            eta_all[va] = (np.asarray(res.beta0)[:, None]
+                           + np.asarray(res.coef) @ X_np[va].T).T
 
     scored = foldid >= 0
     n_sc = int(scored.sum())
-    if w is None:
-        cvm = sqerr[scored].mean(axis=0)
-        # glmnet: cvsd = sqrt(weighted.mean((cvraw - cvm)^2) / (N - 1))
-        cvsd = np.sqrt(((sqerr[scored] - cvm) ** 2).mean(axis=0)
-                       / (n_sc - 1))
+    if loss == "auc":
+        # Per-FOLD measure (glmnet): cvraw is (nfolds, L) fold AUCs
+        # aggregated with fold sample weights, and "better" is LARGER.
+        cvraw, fold_w = _fold_auc(eta_all, y, foldid, nfolds, w)
+        fw = fold_w / fold_w.sum()
+        cvm = fw @ cvraw
+        nf_eff = int((fold_w > 0).sum())
+        cvsd = np.sqrt((fw @ (cvraw - cvm) ** 2)
+                       / max(nf_eff - 1, 1))
     else:
-        # glmnet's weighted cvm/cvsd (weighted.mean over scored rows).
-        ws = w[scored]
-        cvm = (ws[:, None] * sqerr[scored]).sum(axis=0) / ws.sum()
-        cvsd = np.sqrt((ws[:, None] * (sqerr[scored] - cvm) ** 2)
-                       .sum(axis=0) / ws.sum() / (n_sc - 1))
-    i_min = int(np.argmin(cvm))
+        sqerr = loss(eta_all.T, y).T           # eta_all is (n, nlambda)
+        if w is None:
+            cvm = sqerr[scored].mean(axis=0)
+            # glmnet: cvsd = sqrt(weighted.mean((cvraw-cvm)^2) / (N-1))
+            cvsd = np.sqrt(((sqerr[scored] - cvm) ** 2).mean(axis=0)
+                           / (n_sc - 1))
+        else:
+            # glmnet's weighted cvm/cvsd (weighted.mean over scored rows).
+            ws = w[scored]
+            cvm = (ws[:, None] * sqerr[scored]).sum(axis=0) / ws.sum()
+            cvsd = np.sqrt((ws[:, None] * (sqerr[scored] - cvm) ** 2)
+                           .sum(axis=0) / ws.sum() / (n_sc - 1))
+    if sense == "max":
+        i_min = int(np.argmax(cvm))
+        within = cvm >= cvm[i_min] - cvsd[i_min]
+    else:
+        i_min = int(np.argmin(cvm))
+        within = cvm <= cvm[i_min] + cvsd[i_min]
     lambda_min = float(lams[i_min])
-    within = cvm <= cvm[i_min] + cvsd[i_min]
     lambda_1se = float(lams[np.flatnonzero(within)[0]])  # grid is decreasing
 
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
@@ -428,7 +531,10 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
     explicit ``loss(eta, y)`` is given.  ``cv_logistic_path`` is the
     binomial special case.  The fold sweep runs as one compiled program
     by default (``cv_mode`` as in :func:`cv_lasso_path`); observation
-    ``weights`` are supported (weighted fits + weighted cvm/cvsd)."""
+    ``weights`` are supported (weighted fits + weighted cvm/cvsd).
+    ``type_measure`` selects glmnet's alternative measures
+    ('deviance'/'mse'/'mae', plus 'class'/'auc' for binomial — see
+    :func:`cv_lasso_path`)."""
     from .glm import GLMFamily, glm_lasso_path
 
     fam = family() if not isinstance(family, GLMFamily) else family
@@ -453,7 +559,7 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,
                          _path_fn=path_fn, _loss_fn=loss,
-                         _fold_eta_fn=fold_eta, **kw)
+                         _fold_eta_fn=fold_eta, _family=fam, **kw)
 
 
 def cv_dantzig_path(X, y, *, nlambda: int = 100,
@@ -553,15 +659,23 @@ def _cv_curve(per_obs, foldid):
 
 def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
                         foldid: Optional[np.ndarray] = None,
-                        nlambda: int = 50, **path_kw) -> CVResult:
+                        nlambda: int = 50,
+                        type_measure: str = "deviance",
+                        **path_kw) -> CVResult:
     """Cross-validated sparse multinomial path (extension), scored by
     per-observation MULTINOMIAL DEVIANCE ``-2 log p_{i, y_i}``
-    (glmnet's type.measure="deviance" for family="multinomial").
-    ``path_kw`` forwards to
+    (glmnet's type.measure="deviance" for family="multinomial") —
+    or by glmnet's alternatives: ``type_measure`` 'class'
+    (misclassification of the argmax), 'mse'/'mae' (over the C
+    class-indicator/probability differences).  ``path_kw`` forwards to
     :func:`admm_tpu.models.multinomial.multinomial_lasso_path`; the
     ``fit`` field holds the full-data MNPathResult."""
     from .multinomial import multinomial_lasso_path
 
+    if type_measure not in ("deviance", "default", "class", "mse",
+                            "mae"):
+        raise ValueError("multinomial type_measure must be 'deviance',"
+                         " 'class', 'mse' or 'mae'")
     X = np.asarray(X, np.float64)
     y = np.asarray(y).ravel().astype(np.int64)
     n = X.shape[0]
@@ -582,7 +696,19 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
                + np.einsum("vp,lpc->lvc", X[va], np.asarray(res.coef)))
         eta = eta - eta.max(axis=2, keepdims=True)
         logp = eta - np.log(np.exp(eta).sum(axis=2, keepdims=True))
-        dev[va] = -2.0 * logp[:, np.arange(va.sum()), y[va]].T
+        yv = y[va]
+        if type_measure == "class":
+            dev[va] = (np.argmax(logp, axis=2) != yv[None, :]) \
+                .astype(float).T
+        elif type_measure in ("mse", "mae"):
+            p_ = np.exp(logp)                    # (L, n_va, C)
+            ind = np.zeros((yv.size, C))
+            ind[np.arange(yv.size), yv] = 1.0
+            d = p_ - ind[None, :, :]
+            dev[va] = (np.abs(d).sum(axis=2).T if type_measure == "mae"
+                       else (d ** 2).sum(axis=2).T)
+        else:
+            dev[va] = -2.0 * logp[:, np.arange(va.sum()), yv].T
 
     cvm, cvsd = _cv_curve(dev, foldid)
     i_min = int(np.argmin(cvm))

@@ -308,3 +308,97 @@ def test_cv_glm_fold_mesh_matches_single_device():
                       cv_mode="onepass", fold_mesh=make_mesh(8))
     np.testing.assert_allclose(shd.cvm, base.cvm, rtol=1e-4, atol=1e-6)
     assert shd.lambda_min == base.lambda_min
+
+
+# ---------------------------------------------------------------------------
+# glmnet type.measure alternatives
+# ---------------------------------------------------------------------------
+
+def _binom_problem(n=240, p=20, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p); b[:3] = [1.5, -1.2, 0.9]
+    eta = X @ b
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-eta))).astype(float)
+    return X, y
+
+
+def test_type_measure_auc_matches_sklearn_fold_aucs():
+    """cvm under type_measure='auc' must equal the fold-size-weighted
+    mean of sklearn roc_auc_score over the held-out folds."""
+    from sklearn.metrics import roc_auc_score
+    from admm_tpu.models.cv import cv_glm_path, _make_glm_fold_eta
+    from admm_tpu.models.glm import binomial
+
+    X, y = _binom_problem()
+    cv = cv_glm_path(X, y, binomial(), nfolds=5, nlambda=12, seed=1,
+                     type_measure="auc")
+    # Recompute own-fold etas through the same public machinery the CV
+    # core used, then score with sklearn per fold.
+    lams = np.asarray(cv.lambdas)
+    foldid = cv.foldid
+    masks = (foldid[None, :] != np.arange(5)[:, None]).astype(float)
+    fold_eta = _make_glm_fold_eta(binomial(), 1.0, True, True, 10000,
+                                  1e-5, 1e-5, -1.0, "auto")
+    etas = np.asarray(fold_eta(X, y, lams, masks,
+                               np.clip(foldid, 0, None)))
+    want = np.zeros(lams.size)
+    wsum = 0.0
+    for f in range(5):
+        va = foldid == f
+        aucs = [roc_auc_score(y[va], etas[va, j])
+                for j in range(lams.size)]
+        want += va.sum() * np.asarray(aucs)
+        wsum += va.sum()
+    np.testing.assert_allclose(cv.cvm, want / wsum, atol=1e-10)
+    # AUC is maximized, and is high on this separable-ish problem.
+    assert cv.cvm.max() > 0.85
+    i = int(np.argmax(cv.cvm))
+    assert cv.lambda_min == float(lams[i])
+    assert cv.lambda_1se >= cv.lambda_min
+
+
+def test_type_measure_class_mse_mae_binomial():
+    from admm_tpu.models.cv import cv_logistic_path
+
+    X, y = _binom_problem()
+    out = {}
+    for tm in ("class", "mse", "mae"):
+        cv = cv_logistic_path(X, y, nfolds=5, nlambda=12, seed=0,
+                              type_measure=tm)
+        out[tm] = cv
+    # Misclassification at lambda_min beats the null rate; Brier-style
+    # mse < 0.25 (the constant-1/2 score); mae in (0, 1).
+    null_rate = min(y.mean(), 1 - y.mean())
+    assert out["class"].cvm.min() < null_rate
+    assert out["mse"].cvm.min() < 0.25
+    assert 0.0 < out["mae"].cvm.min() < 0.5
+
+
+def test_type_measure_gaussian_mae_and_reject():
+    X, y, _ = _problem(n=200, p=25, seed=5)
+    cv = cv_lasso_path(X, y, nfolds=5, nlambda=15, type_measure="mae")
+    # MAE of a good fit with unit noise ~ E|N(0,1)| = 0.8 scale.
+    assert 0.3 < cv.cvm.min() < 1.2
+    with pytest.raises(ValueError):
+        cv_lasso_path(X, y, nlambda=5, type_measure="auc")
+    with pytest.raises(ValueError):
+        cv_lasso_path(X, y, nlambda=5, type_measure="banana")
+
+
+def test_type_measure_multinomial_class():
+    from admm_tpu.models.cv import cv_multinomial_path
+
+    rng = np.random.default_rng(2)
+    n, p = 210, 15
+    X = rng.normal(size=(n, p))
+    eta = X[:, :2] @ np.array([[1.8, -1.5], [0.2, 1.9]]).T
+    y = np.argmax(np.c_[eta, 0.3 * rng.normal(size=n)], axis=1)
+    cv = cv_multinomial_path(X, y, nfolds=4, nlambda=10,
+                             type_measure="class")
+    assert cv.cvm.min() < 0.2
+    cvm2 = cv_multinomial_path(X, y, nfolds=4, nlambda=10,
+                               type_measure="mse")
+    assert cvm2.cvm.min() < 2.0 / 3.0   # beats the uniform predictor
+    with pytest.raises(ValueError):
+        cv_multinomial_path(X, y, nlambda=5, type_measure="auc")
