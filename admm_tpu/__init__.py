@@ -28,7 +28,10 @@ from __future__ import annotations
 
 from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
                   admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
-from .models.bp import bp_fit_batch
+from .models.bp import bp_fit, bp_fit_batch
+from .models.lasso import enet_path, lasso_path
+from .models.lad import lad_fit
+from .models.dantzig import dantzig_path
 from .models.cv import (cv_dantzig_path, cv_enet_path,
                         cv_fused_lasso_path, cv_gen_lasso_path,
                         cv_glm_path, cv_group_lasso_path,
@@ -60,7 +63,8 @@ __version__ = "0.1.0"
 __all__ = [
     "admm_lasso", "admm_enet", "admm_lad", "admm_bp", "admm_dantzig",
     "ADMMLasso", "ADMMEnet", "ADMMLAD", "ADMMBP", "ADMMDantzig",
-    "cv_lasso_path", "cv_enet_path", "bp_fit_batch",
+    "cv_lasso_path", "cv_enet_path", "bp_fit", "bp_fit_batch",
+    "lasso_path", "enet_path", "lad_fit", "dantzig_path",
     "group_lasso_path", "cv_group_lasso_path",
     "gen_lasso_path", "fused_lasso_path", "difference_matrix",
     "logistic_lasso_path", "cv_logistic_path",

@@ -45,6 +45,9 @@ class CVResult(NamedTuple):
     lambda_1se: float       # largest lambda with cvm <= min + 1 se
     fit: PathResult         # full-data path fit on the same grid
     foldid: np.ndarray      # (n,) fold assignment (-1 = train-only row)
+    # glmnet's keep=TRUE: the (n, nlambda) PREVALIDATED linear
+    # predictors (each row from the fold fit that excluded it), or None
+    fit_preval: Optional[np.ndarray] = None
 
 
 def _squared_error(eta, y):
@@ -285,7 +288,7 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                   seed: int = 0, foldid: Optional[np.ndarray] = None,
                   path_mode: str = "batch", cv_mode: str = "auto",
                   weights: Optional[np.ndarray] = None,
-                  type_measure: str = "default",
+                  type_measure: str = "default", keep: bool = False,
                   _path_fn=None, _loss_fn=None, _fold_eta_fn=None,
                   _family=None, **solver_kw) -> CVResult:
     """Cross-validated Lasso/Elastic-Net path.
@@ -310,6 +313,11 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     ``weights``: observation weights (glmnet's ``weights`` in
     ``cv.glmnet``) — weight the full fit, every fold fit, and the
     cvm/cvsd aggregation.
+
+    ``keep`` (glmnet's ``keep=TRUE``): return the (n, nlambda)
+    prevalidated linear predictors — each row predicted by the fold fit
+    that excluded it — in ``fit_preval`` (with ``foldid`` already a
+    result field).
 
     ``type_measure`` (glmnet's ``type.measure``): 'default' scores by
     the family's deviance measure (MSE here); 'mse'/'mae' score on the
@@ -472,7 +480,8 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
 
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
                     lambda_min=lambda_min, lambda_1se=lambda_1se,
-                    fit=full, foldid=foldid)
+                    fit=full, foldid=foldid,
+                    fit_preval=eta_all if keep else None)
 
 
 def cv_enet_path(X, y, *, alpha: float = 1.0, **kw) -> CVResult:

@@ -537,6 +537,8 @@ def glm_lasso_path(X, y, family, *,
                    weights: Optional[jnp.ndarray] = None,
                    offset: Optional[jnp.ndarray] = None,
                    hessian: str = "auto", data_mesh=None,
+                   dfmax: Optional[int] = None,
+                   pmax: Optional[int] = None,
                    dtype=jnp.float32) -> PathResult:
     """Solve a penalized smooth-loss path for any :class:`GLMFamily`.
 
@@ -593,12 +595,16 @@ def glm_lasso_path(X, y, family, *,
            else jnp.asarray(offset, dtype).ravel())
     if off is not None and off.shape != (X.shape[0],):
         raise ValueError("offset must have one entry per row")
-    return _glm_path(X, y, int(nlambda), lambda_min_ratio, lams, rho,
-                     maxit, eps_abs, eps_rel, alpha, w, off,
-                     family=family,
-                     standardize_x=standardize, intercept=intercept,
-                     path_mode=path_mode, trace_len=trace_len,
-                     newton_steps=int(newton_steps), hessian=hessian)
+    res = _glm_path(X, y, int(nlambda), lambda_min_ratio, lams, rho,
+                    maxit, eps_abs, eps_rel, alpha, w, off,
+                    family=family,
+                    standardize_x=standardize, intercept=intercept,
+                    path_mode=path_mode, trace_len=trace_len,
+                    newton_steps=int(newton_steps), hessian=hessian)
+    if dfmax is not None or pmax is not None:
+        from .lasso import _truncate_path
+        res = _truncate_path(res, dfmax, pmax)
+    return res
 
 
 def huber_lasso_path(X, y, *, M: float = 1.345, **kw) -> PathResult:

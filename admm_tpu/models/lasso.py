@@ -68,6 +68,36 @@ class PathResult(NamedTuple):
     trace: Optional[jnp.ndarray] = None
 
 
+def _truncate_path(res, dfmax, pmax):
+    """glmnet's ``dfmax``/``pmax``: return the longest path PREFIX on
+    which every point has <= dfmax nonzero coefficients (and the
+    ever-active union stays <= pmax) — glmnet shortens the returned
+    path rather than erroring.  Host-side trim of a finished result
+    (the device program keeps its static shapes)."""
+    import numpy as np
+
+    coef = np.asarray(res.coef)
+    nz = coef != 0 if coef.ndim == 2 else np.any(coef != 0, axis=-1)
+    ok = np.ones(nz.shape[0], bool)
+    if dfmax is not None:
+        ok &= nz.sum(axis=1) <= int(dfmax)
+    if pmax is not None:
+        ever = np.logical_or.accumulate(nz, axis=0)
+        ok &= ever.sum(axis=1) <= int(pmax)
+    bad = np.flatnonzero(~ok)
+    k = int(bad[0]) if bad.size else ok.size
+    if k == 0:
+        raise ValueError("dfmax/pmax exclude even the largest-lambda "
+                         "model; raise the limit")
+    if k == ok.size:
+        return res
+    upd = {f: getattr(res, f)[:k]
+           for f in ("lambdas", "beta0", "coef", "niter")}
+    if getattr(res, "trace", None) is not None:
+        upd["trace"] = res.trace[:k]
+    return res._replace(**upd)
+
+
 # ---------------------------------------------------------------------------
 # Tall regime (n > p): FADMM with cached ridge inverse
 # ---------------------------------------------------------------------------
@@ -672,7 +702,8 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                trace_len: Optional[int] = None,
                weights: Optional[jnp.ndarray] = None,
                penalty_factor: Optional[jnp.ndarray] = None,
-               lower_limits=None, upper_limits=None,
+               lower_limits=None, upper_limits=None, exclude=None,
+               dfmax: Optional[int] = None, pmax: Optional[int] = None,
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
 
@@ -728,6 +759,15 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     used.  Oracle: sklearn ``Lasso(positive=True)``
     (tests/test_lasso.py).
 
+    ``exclude`` (glmnet's ``exclude``): indices of variables forced
+    out of the model — exactly the lower=upper=0 box at those
+    coordinates (merged into any user limits).
+
+    ``dfmax`` / ``pmax`` (glmnet): stop the returned path at the first
+    grid point with more than dfmax nonzero coefficients (pmax bounds
+    the EVER-active union); the result simply has fewer lambdas, as in
+    glmnet.
+
     ``trace_len``: record the first ``trace_len`` iterations'
     (eps_primal, resid_primal, eps_dual, resid_dual, rho) per lambda in
     ``result.trace`` — the reference's (dead) residual printers as
@@ -766,6 +806,22 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
             raise ValueError("penalty_factor entries must be >= 0 with "
                              "at least one positive")
         pf = pf * (p / jnp.sum(pf))  # glmnet: factors sum to nvars
+    if exclude is not None:
+        # glmnet's ``exclude``: variables forced out of the model.
+        # Implemented as the lower=upper=0 box (exactly equivalent:
+        # the prox clips the coordinate to 0 every iteration).
+        idx = np.asarray(exclude, np.int64).ravel()
+        if idx.size and (idx.min() < 0 or idx.max() >= p):
+            raise ValueError("exclude indices must be in [0, p)")
+        lo = np.broadcast_to(np.asarray(
+            -np.inf if lower_limits is None else lower_limits,
+            np.float64), (p,)).copy()
+        up = np.broadcast_to(np.asarray(
+            np.inf if upper_limits is None else upper_limits,
+            np.float64), (p,)).copy()
+        lo[idx] = 0.0
+        up[idx] = 0.0
+        lower_limits, upper_limits = lo, up
     limits = None
     if lower_limits is not None or upper_limits is not None:
         if path_mode == "activeset":
@@ -794,17 +850,21 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     w = None if weights is None else jnp.asarray(weights, dtype)
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
-        return _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
-                          w, pf, limits, standardize_x=standardize,
-                          intercept=intercept,
-                          enet_scale=_enet_scale, path_mode=path_mode,
-                          shard_data=shard, trace_len=trace_len)
-    return _path_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
-                      eps_abs, eps_rel, alpha, w, pf, limits,
-                      standardize_x=standardize,
-                      intercept=intercept, enet_scale=_enet_scale,
-                      path_mode=path_mode, shard_data=shard,
-                      trace_len=trace_len)
+        res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel, alpha,
+                         w, pf, limits, standardize_x=standardize,
+                         intercept=intercept,
+                         enet_scale=_enet_scale, path_mode=path_mode,
+                         shard_data=shard, trace_len=trace_len)
+    else:
+        res = _path_auto(X, y, int(nlambda), lambda_min_ratio, rho,
+                         maxit, eps_abs, eps_rel, alpha, w, pf, limits,
+                         standardize_x=standardize,
+                         intercept=intercept, enet_scale=_enet_scale,
+                         path_mode=path_mode, shard_data=shard,
+                         trace_len=trace_len)
+    if dfmax is not None or pmax is not None:
+        res = _truncate_path(res, dfmax, pmax)
+    return res
 
 
 def enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:

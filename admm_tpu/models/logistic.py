@@ -36,6 +36,8 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                         weights: Optional[jnp.ndarray] = None,
                         offset: Optional[jnp.ndarray] = None,
                         hessian: str = "auto", data_mesh=None,
+                        dfmax: Optional[int] = None,
+                        pmax: Optional[int] = None,
                         dtype=jnp.float32) -> PathResult:
     """Solve the L1/elastic-net logistic regression lambda path.
 
@@ -57,5 +59,5 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                           rho=rho, path_mode=path_mode,
                           trace_len=trace_len, newton_steps=newton_steps,
                           weights=weights, offset=offset,
-                          hessian=hessian,
+                          hessian=hessian, dfmax=dfmax, pmax=pmax,
                           data_mesh=data_mesh, dtype=dtype)

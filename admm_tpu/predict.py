@@ -23,6 +23,10 @@ Works for every path-result type in the package:
 
 ``lam`` selects the single nearest grid point (glmnet's ``s=``),
 dropping the leading lambda axis.
+
+``type="coefficients"`` returns the intercept-prepended coefficient
+matrix and ``type="nonzero"`` the nonzero-coefficient indices (glmnet's
+remaining predict types); ``X`` is unused for both (pass None).
 """
 from __future__ import annotations
 
@@ -48,8 +52,29 @@ def predict(result, X, *, lam: Optional[float] = None,
     from .models.multinomial import MNPathResult
     from .models.multitask import MTPathResult
 
-    if type not in ("link", "response", "class"):
-        raise ValueError("type must be 'link', 'response' or 'class'")
+    if type not in ("link", "response", "class", "coefficients",
+                    "nonzero"):
+        raise ValueError("type must be 'link', 'response', 'class', "
+                         "'coefficients' or 'nonzero'")
+    if type in ("coefficients", "nonzero"):
+        # glmnet's predict(type="coefficients"/"nonzero"): X is unused.
+        coef = np.asarray(result.coef)
+        if type == "nonzero":
+            # indices of nonzero coefficients (matrix families: rows
+            # with any nonzero entry), per path point or at ``lam``.
+            nz_mask = (coef != 0.0) if coef.ndim == 2 \
+                else np.any(coef != 0.0, axis=-1)
+            if lam is not None:
+                return np.flatnonzero(nz_mask[_select_lam(result, lam)])
+            return [np.flatnonzero(m) for m in nz_mask]
+        if isinstance(result, CoxPathResult):
+            out = coef                                   # no intercept
+        else:
+            beta0 = np.asarray(result.beta0)
+            out = (np.concatenate([beta0[:, None], coef], axis=1)
+                   if coef.ndim == 2 else
+                   np.concatenate([beta0[:, None, :], coef], axis=1))
+        return out if lam is None else out[_select_lam(result, lam)]
     X = np.asarray(X, np.float64)
     if isinstance(result, CoxPathResult):
         # No intercept (baseline hazard); 'response' = relative risk.
