@@ -50,6 +50,7 @@ from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
 from .models.logistic import logistic_lasso_path
 from .predict import predict
+from .assess import assess, c_index, confusion, roc
 from .summary import path_table, format_path_table
 from .parallel.consensus import (parallel_glm_lasso_path,
                                  parallel_huber_lasso_path,
@@ -75,6 +76,7 @@ __all__ = [
     "cv_gen_lasso_path", "cv_fused_lasso_path",
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
     "path_table", "format_path_table",
+    "assess", "roc", "confusion", "c_index",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
