@@ -51,6 +51,7 @@ from .models.relaxed import (cv_relaxed_lasso_path,
 from .models.logistic import logistic_lasso_path
 from .predict import predict
 from .assess import assess, c_index, confusion, roc
+from .glmnet import cv_glmnet, glmnet
 from .summary import path_table, format_path_table
 from .parallel.consensus import (parallel_glm_lasso_path,
                                  parallel_huber_lasso_path,
@@ -77,6 +78,7 @@ __all__ = [
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
     "path_table", "format_path_table",
     "assess", "roc", "confusion", "c_index",
+    "glmnet", "cv_glmnet",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",

@@ -1,0 +1,128 @@
+"""The glmnet front door: ``glmnet(X, y, family=...)`` and
+``cv_glmnet(...)`` dispatching every family to its path driver.
+
+Extension beyond the reference (whose R API is one builder per model,
+``R/30_admm_lasso.R`` etc. — mirrored by :mod:`admm_tpu.api`); this
+module is for users arriving FROM glmnet, where a single ``glmnet()``
+call with a ``family=`` string reaches every model.  Arguments keep
+glmnet's names where they differ from ours (``type_multinomial``), and
+``family="cox"`` accepts glmnet's ``Surv``-style ``y`` — an (n, 2)
+``[time, status]`` array — or separate ``time=``/``event=`` keywords.
+
+Families: ``gaussian`` (lasso / elastic net on ``alpha``),
+``binomial``, ``poisson``, ``multinomial``, ``mgaussian`` (multi-
+response gaussian = the multitask driver), ``cox``, plus the
+``huber`` robust extension.  Each returns the family's own path-result
+type, which :func:`admm_tpu.predict`, :func:`admm_tpu.assess`,
+:func:`admm_tpu.path_table` and the plotting helpers all accept.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+_FAMILIES = ("gaussian", "binomial", "poisson", "multinomial",
+             "mgaussian", "cox", "huber")
+
+
+def _cox_args(y, time, event):
+    """Resolve (time, event) from glmnet's Surv-style ``y`` or
+    explicit keywords."""
+    if time is not None:
+        if event is None:
+            raise ValueError("pass event= together with time=")
+        return time, event
+    yz = np.asarray(y, np.float64)
+    if yz.ndim != 2 or yz.shape[1] != 2:
+        raise ValueError("family='cox' needs y as an (n, 2) "
+                         "[time, status] array or time=/event=")
+    return yz[:, 0], yz[:, 1]
+
+
+def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
+           type_multinomial: str = "ungrouped",
+           time=None, event=None, **kw):
+    """Fit a regularization path for any family (glmnet's ``glmnet()``).
+
+    Dispatches on ``family`` to the matching path driver, passing every
+    other keyword through — so each family keeps its own defaults
+    (``nlambda``, ``path_mode``, measured ``rho``/``hessian`` choices)
+    and its full argument surface (``weights``, ``penalty_factor``,
+    ``lower_limits``/``upper_limits``, ``exclude``, ``dfmax``/``pmax``,
+    ``offset``, ``trace_len``, ``data_mesh``, checkpointing) exactly as
+    documented on the driver.
+    """
+    from .models.cox import cox_lasso_path
+    from .models.glm import huber_lasso_path, poisson_lasso_path
+    from .models.lasso import enet_path, lasso_path
+    from .models.logistic import logistic_lasso_path
+    from .models.multinomial import multinomial_lasso_path
+    from .models.multitask import multitask_lasso_path
+
+    if family not in _FAMILIES:
+        raise ValueError(f"family must be one of {_FAMILIES}")
+    if family == "gaussian":
+        if alpha == 1.0:
+            return lasso_path(X, y, **kw)
+        return enet_path(X, y, alpha=alpha, **kw)
+    if family in ("binomial", "poisson", "huber"):
+        # Route through the family wrappers so every family-specific
+        # measured default (e.g. poisson's newton_steps=1) applies.
+        fn = {"binomial": logistic_lasso_path,
+              "poisson": poisson_lasso_path,
+              "huber": huber_lasso_path}[family]
+        return fn(X, y, alpha=alpha, **kw)
+    if family == "multinomial":
+        if type_multinomial not in ("ungrouped", "grouped"):
+            raise ValueError("type_multinomial must be 'ungrouped' or "
+                             "'grouped'")
+        return multinomial_lasso_path(
+            X, y, alpha=alpha, grouped=type_multinomial == "grouped",
+            **kw)
+    if family == "mgaussian":
+        return multitask_lasso_path(X, y, **kw)
+    t, d = _cox_args(y, time, event)
+    return cox_lasso_path(X, t, d, alpha=alpha, **kw)
+
+
+def cv_glmnet(X, y=None, family: str = "gaussian", *,
+              alpha: float = 1.0,
+              type_multinomial: str = "ungrouped",
+              time=None, event=None, **kw):
+    """Cross-validate any family's path (glmnet's ``cv.glmnet()``).
+
+    Same dispatch as :func:`glmnet`; every CV keyword (``nfolds``,
+    ``foldid``, ``type_measure``, ``keep``, ``fold_mesh``, ``seed``)
+    passes through to the family's CV driver.  Returns the driver's
+    ``CVResult`` (``lambda_min``/``lambda_1se``, ``cvm``/``cvsd``, the
+    full-data ``fit``, and ``fit_preval`` under ``keep=True``).
+    """
+    from .models.cox import cv_cox_path
+    from .models.cv import (cv_enet_path, cv_glm_path, cv_lasso_path,
+                            cv_multinomial_path,
+                            cv_multitask_lasso_path)
+
+    if family not in _FAMILIES:
+        raise ValueError(f"family must be one of {_FAMILIES}")
+    if family == "gaussian":
+        if alpha == 1.0:
+            return cv_lasso_path(X, y, **kw)
+        return cv_enet_path(X, y, alpha=alpha, **kw)
+    if family in ("binomial", "poisson", "huber"):
+        from .models import glm
+
+        fam = {"binomial": glm.binomial, "poisson": glm.poisson,
+               "huber": glm.huber}[family]()
+        return cv_glm_path(X, y, fam, alpha=alpha, **kw)
+    if family == "multinomial":
+        if type_multinomial not in ("ungrouped", "grouped"):
+            raise ValueError("type_multinomial must be 'ungrouped' or "
+                             "'grouped'")
+        return cv_multinomial_path(
+            X, y, alpha=alpha, grouped=type_multinomial == "grouped",
+            **kw)
+    if family == "mgaussian":
+        return cv_multitask_lasso_path(X, y, **kw)
+    t, d = _cox_args(y, time, event)
+    return cv_cox_path(X, t, d, alpha=alpha, **kw)
