@@ -224,10 +224,11 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
 
 
 @partial(jax.jit, static_argnames=("family", "standardize_x",
-                                   "intercept", "path_mode"))
+                                   "intercept", "path_mode",
+                                   "newton_steps"))
 def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
                    eps_rel, alpha, *, family, standardize_x, intercept,
-                   path_mode):
+                   path_mode, newton_steps):
     """Jitted core of the GLM fold sweep (module-level for cache reuse
     and on-device own-fold selection, as
     :func:`_gaussian_fold_etas`)."""
@@ -237,7 +238,8 @@ def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
         res = _glm_path(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
                         eps_rel, alpha, mask, family=family,
                         standardize_x=standardize_x,
-                        intercept=intercept, path_mode=path_mode)
+                        intercept=intercept, path_mode=path_mode,
+                        newton_steps=newton_steps)
         return res.beta0[:, None] + res.coef @ X.T
 
     etas = jax.vmap(one)(masks)
@@ -261,7 +263,7 @@ def _shard_folds(masks_j, fold_mesh):
 
 def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
                        eps_abs, eps_rel, rho, path_mode, dtype=None,
-                       fold_mesh=None):
+                       fold_mesh=None, newton_steps=None):
     """One-program fold sweep for any GLM family (same contract as
     :func:`_make_gaussian_fold_eta`): fold f = the weighted GLM path
     with weight 0 on held-out rows (models/glm.py), vmapped."""
@@ -275,9 +277,21 @@ def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
             jnp.asarray(fid, jnp.int32),
             rho, maxit, eps_abs, eps_rel, alpha, family=fam,
             standardize_x=standardize, intercept=intercept,
-            path_mode=path_mode)
+            path_mode=path_mode,
+            newton_steps=_default_newton_steps(fam, newton_steps))
 
     return run
+
+
+def _default_newton_steps(fam, newton_steps):
+    """The family's shipped x-update default (poisson runs ONE exact
+    Newton step per warm-started update — measured equivalent and ~2x
+    cheaper, models/glm.py::poisson_lasso_path) unless overridden."""
+    from .glm import _NEWTON_STEPS
+
+    if newton_steps is not None:
+        return int(newton_steps)
+    return 1 if getattr(fam, "name", "") == "poisson" else _NEWTON_STEPS
 
 
 def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
@@ -532,7 +546,8 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                 standardize: bool = True, intercept: bool = True,
                 maxit: int = 10000, eps_abs: float = 1e-5,
                 eps_rel: float = 1e-5, rho: float = -1.0,
-                path_mode: str = "auto", loss=None, **kw) -> CVResult:
+                path_mode: str = "auto", loss=None,
+                newton_steps: Optional[int] = None, **kw) -> CVResult:
     """Cross-validated path for any smooth-loss GLM family (extension;
     admm_tpu/models/glm.py).  Held-out folds are scored by the FAMILY'S
     per-observation loss evaluated at the linear predictor — i.e. the
@@ -558,12 +573,15 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                               alpha=alpha, standardize=standardize,
                               intercept=intercept, maxit=maxit,
                               eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
-                              path_mode=path_mode, weights=wf)
+                              path_mode=path_mode, weights=wf,
+                              newton_steps=_default_newton_steps(
+                                  fam, newton_steps))
 
     fold_eta = _make_glm_fold_eta(fam, alpha, standardize, intercept,
                                   maxit, eps_abs, eps_rel, rho,
                                   path_mode,
-                                  fold_mesh=kw.get("fold_mesh"))
+                                  fold_mesh=kw.get("fold_mesh"),
+                                  newton_steps=newton_steps)
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,

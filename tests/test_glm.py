@@ -140,6 +140,19 @@ def test_cv_glm_huber_and_poisson():
     assert np.isfinite(cvp.cvm).all()
 
 
+def test_cv_newton_steps_default_follows_family():
+    """The CV fits run each family's SHIPPED x-update protocol:
+    poisson's measured newton_steps=1 default
+    (models/glm.py::poisson_lasso_path), the generic 2 elsewhere —
+    unless overridden."""
+    from admm_tpu.models.cv import _default_newton_steps
+    from admm_tpu.models.glm import _NEWTON_STEPS, binomial, poisson
+
+    assert _default_newton_steps(poisson(), None) == 1
+    assert _default_newton_steps(binomial(), None) == _NEWTON_STEPS
+    assert _default_newton_steps(poisson(), 3) == 3
+
+
 def test_huber_null_resid_extreme_contamination():
     """The huber null intercept must solve sum clip(y - mu, -M, M) = 0
     even when outliers at 1e6 empty the inlier window at the starting
