@@ -49,12 +49,15 @@ from .models.multitask import multitask_lasso_path
 from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
 from .models.logistic import logistic_lasso_path
-from .predict import predict
+from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
 from .glmnet import cv_glmnet, glmnet
 from .summary import path_table, format_path_table
-from .parallel.consensus import (parallel_glm_lasso_path,
+from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
+                                 parallel_glm_lasso_path,
+                                 parallel_group_lasso_path,
                                  parallel_huber_lasso_path,
+                                 parallel_lasso_path,
                                  parallel_logistic_lasso_path,
                                  parallel_multinomial_lasso_path,
                                  parallel_multitask_lasso_path,
@@ -78,9 +81,11 @@ __all__ = [
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
     "path_table", "format_path_table",
     "assess", "roc", "confusion", "c_index",
-    "glmnet", "cv_glmnet",
+    "glmnet", "cv_glmnet", "coef",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
+    "parallel_lasso_path", "parallel_enet_path",
+    "parallel_group_lasso_path", "parallel_bp_fit",
     "__version__",
 ]

@@ -119,3 +119,10 @@ def predict(result, X, *, lam: Optional[float] = None,
                 raise ValueError(f"unknown family {family!r}")
 
     return eta if lam is None else eta[_select_lam(result, lam)]
+
+
+def coef(result, *, lam: Optional[float] = None):
+    """The intercept-prepended coefficient matrix at ``lam`` (or the
+    whole path) — glmnet's ``coef(fit, s=)`` accessor, equivalent to
+    ``predict(result, None, type="coefficients", lam=lam)``."""
+    return predict(result, None, type="coefficients", lam=lam)

@@ -92,3 +92,25 @@ print("relaxed: gamma grid", np.asarray(rel.gammas).tolist())
 cv = admm_tpu.cv_lasso_path(X, y, nfolds=5, nlambda=40)
 print(f"one-pass CV: lambda_min={cv.lambda_min:.4f} "
       f"lambda_1se={cv.lambda_1se:.4f}")
+
+# The glmnet front door: one call, any family string.
+fit_b = admm_tpu.glmnet(X, (y > np.median(y)).astype(float),
+                        family="binomial", nlambda=12)
+print("glmnet front door: binomial path of",
+      len(np.asarray(fit_b.lambdas)), "lambdas")
+
+# Held-out assessment (glmnet's assess/roc/confusion/Cindex).
+Xte = rng.normal(size=(200, p))
+yte = (Xte @ b > 0).astype(float)
+sc = admm_tpu.assess(fit_b, Xte, yte, family="binomial")
+fpr, tpr = admm_tpu.roc(fit_b, Xte, yte)
+tab = admm_tpu.confusion(fit_b, Xte, yte)
+print(f"assess: test AUC at path bottom {sc['auc'][-1]:.2f}; "
+      f"confusion diag {int(tab[0, 0])}+{int(tab[1, 1])} of {tab.sum()}")
+ci = admm_tpu.c_index(np.asarray(X @ b), t_surv, d_surv)
+print(f"Cindex of the true Cox score: {ci:.2f}")
+
+# coef(): glmnet's accessor for the coefficient matrix at s=lambda.
+print("coef at lambda_min:",
+      int((np.abs(admm_tpu.coef(cv.fit, lam=cv.lambda_min)[1:])
+           > 1e-6).sum()), "nonzeros")

@@ -23,6 +23,20 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full suite compiles ~300 distinct XLA programs; with all of
+    them kept loaded, the CPU JIT segfaults inside
+    ``backend_compile_and_load`` near the end of the run (reproduced
+    twice at tests/test_weights.py, the alphabetically last module;
+    every module passes in isolation).  Modules share almost no shapes,
+    so per-module clearing costs little and bounds live executables."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(123)

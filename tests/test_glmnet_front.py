@@ -97,6 +97,22 @@ def test_cv_glmnet_dispatch():
     np.testing.assert_allclose(cv.cvm, ref.cvm, rtol=1e-12)
 
 
+def test_coef_accessor_and_parallel_exports():
+    """coef() == predict(type='coefficients'); the gaussian consensus
+    drivers are top-level exports like their GLM counterparts."""
+    X, y = _xy(seed=7)
+    res = admm_tpu.lasso_path(X, y, nlambda=5)
+    np.testing.assert_array_equal(
+        admm_tpu.coef(res),
+        admm_tpu.predict(res, None, type="coefficients"))
+    one = admm_tpu.coef(res, lam=float(res.lambdas[2]))
+    assert one.shape == (X.shape[1] + 1,)
+    for name in ("parallel_lasso_path", "parallel_enet_path",
+                 "parallel_group_lasso_path", "parallel_bp_fit"):
+        assert callable(getattr(admm_tpu, name))
+        assert name in admm_tpu.__all__
+
+
 def test_glmnet_validation():
     X, y = _xy(n=60, seed=6)
     with pytest.raises(ValueError, match="family"):
