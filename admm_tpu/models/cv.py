@@ -184,33 +184,19 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
     eps_abs = solver_kw.get("eps_abs", 1e-5)
     eps_rel = solver_kw.get("eps_rel", 1e-5)
     dtype = solver_kw.get("dtype", jnp.float32)
-    pf = solver_kw.get("penalty_factor")
-    if pf is not None:
-        # Same glmnet sum-to-p rescaling the public path applies
-        # (models/lasso.py::lasso_path) — the fold solves must see the
-        # identical factors as the full fit.
-        pf = jnp.asarray(pf, dtype).ravel()
-        pf = pf * (pf.shape[0] / jnp.sum(pf))
-    lo, up = (solver_kw.get("lower_limits"),
-              solver_kw.get("upper_limits"))
-    limits = None
-    if lo is not None or up is not None:
-        # ORIGINAL-scale limits, broadcast like the public path; the
-        # fold sweep converts to the standardized scale internally.
-        def _full(v, fill):
-            a = jnp.asarray(fill if v is None else v, dtype).ravel()
-            return a
-
-        limits = (_full(lo, -jnp.inf), _full(up, jnp.inf))
-
     fold_mesh = solver_kw.get("fold_mesh")
 
     def run(X, y, lams, masks, fid):
-        lim = limits
-        if lim is not None:
-            p_ = np.shape(X)[1]
-            lim = (jnp.broadcast_to(lim[0], (p_,)),
-                   jnp.broadcast_to(lim[1], (p_,)))
+        # The fold solves must see EXACTLY the full fit's normalized
+        # factors/box — including ``exclude`` merged into the
+        # lower=upper=0 box (same shared validator as the public path,
+        # models/lasso.py::validate_pf_limits).
+        from .lasso import validate_pf_limits
+
+        pf, lim = validate_pf_limits(
+            solver_kw.get("penalty_factor"), solver_kw.get("exclude"),
+            solver_kw.get("lower_limits"), solver_kw.get("upper_limits"),
+            np.shape(X)[1], dtype)
         masks_j = _shard_folds(jnp.asarray(masks, dtype), fold_mesh)
         return _gaussian_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
@@ -227,8 +213,8 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
                                    "intercept", "path_mode",
                                    "newton_steps"))
 def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
-                   eps_rel, alpha, *, family, standardize_x, intercept,
-                   path_mode, newton_steps):
+                   eps_rel, alpha, pf=None, limits=None, *, family,
+                   standardize_x, intercept, path_mode, newton_steps):
     """Jitted core of the GLM fold sweep (module-level for cache reuse
     and on-device own-fold selection, as
     :func:`_gaussian_fold_etas`)."""
@@ -236,7 +222,8 @@ def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
 
     def one(mask):
         res = _glm_path(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
-                        eps_rel, alpha, mask, family=family,
+                        eps_rel, alpha, mask, None, pf, limits,
+                        family=family,
                         standardize_x=standardize_x,
                         intercept=intercept, path_mode=path_mode,
                         newton_steps=newton_steps)
@@ -263,19 +250,26 @@ def _shard_folds(masks_j, fold_mesh):
 
 def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
                        eps_abs, eps_rel, rho, path_mode, dtype=None,
-                       fold_mesh=None, newton_steps=None):
+                       fold_mesh=None, newton_steps=None,
+                       penalty_factor=None, lower_limits=None,
+                       upper_limits=None, exclude=None):
     """One-program fold sweep for any GLM family (same contract as
     :func:`_make_gaussian_fold_eta`): fold f = the weighted GLM path
     with weight 0 on held-out rows (models/glm.py), vmapped."""
     dtype = jnp.float32 if dtype is None else dtype
 
     def run(X, y, lams, masks, fid):
+        from .lasso import validate_pf_limits
+
+        pf, lim = validate_pf_limits(penalty_factor, exclude,
+                                     lower_limits, upper_limits,
+                                     np.shape(X)[1], dtype)
         return _glm_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
             jnp.asarray(lams, dtype),
             _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
             jnp.asarray(fid, jnp.int32),
-            rho, maxit, eps_abs, eps_rel, alpha, family=fam,
+            rho, maxit, eps_abs, eps_rel, alpha, pf, lim, family=fam,
             standardize_x=standardize, intercept=intercept,
             path_mode=path_mode,
             newton_steps=_default_newton_steps(fam, newton_steps))
@@ -547,7 +541,9 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                 maxit: int = 10000, eps_abs: float = 1e-5,
                 eps_rel: float = 1e-5, rho: float = -1.0,
                 path_mode: str = "auto", loss=None,
-                newton_steps: Optional[int] = None, **kw) -> CVResult:
+                newton_steps: Optional[int] = None,
+                penalty_factor=None, lower_limits=None,
+                upper_limits=None, exclude=None, **kw) -> CVResult:
     """Cross-validated path for any smooth-loss GLM family (extension;
     admm_tpu/models/glm.py).  Held-out folds are scored by the FAMILY'S
     per-observation loss evaluated at the linear predictor — i.e. the
@@ -574,6 +570,10 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                               intercept=intercept, maxit=maxit,
                               eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
                               path_mode=path_mode, weights=wf,
+                              penalty_factor=penalty_factor,
+                              lower_limits=lower_limits,
+                              upper_limits=upper_limits,
+                              exclude=exclude,
                               newton_steps=_default_newton_steps(
                                   fam, newton_steps))
 
@@ -581,7 +581,11 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                                   maxit, eps_abs, eps_rel, rho,
                                   path_mode,
                                   fold_mesh=kw.get("fold_mesh"),
-                                  newton_steps=newton_steps)
+                                  newton_steps=newton_steps,
+                                  penalty_factor=penalty_factor,
+                                  lower_limits=lower_limits,
+                                  upper_limits=upper_limits,
+                                  exclude=exclude)
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,

@@ -230,7 +230,7 @@ def recover_glm(coefs_a, mean_x, sd_x, intercept: bool):
 
 def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
              newton_steps, obs_w=None, fixed_minv=None, offset=None,
-             adaptive=False):
+             adaptive=False, bounds=None):
     """ProblemOps for the smooth-loss ADMM; ``Xa`` (n, q) includes the
     ones column when an intercept is fitted.  ``obs_w`` (normalized
     observation weights summing to n, or None) multiplies the
@@ -301,6 +301,11 @@ def _glm_ops(Xa, ys, family: GLMFamily, n, q, pen_mask, alpha,
         pen = st.lam / st.rho * pen_mask
         zl1 = soft_threshold(v, alpha * pen)
         z = zl1 / (1.0 + pen * (1.0 - alpha))
+        if bounds is not None:
+            # glmnet's coefficient box: penalty and box are both
+            # separable, so clip-after-shrink is the exact prox (the
+            # gaussian path's argument, models/lasso.py::_tall_ops).
+            z = jnp.clip(z, bounds[0], bounds[1])
         return z, st.aux
 
     return ProblemOps(
@@ -379,7 +384,8 @@ def _glm_fixed_minv(Xa, family, rho, obs_w=None):
 
 
 def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
-                newton_steps, obs_w=None, hessian="exact", offset=None):
+                newton_steps, obs_w=None, hessian="exact", offset=None,
+                bounds=None):
     """Returns (st0, solve, report, refresh): ``refresh`` is None
     except under ``hessian='adaptive'``, where it maps the warm-start
     iterate to the refreshed per-lambda majorizer inverse (rides
@@ -397,7 +403,7 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
         fixed_minv = _glm_fixed_minv(Xa, family, rho, obs_w)
     ops = _glm_ops(Xa, ys, family, n, q, pen_mask, alpha, newton_steps,
                    obs_w, fixed_minv, offset,
-                   adaptive=(hessian == "adaptive"))
+                   adaptive=(hessian == "adaptive"), bounds=bounds)
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q,), dtype)
     refresh = None
@@ -425,7 +431,8 @@ def _glm_engine(Xa, ys, family, lam_first, rho0, pen_mask, alpha,
                                    "nlambda", "path_mode", "trace_len",
                                    "newton_steps", "hessian"))
 def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
-              eps_abs, eps_rel, alpha, weights=None, offset=None, *,
+              eps_abs, eps_rel, alpha, weights=None, offset=None,
+              pf=None, limits=None, *,
               family, standardize_x, intercept, path_mode,
               trace_len=None, newton_steps=_NEWTON_STEPS,
               hessian="auto"):
@@ -440,6 +447,23 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
                                              weights=w)
     Xs = Xa[:, 1:] if intercept else Xa
     q = Xa.shape[1]
+    if pf is not None:
+        # Per-coordinate penalty factors ride the existing mask (the
+        # intercept entry is already 0).
+        pfq = (jnp.concatenate([jnp.ones((1,), dtype), pf])
+               if intercept else pf)
+        pen_mask = pen_mask * pfq
+    bounds = None
+    if limits is not None:
+        # Original-scale box -> standardized scale: coef_orig =
+        # slopes_std / sd_x (recover_glm), so the box maps by sd_x;
+        # the intercept coordinate stays unconstrained (glmnet).
+        lo, up = limits[0] * sd_x, limits[1] * sd_x
+        if intercept:
+            ninf = jnp.full((1,), -jnp.inf, dtype)
+            lo = jnp.concatenate([ninf, lo])
+            up = jnp.concatenate([-ninf, up])
+        bounds = (lo, up)
 
     if user_lams is None:
         # glmnet lambda_max rule: the (weighted) null model's score
@@ -452,8 +476,14 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
             r0 = fam.null_resid(y, intercept, w)
             if w is not None:
                 r0 = w * r0
-        lam0 = (jnp.max(jnp.abs(dot(Xs.T, r0))) / n
-                / jnp.maximum(alpha, 1e-3))
+        scores = jnp.abs(dot(Xs.T, r0)) / n
+        if pf is not None:
+            # Factor-aware KKT boundary over PENALIZED coordinates
+            # (glmnet's rule; zero-factor coordinates never gate the
+            # grid top — they are always in the model).
+            scores = jnp.where(pf > 0,
+                               scores / jnp.maximum(pf, 1e-12), 0.0)
+        lam0 = jnp.max(scores) / jnp.maximum(alpha, 1e-3)
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
     else:
@@ -489,7 +519,7 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
     # resident in VMEM (admm_tpu/ops/glm_kernel.py).  Same math as the
     # XLA branch below; gated on the measured VMEM budget.
     if (path_mode == "batch" and hessian == "fixed" and w is None
-            and offset is None
+            and offset is None and pf is None and bounds is None
             and fam.name in ("binomial", "huber")
             and _use_pallas_glm(Xa.shape[0], q, lams.shape[0], dtype)):
         from ..ops.glm_kernel import glm_batch_path_pallas
@@ -509,7 +539,7 @@ def _glm_path(X, y, nlambda, lambda_min_ratio, user_lams, rho, maxit,
 
     st0, solve, report, refresh = _glm_engine(
         Xa, y, fam, lams[0], rho, pen_mask, alpha, newton_steps,
-        obs_w=w, hessian=hessian, offset=offset)
+        obs_w=w, hessian=hessian, offset=offset, bounds=bounds)
     if path_mode == "batch":
         bsolve = make_batched_solver(solve)
         st = _batched_cold_states(lams.shape[0], q, st0.rho, lams, dtype)
@@ -536,6 +566,8 @@ def glm_lasso_path(X, y, family, *,
                    newton_steps: int = _NEWTON_STEPS,
                    weights: Optional[jnp.ndarray] = None,
                    offset: Optional[jnp.ndarray] = None,
+                   penalty_factor: Optional[jnp.ndarray] = None,
+                   lower_limits=None, upper_limits=None, exclude=None,
                    hessian: str = "auto", data_mesh=None,
                    dfmax: Optional[int] = None,
                    pmax: Optional[int] = None,
@@ -554,6 +586,16 @@ def glm_lasso_path(X, y, family, *,
     poisson with ``offset = log(exposure)``); the auto grid's null
     intercept solves the offset-shifted score, and the fixed-majorizer
     kernel falls back to XLA when an offset is given.
+    ``penalty_factor`` / ``lower_limits`` / ``upper_limits`` /
+    ``exclude`` (glmnet's per-coefficient arguments, same semantics as
+    :func:`admm_tpu.lasso_path`): factors rescale each coordinate's
+    penalty (threshold ``lambda * pf_j``, factor-aware grid top,
+    column-rescaling equivalence tested per family); limits clip the
+    prox to an original-scale box containing 0 (nonnegative logistic
+    via ``lower_limits=0``); ``exclude`` forces variables out (the
+    lower=upper=0 box, pinned equal to deleting the columns).  Both
+    take the XLA engines (the Pallas kernel carries scalar lane
+    penalties).
     ``hessian``: "fixed" uses the
     one-time-factorized curvature majorizer in the x-update (available
     for bounded-curvature families: binomial, huber), "adaptive"
@@ -595,8 +637,13 @@ def glm_lasso_path(X, y, family, *,
            else jnp.asarray(offset, dtype).ravel())
     if off is not None and off.shape != (X.shape[0],):
         raise ValueError("offset must have one entry per row")
+    from .lasso import validate_pf_limits
+
+    pf, limits = validate_pf_limits(penalty_factor, exclude,
+                                    lower_limits, upper_limits,
+                                    X.shape[1], dtype)
     res = _glm_path(X, y, int(nlambda), lambda_min_ratio, lams, rho,
-                    maxit, eps_abs, eps_rel, alpha, w, off,
+                    maxit, eps_abs, eps_rel, alpha, w, off, pf, limits,
                     family=family,
                     standardize_x=standardize, intercept=intercept,
                     path_mode=path_mode, trace_len=trace_len,

@@ -98,6 +98,55 @@ def _truncate_path(res, dfmax, pmax):
     return res._replace(**upd)
 
 
+def validate_pf_limits(penalty_factor, exclude, lower_limits,
+                       upper_limits, p, dtype):
+    """Normalize glmnet's ``penalty.factor`` / ``exclude`` /
+    ``lower.limits`` / ``upper.limits`` into ``(pf, limits)`` —
+    shared by the gaussian and GLM path drivers.
+
+    ``pf``: (p,) factors rescaled to sum p (glmnet convention), or
+    None.  ``limits``: ((p,) lo, (p,) up) ORIGINAL-scale box (each
+    driver maps it to its standardized scale), or None; ``exclude``
+    indices are merged in as the lower=upper=0 box (exactly
+    equivalent: the prox clips those coordinates to 0 every
+    iteration)."""
+    pf = None
+    if penalty_factor is not None:
+        pf = jnp.asarray(penalty_factor, dtype).ravel()
+        if pf.shape != (p,):
+            raise ValueError("penalty_factor must have one entry per "
+                             "column of x")
+        pf_np = np.asarray(pf)
+        if np.any(pf_np < 0) or not np.any(pf_np > 0):
+            raise ValueError("penalty_factor entries must be >= 0 with "
+                             "at least one positive")
+        pf = pf * (p / jnp.sum(pf))  # glmnet: factors sum to nvars
+    if exclude is not None:
+        idx = np.asarray(exclude, np.int64).ravel()
+        if idx.size and (idx.min() < 0 or idx.max() >= p):
+            raise ValueError("exclude indices must be in [0, p)")
+        lo = np.broadcast_to(np.asarray(
+            -np.inf if lower_limits is None else lower_limits,
+            np.float64), (p,)).copy()
+        up = np.broadcast_to(np.asarray(
+            np.inf if upper_limits is None else upper_limits,
+            np.float64), (p,)).copy()
+        lo[idx] = 0.0
+        up[idx] = 0.0
+        lower_limits, upper_limits = lo, up
+    limits = None
+    if lower_limits is not None or upper_limits is not None:
+        lo = (-jnp.inf if lower_limits is None else lower_limits)
+        up = (jnp.inf if upper_limits is None else upper_limits)
+        lo = jnp.broadcast_to(jnp.asarray(lo, dtype), (p,))
+        up = jnp.broadcast_to(jnp.asarray(up, dtype), (p,))
+        if bool(jnp.any(lo > 0)) or bool(jnp.any(up < 0)):
+            raise ValueError("limits must satisfy lower <= 0 <= upper "
+                             "(glmnet convention: 0 stays feasible)")
+        limits = (lo, up)
+    return pf, limits
+
+
 # ---------------------------------------------------------------------------
 # Tall regime (n > p): FADMM with cached ridge inverse
 # ---------------------------------------------------------------------------
@@ -791,51 +840,18 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
         raise ValueError("path_mode='activeset' is the wide-regime "
                          "(p >= n) solver; tall problems use the "
                          "factorized engines")
-    pf = None
-    if penalty_factor is not None:
-        if path_mode == "activeset":
+    if path_mode == "activeset":
+        if penalty_factor is not None:
             raise ValueError("penalty_factor is not supported by the "
                              "active-set path (per-coordinate "
                              "thresholds); use 'batch' or 'scan'")
-        pf = jnp.asarray(penalty_factor, dtype).ravel()
-        if pf.shape != (p,):
-            raise ValueError("penalty_factor must have one entry per "
-                             "column of x")
-        pf_np = np.asarray(pf)
-        if np.any(pf_np < 0) or not np.any(pf_np > 0):
-            raise ValueError("penalty_factor entries must be >= 0 with "
-                             "at least one positive")
-        pf = pf * (p / jnp.sum(pf))  # glmnet: factors sum to nvars
-    if exclude is not None:
-        # glmnet's ``exclude``: variables forced out of the model.
-        # Implemented as the lower=upper=0 box (exactly equivalent:
-        # the prox clips the coordinate to 0 every iteration).
-        idx = np.asarray(exclude, np.int64).ravel()
-        if idx.size and (idx.min() < 0 or idx.max() >= p):
-            raise ValueError("exclude indices must be in [0, p)")
-        lo = np.broadcast_to(np.asarray(
-            -np.inf if lower_limits is None else lower_limits,
-            np.float64), (p,)).copy()
-        up = np.broadcast_to(np.asarray(
-            np.inf if upper_limits is None else upper_limits,
-            np.float64), (p,)).copy()
-        lo[idx] = 0.0
-        up[idx] = 0.0
-        lower_limits, upper_limits = lo, up
-    limits = None
-    if lower_limits is not None or upper_limits is not None:
-        if path_mode == "activeset":
+        if (lower_limits is not None or upper_limits is not None
+                or exclude is not None):
             raise ValueError("coefficient limits are not supported by "
                              "the active-set path; use 'batch' or "
                              "'scan'")
-        lo = (-jnp.inf if lower_limits is None else lower_limits)
-        up = (jnp.inf if upper_limits is None else upper_limits)
-        lo = jnp.broadcast_to(jnp.asarray(lo, dtype), (p,))
-        up = jnp.broadcast_to(jnp.asarray(up, dtype), (p,))
-        if bool(jnp.any(lo > 0)) or bool(jnp.any(up < 0)):
-            raise ValueError("limits must satisfy lower <= 0 <= upper "
-                             "(glmnet convention: 0 stays feasible)")
-        limits = (lo, up)
+    pf, limits = validate_pf_limits(penalty_factor, exclude,
+                                    lower_limits, upper_limits, p, dtype)
     if data_mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 

@@ -35,6 +35,9 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                         newton_steps: int = _NEWTON_STEPS,
                         weights: Optional[jnp.ndarray] = None,
                         offset: Optional[jnp.ndarray] = None,
+                        penalty_factor: Optional[jnp.ndarray] = None,
+                        lower_limits=None, upper_limits=None,
+                        exclude=None,
                         hessian: str = "auto", data_mesh=None,
                         dfmax: Optional[int] = None,
                         pmax: Optional[int] = None,
@@ -59,5 +62,8 @@ def logistic_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                           rho=rho, path_mode=path_mode,
                           trace_len=trace_len, newton_steps=newton_steps,
                           weights=weights, offset=offset,
+                          penalty_factor=penalty_factor,
+                          lower_limits=lower_limits,
+                          upper_limits=upper_limits, exclude=exclude,
                           hessian=hessian, dfmax=dfmax, pmax=pmax,
                           data_mesh=data_mesh, dtype=dtype)

@@ -86,3 +86,138 @@ def test_cv_keep_prevalidated(prob):
     # default: not kept
     cv0 = admm_tpu.cv_lasso_path(X, y, nfolds=4, nlambda=12)
     assert cv0.fit_preval is None
+
+
+# ---------------------------------------------------------------------------
+# penalty_factor / limits / exclude for the GLM tier (glmnet applies
+# its per-coefficient arguments to every family)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def glm_prob():
+    rng = np.random.default_rng(3)
+    n, p = 250, 8
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[1.5, -1.5, 1.0], np.zeros(p - 3)])
+    y = (rng.uniform(size=n) < 1 / (1 + np.exp(-(X @ b)))).astype(float)
+    return X, y
+
+
+def test_glm_neutral_pf_limits_are_noop(glm_prob):
+    X, y = glm_prob
+    p = X.shape[1]
+    base = admm_tpu.logistic_lasso_path(X, y, nlambda=6)
+    neut = admm_tpu.logistic_lasso_path(
+        X, y, nlambda=6, penalty_factor=np.ones(p),
+        lower_limits=-np.inf, upper_limits=np.inf)
+    np.testing.assert_array_equal(np.asarray(base.coef),
+                                  np.asarray(neut.coef))
+
+
+def test_glm_penalty_factor_column_rescaling_oracle(glm_prob):
+    """pf_j-weighted penalty == uniform penalty on X_j / pf_j with
+    b_j = c_j / pf_j (the gaussian path's oracle, applied to the
+    logistic family; factors pre-rescaled to sum p as the driver
+    does)."""
+    X, y = glm_prob
+    p = X.shape[1]
+    pf = np.array([2.0, 0.5, 1.0, 3.0, 1.0, 1.0, 0.5, 1.0])
+    pfs = pf * (p / pf.sum())
+    lams = np.geomspace(0.1, 0.005, 6)
+    r1 = admm_tpu.logistic_lasso_path(
+        X, y, lambdas=lams, standardize=False, penalty_factor=pf,
+        eps_abs=1e-7, eps_rel=1e-7)
+    r2 = admm_tpu.logistic_lasso_path(
+        X / pfs, y, lambdas=lams, standardize=False,
+        eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.coef),
+                               np.asarray(r2.coef) / pfs, atol=3e-5)
+
+
+def test_glm_zero_pf_always_in_and_grid_top(glm_prob):
+    X, y = glm_prob
+    p = X.shape[1]
+    pf = np.ones(p)
+    pf[0] = 0.0
+    res = admm_tpu.logistic_lasso_path(X, y, nlambda=8,
+                                       penalty_factor=pf)
+    c = np.asarray(res.coef)
+    # Unpenalized coordinate is active along the whole path.  (With an
+    # unpenalized variable present the intercept-only gradient no
+    # longer EXACTLY nulls the penalized coordinates at the grid top —
+    # same as glmnet and the gaussian path — so assert near-null.)
+    assert np.all(np.abs(c[:, 0]) > 1e-4)
+    assert np.abs(c[0, 1:]).max() < 0.1 * np.abs(c[-1, 1:]).max()
+
+
+def test_glm_exclude_matches_drop_column(glm_prob):
+    X, y = glm_prob
+    lams = np.geomspace(0.1, 0.005, 6)
+    res = admm_tpu.logistic_lasso_path(X, y, lambdas=lams,
+                                       exclude=[1, 4],
+                                       eps_abs=1e-7, eps_rel=1e-7)
+    c = np.asarray(res.coef)
+    assert np.all(c[:, [1, 4]] == 0.0)
+    keepc = [j for j in range(X.shape[1]) if j not in (1, 4)]
+    ref = admm_tpu.logistic_lasso_path(X[:, keepc], y, lambdas=lams,
+                                       eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(c[:, keepc], np.asarray(ref.coef),
+                               atol=2e-5)
+
+
+def test_glm_nonnegative_and_box(glm_prob):
+    X, y = glm_prob
+    res = admm_tpu.logistic_lasso_path(X, y, nlambda=6,
+                                       lower_limits=0.0)
+    c = np.asarray(res.coef)
+    assert c.min() >= 0.0
+    assert (c[-1] > 1e-6).sum() >= 2     # positive-truth coords survive
+    box = admm_tpu.logistic_lasso_path(X, y, nlambda=6,
+                                       lower_limits=-0.4,
+                                       upper_limits=0.4)
+    cb = np.asarray(box.coef)
+    assert cb.min() >= -0.4 - 1e-6 and cb.max() <= 0.4 + 1e-6
+    with pytest.raises(ValueError, match="lower <= 0 <= upper"):
+        admm_tpu.logistic_lasso_path(X, y, nlambda=4, lower_limits=0.1)
+
+
+def test_glm_pf_limits_other_families(glm_prob):
+    """poisson (adaptive majorizer) and huber (fixed majorizer /
+    kernel bypass) take the same arguments."""
+    X, _ = glm_prob
+    rng = np.random.default_rng(4)
+    n, p = X.shape
+    pf = np.ones(p); pf[2] = 2.5
+    yp = rng.poisson(np.exp(0.2 + 0.5 * X[:, 0])).astype(float)
+    rp = admm_tpu.poisson_lasso_path(X, yp, nlambda=5,
+                                     penalty_factor=pf,
+                                     upper_limits=1.0)
+    cp = np.asarray(rp.coef)
+    assert np.isfinite(cp).all() and cp.max() <= 1.0 + 1e-6
+    yh = X[:, 0] + 0.2 * rng.normal(size=n)
+    rh = admm_tpu.huber_lasso_path(X, yh, nlambda=5, lower_limits=0.0)
+    assert np.asarray(rh.coef).min() >= 0.0
+
+
+def test_cv_exclude_onepass_matches_loop(prob):
+    """REGRESSION: the one-pass fold sweep must honor exclude (it once
+    dropped it while the full fit and the loop fallback applied it)."""
+    X, y = prob
+    kw = dict(nfolds=4, nlambda=8, seed=0, exclude=[0, 2])
+    cv1 = admm_tpu.cv_lasso_path(X, y, cv_mode="onepass", **kw)
+    cv2 = admm_tpu.cv_lasso_path(X, y, cv_mode="loop", **kw)
+    np.testing.assert_allclose(cv1.cvm, cv2.cvm, rtol=1e-4)
+    assert np.all(np.asarray(cv1.fit.coef)[:, [0, 2]] == 0.0)
+
+
+def test_cv_glm_pf_limits_onepass_matches_loop(glm_prob):
+    X, y = glm_prob
+    p = X.shape[1]
+    pf = np.ones(p); pf[3] = 3.0
+    kw = dict(nfolds=4, nlambda=6, seed=0, penalty_factor=pf,
+              lower_limits=-0.5, upper_limits=2.0)
+    c1 = admm_tpu.cv_logistic_path(X, y, cv_mode="onepass", **kw)
+    c2 = admm_tpu.cv_logistic_path(X, y, cv_mode="loop", **kw)
+    np.testing.assert_allclose(c1.cvm, c2.cvm, rtol=1e-5, atol=1e-7)
+    c = np.asarray(c1.fit.coef)
+    assert c.min() >= -0.5 - 1e-6 and c.max() <= 2.0 + 1e-6
