@@ -68,7 +68,13 @@ def _softmax_grad(Xa, B, Yoh, n, obs_w=None):
 
 
 def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
-            fixed_minv, obs_w=None):
+            fixed_minv, obs_w=None, keep=None):
+    """``pen_mask`` (q,) carries 0 on the intercept row and the
+    per-row penalty factors on the slopes (glmnet's ``penalty.factor``
+    for family='multinomial' rides the existing mask); ``keep``:
+    optional (q,) 0/1 mask zeroing EXCLUDED rows after the prox
+    (glmnet's ``exclude`` — exact for both the l1 and the grouped
+    row-norm penalty, all row-separable)."""
     from ..core.engine import ProblemOps
 
     mask = pen_mask[:, None]  # (q, 1): 0 on the intercept row
@@ -92,6 +98,8 @@ def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
         else:
             zl1 = soft_threshold(v, alpha * pen)
             z = zl1 / (1.0 + pen * (1.0 - alpha))
+        if keep is not None:
+            z = z * keep[:, None]
         return z, st.aux
 
     return ProblemOps(
@@ -108,7 +116,7 @@ def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
 
 
 def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
-               newton_steps, obs_w=None):
+               newton_steps, obs_w=None, keep=None):
     """Engine triple (cold state, solver, reported iterate) — shared by
     the path driver and the checkpointed driver.
 
@@ -130,7 +138,7 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
     H_fix = dot(Xw.T, Xw) / (2.0 * n)
     Minv = ridge_inverse(H_fix, rho)
     ops = _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped,
-                  newton_steps, Minv, obs_w)
+                  newton_steps, Minv, obs_w, keep)
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q, C), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
@@ -142,9 +150,9 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
                                    "grouped", "newton_steps",
                                    "trace_len"))
 def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
-             eps_abs, eps_rel, alpha, weights=None, *, nclass,
-             standardize_x, intercept, path_mode, grouped, newton_steps,
-             trace_len=None):
+             eps_abs, eps_rel, alpha, weights=None, pf=None, keep_p=None,
+             *, nclass, standardize_x, intercept, path_mode, grouped,
+             newton_steps, trace_len=None):
     from .glm import prep_design
 
     n, p = X.shape
@@ -159,6 +167,15 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
                                              weights=w)
     Xs = Xa[:, 1:] if intercept else Xa
     q = Xa.shape[1]
+    keep = None
+    if pf is not None or keep_p is not None:
+        one1 = jnp.ones((1,), dtype)
+        if pf is not None:
+            pfq = jnp.concatenate([one1, pf]) if intercept else pf
+            pen_mask = pen_mask * pfq
+        if keep_p is not None:
+            keep = (jnp.concatenate([one1, keep_p]) if intercept
+                    else keep_p)
 
     # glmnet lambda_max: the (weighted) null model's score.  Null
     # probabilities = (weighted) class frequencies (the intercept-only
@@ -177,9 +194,18 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         # prox (unlike the soft-threshold) only reaches exact zero when
         # the threshold strictly exceeds the row norm, so the marginal
         # row would otherwise hover at ~eps instead of 0 at the top.
-        lam0 = 1.001 * jnp.max(jnp.sqrt(jnp.sum(G0 * G0, axis=1)))
+        scores = jnp.sqrt(jnp.sum(G0 * G0, axis=1))
     else:
-        lam0 = jnp.max(jnp.abs(G0)) / jnp.maximum(alpha, 1e-3)
+        scores = jnp.max(jnp.abs(G0), axis=1)
+    if keep_p is not None:
+        scores = scores * keep_p
+    if pf is not None:
+        # Factor-aware boundary over PENALIZED rows (the gaussian/GLM
+        # paths' rule).
+        scores = jnp.where(pf > 0, scores / jnp.maximum(pf, 1e-12), 0.0)
+    lam0 = jnp.max(scores)
+    lam0 = (1.001 * lam0 if grouped
+            else lam0 / jnp.maximum(alpha, 1e-3))
     if user_lams is None:
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
@@ -188,7 +214,7 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
 
     st0, solve, report = _mn_engine(Xa, Yoh, lams[0], rho0, pen_mask,
                                     alpha, grouped, newton_steps,
-                                    obs_w=w)
+                                    obs_w=w, keep=keep)
 
     if path_mode == "batch":
         k = lams.shape[0]
@@ -243,6 +269,8 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
                            trace_len: Optional[int] = None,
                            data_mesh=None,
                            weights: Optional[jnp.ndarray] = None,
+                           penalty_factor: Optional[jnp.ndarray] = None,
+                           exclude=None,
                            dtype=jnp.float32) -> MNPathResult:
     """Solve the sparse multinomial (softmax) regression lambda path.
 
@@ -254,6 +282,13 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
     observation weights (weighted NLL, majorizer, standardization and
     grid; integer weight k == repeating the row k times, tested).
     Oracle: sklearn saga (tests/test_multinomial.py).
+
+    ``penalty_factor`` (glmnet's ``penalty.factor``): (p,) nonnegative
+    per-VARIABLE factors, rescaled to sum p — variable j's threshold
+    becomes ``lambda * pf_j`` across all classes (both penalty types),
+    with the factor-aware grid top.  ``exclude`` forces variables out
+    of the model for every class (mask-after-shrink, exact for both
+    penalties).
     """
     X = jnp.asarray(X, dtype)
     y_np = jnp.asarray(y).ravel()
@@ -277,8 +312,14 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     w = None if weights is None else jnp.asarray(weights, dtype)
+    from .lasso import validate_pf_limits
+    from .multitask import _keep_mask
+
+    pf, _ = validate_pf_limits(penalty_factor, None, None, None,
+                               X.shape[1], dtype)
+    keep_p = _keep_mask(exclude, X.shape[1], dtype)
     return _mn_path(X, y_np, int(nlambda), lambda_min_ratio, lams, rho,
-                    maxit, eps_abs, eps_rel, alpha, w,
+                    maxit, eps_abs, eps_rel, alpha, w, pf, keep_p,
                     nclass=int(nclass),
                     standardize_x=standardize, intercept=intercept,
                     path_mode=path_mode, grouped=bool(grouped),

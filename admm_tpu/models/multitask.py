@@ -31,6 +31,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..core.engine import (ADMMState, make_admm_solver,
@@ -58,7 +59,13 @@ def _row_prox(v, t):
     return v * jnp.maximum(0.0, 1.0 - t / jnp.maximum(rn, 1e-30))
 
 
-def _mt_tall_ops(Minv, XtY, p, K):
+def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None):
+    """``pf``: optional (p,) per-row penalty factors (glmnet's
+    ``penalty.factor`` for family='mgaussian' — the group threshold
+    becomes ``lam * pf_j``); ``keep``: optional (p,) 0/1 mask zeroing
+    EXCLUDED rows after the prox (glmnet's ``exclude`` — the prox of
+    group penalty + indicator(B_j = 0) is exactly mask-after-shrink,
+    both terms row-separable)."""
     from ..core.engine import ProblemOps
 
     def next_x(st):
@@ -66,7 +73,11 @@ def _mt_tall_ops(Minv, XtY, p, K):
 
     def next_z(st, x_new):
         v = x_new + st.adj_y / st.rho
-        return _row_prox(v, st.lam / st.rho), st.aux
+        t = st.lam / st.rho
+        z = _row_prox(v, t * pf[:, None] if pf is not None else t)
+        if keep is not None:
+            z = z * keep[:, None]
+        return z, st.aux
 
     return ProblemOps(
         next_x=next_x,
@@ -81,7 +92,7 @@ def _mt_tall_ops(Minv, XtY, p, K):
     )
 
 
-def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K):
+def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None):
     from ..core.engine import ProblemOps
 
     sqrt_sprad = jnp.sqrt(sprad)
@@ -89,7 +100,10 @@ def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K):
     def next_x(st):
         tmp = st.aux + st.z + st.y / st.rho
         v = st.x - dot(Xs.T, tmp) / sprad
-        x_new = _row_prox(v, st.lam / (st.rho * sprad))
+        t = st.lam / (st.rho * sprad)
+        x_new = _row_prox(v, t * pf[:, None] if pf is not None else t)
+        if keep is not None:
+            x_new = x_new * keep[:, None]
         return jnp.where(st.lam > lambda0 * (1.0 - 1e-5),
                          jnp.zeros_like(x_new), x_new)
 
@@ -112,14 +126,20 @@ def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K):
     )
 
 
-def _mt_lambda0(Xs, Ys):
+def _mt_lambda0(Xs, Ys, pf=None, keep=None):
     """B = 0 KKT boundary: max_j ||X_j' Y||_2 (the row-norm analog of
-    the Lasso's infinity-norm rule)."""
+    the Lasso's infinity-norm rule); with penalty factors the
+    factor-aware boundary over PENALIZED, non-excluded rows."""
     XtY = dot(Xs.T, Ys)
-    return jnp.max(jnp.sqrt(jnp.sum(XtY * XtY, axis=1)))
+    rn = jnp.sqrt(jnp.sum(XtY * XtY, axis=1))
+    if keep is not None:
+        rn = rn * keep
+    if pf is not None:
+        rn = jnp.where(pf > 0, rn / jnp.maximum(pf, 1e-12), 0.0)
+    return jnp.max(rn)
 
 
-def _mt_engine(Xs, Ys, ilam_first, rho0):
+def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None):
     """Engine triple (cold state, solver, reported iterate) — shared by
     the path driver and the checkpointed driver
     (admm_tpu.diag.checkpoint.checkpointed_multitask_lasso_path)."""
@@ -133,7 +153,7 @@ def _mt_engine(Xs, Ys, ilam_first, rho0):
                         jnp.cbrt(sprad) * ilam_first ** (2.0 / 3.0))
         Minv = ridge_inverse(XtX, rho)
         XtY = dot(Xs.T, Ys)
-        ops = _mt_tall_ops(Minv, XtY, p, K)
+        ops = _mt_tall_ops(Minv, XtY, p, K, pf, keep)
         solve = make_fadmm_solver(ops, adapt_rho=False)
         zeros = jnp.zeros((p, K), dtype)
         st0 = make_state(zeros, zeros, zeros, rho, ilam_first,
@@ -142,8 +162,14 @@ def _mt_engine(Xs, Ys, ilam_first, rho0):
     sprad = spectral_radius_gram(Xs)
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
                     jnp.cbrt(ilam_first / sprad))
-    lambda0_int = _mt_lambda0(Xs, Ys)
-    ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K)
+    # All-zero early-exit gate: the factor-aware boundary when every
+    # row is penalized, +inf (gate disabled) when any row is
+    # unpenalized — B never becomes all-zero then (the gaussian wide
+    # path's lambda0_pf rule).
+    lambda0_int = _mt_lambda0(Xs, Ys, pf, keep)
+    if pf is not None:
+        lambda0_int = jnp.where(jnp.all(pf > 0), lambda0_int, jnp.inf)
+    ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K, pf, keep)
     solve = make_admm_solver(ops, adapt_rho=True)
     st0 = make_state(jnp.zeros((p, K), dtype),
                      jnp.zeros((n, K), dtype),
@@ -155,8 +181,8 @@ def _mt_engine(Xs, Ys, ilam_first, rho0):
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "nlambda", "path_mode", "trace_len"))
 def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
-             eps_abs, eps_rel, weights=None, *, standardize_x,
-             intercept, path_mode, trace_len=None):
+             eps_abs, eps_rel, weights=None, pf=None, keep=None, *,
+             standardize_x, intercept, path_mode, trace_len=None):
     n, p = X.shape
     K = Y.shape[1]
     dtype = X.dtype
@@ -198,7 +224,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         Xs = Xs * sw[:, None]
         Ys = Ys * sw[:, None]
 
-    lam0 = _mt_lambda0(Xs, Ys) / n
+    lam0 = _mt_lambda0(Xs, Ys, pf, keep) / n
     if user_lams is None:
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
@@ -206,7 +232,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         lams = user_lams
     ilams = lams * n
 
-    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho0)
+    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho0, pf, keep)
 
     if path_mode == "batch":
         k = ilams.shape[0]
@@ -256,6 +282,8 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                          trace_len: Optional[int] = None,
                          data_mesh=None,
                          weights: Optional[jnp.ndarray] = None,
+                         penalty_factor: Optional[jnp.ndarray] = None,
+                         exclude=None,
                          dtype=jnp.float32) -> MTPathResult:
     """Solve the multi-task Lasso lambda path on device.
 
@@ -269,6 +297,13 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
     ``MultiTaskLasso`` (tests/test_multitask.py); ``weights`` are
     glmnet-style observation weights (integer weight k == repeating the
     row k times, tested).
+
+    ``penalty_factor`` (glmnet's ``penalty.factor`` for
+    family='mgaussian'): (p,) nonnegative per-ROW factors, rescaled to
+    sum p — row j's group threshold becomes ``lambda * pf_j`` (0 =
+    always in), with the factor-aware grid top.  ``exclude`` forces
+    whole coefficient rows out of the model (the prox of group penalty
+    + row indicator is exactly mask-after-shrink).
     """
     X = jnp.asarray(X, dtype)
     Y = jnp.asarray(Y, dtype)
@@ -290,8 +325,26 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     w = None if weights is None else jnp.asarray(weights, dtype)
+    from .lasso import validate_pf_limits
+
+    pf, _ = validate_pf_limits(penalty_factor, None, None, None,
+                               X.shape[1], dtype)
+    keep = _keep_mask(exclude, X.shape[1], dtype)
     return _mt_path(X, Y, int(nlambda), lambda_min_ratio, lams, rho,
-                    maxit, eps_abs, eps_rel, w,
+                    maxit, eps_abs, eps_rel, w, pf, keep,
                     standardize_x=standardize,
                     intercept=intercept, path_mode=path_mode,
                     trace_len=trace_len)
+
+
+def _keep_mask(exclude, p, dtype):
+    """(p,) 0/1 mask from glmnet's ``exclude`` indices (None if no
+    exclusions) — the row-group analog of the lower=upper=0 box."""
+    if exclude is None:
+        return None
+    idx = np.asarray(exclude, np.int64).ravel()
+    if idx.size and (idx.min() < 0 or idx.max() >= p):
+        raise ValueError("exclude indices must be in [0, p)")
+    keep = np.ones(p)
+    keep[idx] = 0.0
+    return jnp.asarray(keep, dtype)

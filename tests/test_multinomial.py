@@ -108,3 +108,42 @@ def test_multinomial_trace_and_data_mesh():
                                  data_mesh=make_mesh(8))
     np.testing.assert_allclose(np.asarray(shd.coef),
                                np.asarray(rep.coef), atol=2e-4)
+
+
+def test_multinomial_penalty_factor_and_exclude():
+    """glmnet's penalty.factor / exclude for family='multinomial':
+    column-rescaling oracle (ungrouped), zero-factor variable always
+    in, exclusion exact for the grouped penalty too."""
+    import admm_tpu
+
+    rng = np.random.default_rng(12)
+    n, p, C = 200, 10, 3
+    X = rng.normal(size=(n, p))
+    y = np.argmax(X @ (rng.normal(size=(p, C)) * 2.0)
+                  + rng.gumbel(size=(n, C)), axis=1)
+
+    pf = np.array([2.0, 0.5, 1.0, 3.0, 1.0, 1.0, 0.5, 1.0, 1.0, 2.0])
+    pfs = pf * (p / pf.sum())
+    lams = np.geomspace(0.1, 0.01, 5)
+    r1 = admm_tpu.multinomial_lasso_path(X, y, lambdas=lams,
+                                         standardize=False,
+                                         penalty_factor=pf,
+                                         eps_abs=1e-7, eps_rel=1e-7)
+    r2 = admm_tpu.multinomial_lasso_path(X / pfs, y, lambdas=lams,
+                                         standardize=False,
+                                         eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(r1.coef), np.asarray(r2.coef) / pfs[:, None],
+        atol=1e-4)
+
+    pf0 = np.ones(p)
+    pf0[0] = 0.0
+    r0 = admm_tpu.multinomial_lasso_path(X, y, nlambda=6,
+                                         penalty_factor=pf0)
+    assert np.all(np.abs(np.asarray(r0.coef)[:, 0]).max(axis=1) > 1e-4)
+
+    for grouped in (False, True):
+        re = admm_tpu.multinomial_lasso_path(X, y, nlambda=6,
+                                             exclude=[1, 4],
+                                             grouped=grouped)
+        assert np.abs(np.asarray(re.coef)[:, [1, 4]]).max() == 0.0

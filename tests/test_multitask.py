@@ -110,3 +110,51 @@ def test_multitask_trace_and_data_mesh():
                                data_mesh=make_mesh(8))
     np.testing.assert_allclose(np.asarray(shd.coef),
                                np.asarray(rep.coef), atol=2e-4)
+
+
+def test_multitask_penalty_factor_and_exclude():
+    """glmnet's penalty.factor / exclude for family='mgaussian':
+    column-rescaling oracle (uniform group penalty on X diag(1/pf)
+    equals pf-weighted penalty with B = Bs/pf), zero-factor rows always
+    in, excluded rows exactly zero and equal to dropping the columns."""
+    import admm_tpu
+
+    rng = np.random.default_rng(11)
+    n, p, K = 150, 10, 3
+    X = rng.normal(size=(n, p))
+    B = np.zeros((p, K))
+    B[:4] = rng.uniform(0.5, 1.5, (4, K))
+    Y = X @ B + 0.3 * rng.normal(size=(n, K))
+
+    pf = np.array([2.0, 0.5, 1.0, 3.0, 1.0, 1.0, 0.5, 1.0, 1.0, 2.0])
+    pfs = pf * (p / pf.sum())
+    lams = np.geomspace(0.5, 0.02, 6)
+    r1 = admm_tpu.multitask_lasso_path(X, Y, lambdas=lams,
+                                       standardize=False,
+                                       penalty_factor=pf,
+                                       eps_abs=1e-7, eps_rel=1e-7)
+    r2 = admm_tpu.multitask_lasso_path(X / pfs, Y, lambdas=lams,
+                                       standardize=False,
+                                       eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(r1.coef), np.asarray(r2.coef) / pfs[:, None],
+        atol=3e-5)
+
+    pf0 = np.ones(p)
+    pf0[0] = 0.0
+    r0 = admm_tpu.multitask_lasso_path(X, Y, nlambda=8,
+                                       penalty_factor=pf0)
+    assert np.all(np.abs(np.asarray(r0.coef)[:, 0]).max(axis=1) > 1e-4)
+
+    re = admm_tpu.multitask_lasso_path(X, Y, lambdas=lams,
+                                       exclude=[1, 2],
+                                       eps_abs=1e-7, eps_rel=1e-7)
+    ce = np.asarray(re.coef)
+    assert np.abs(ce[:, [1, 2]]).max() == 0.0
+    keepc = [j for j in range(p) if j not in (1, 2)]
+    rd = admm_tpu.multitask_lasso_path(X[:, keepc], Y, lambdas=lams,
+                                       eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(ce[:, keepc], np.asarray(rd.coef),
+                               atol=3e-4)
+    with pytest.raises(ValueError):
+        admm_tpu.multitask_lasso_path(X, Y, nlambda=4, exclude=[p])
