@@ -90,7 +90,7 @@ def _cox_grad_eta(eta, d, first, last, n):
 
 
 def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-             fixed_minv=None):
+             fixed_minv=None, pf=None, bounds=None):
     """``fixed_minv`` None => the ADAPTIVE majorizer: the (p, p)
     inverse rides ``st.aux`` and is refreshed once per lambda from the
     warm-start iterate (see _cox_path) — ``V_k <= diag(pi_k)`` gives
@@ -114,8 +114,15 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
     def next_z(st, x_new):
         v = x_new + st.y / st.rho
         pen = st.lam / st.rho
+        if pf is not None:
+            pen = pen * pf
         zl1 = soft_threshold(v, alpha * pen)
-        return zl1 / (1.0 + pen * (1.0 - alpha)), st.aux
+        z = zl1 / (1.0 + pen * (1.0 - alpha))
+        if bounds is not None:
+            # glmnet's coefficient box: clip-after-shrink is the exact
+            # prox of penalty + box (both separable).
+            z = jnp.clip(z, bounds[0], bounds[1])
+        return z, st.aux
 
     return ProblemOps(
         next_x=next_x,
@@ -133,8 +140,8 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
 @partial(jax.jit, static_argnames=("standardize_x", "nlambda",
                                    "path_mode", "newton_steps"))
 def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
-              rho0, maxit, eps_abs, eps_rel, alpha, *, standardize_x,
-              path_mode, newton_steps):
+              rho0, maxit, eps_abs, eps_rel, alpha, pf=None, limits=None,
+              *, standardize_x, path_mode, newton_steps):
     from ..data.standardize import _guard, _sd_n
 
     n, p = X.shape
@@ -151,11 +158,22 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         sd_x = _guard(_sd_n(X, axis=0), col_mean)
         Xs = Xs / sd_x[None, :]
 
+    # Original-scale coefficient box -> standardized scale (coef_orig
+    # = z / sd_x, so the box maps by sd_x; cox has no intercept row).
+    bounds = None
+    if limits is not None:
+        bounds = (limits[0] * sd_x, limits[1] * sd_x)
+
     # Grid top: gradient of the null model (eta = 0).
     g0 = _cox_grad_eta(jnp.zeros((n,), dtype), d, first, last, n)
     if user_lams is None:
-        lam0 = (jnp.max(jnp.abs(dot(Xs.T, g0)))
-                / jnp.maximum(alpha, 1e-3))
+        scores = jnp.abs(dot(Xs.T, g0))
+        if pf is not None:
+            # Factor-aware boundary over PENALIZED coordinates (the
+            # gaussian/GLM paths' rule).
+            scores = jnp.where(pf > 0,
+                               scores / jnp.maximum(pf, 1e-12), 0.0)
+        lam0 = jnp.max(scores) / jnp.maximum(alpha, 1e-3)
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
     else:
@@ -193,7 +211,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         H_fix = (d_total / (2.0 * n)) * dot(Xs.T, Xs)
         Minv = ridge_inverse(H_fix, rho)
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       Minv)
+                       Minv, pf, bounds)
         solve = make_batched_solver(make_admm_solver(ops,
                                                      adapt_rho=False))
         st = _batched_cold_states(lams.shape[0], p, rho, lams, dtype)
@@ -208,7 +226,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         from ..core.engine import warm_start
 
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       None)
+                       None, pf, bounds)
         solve = make_admm_solver(ops, adapt_rho=False)
         st0 = make_state(zeros, zeros, zeros, rho, lams[0],
                          aux=majorizer_inv(zeros), dtype=dtype)
@@ -232,6 +250,8 @@ def cox_lasso_path(X, time, event, *,
                    maxit: int = 10000, eps_abs: float = 1e-5,
                    eps_rel: float = 1e-5, rho: float = -1.0,
                    path_mode: str = "scan", newton_steps: int = 2,
+                   penalty_factor: Optional[jnp.ndarray] = None,
+                   lower_limits=None, upper_limits=None, exclude=None,
                    dtype=jnp.float32) -> CoxPathResult:
     """Solve the L1/elastic-net Cox partial-likelihood path.
 
@@ -244,6 +264,13 @@ def cox_lasso_path(X, time, event, *,
     global d/2 bound — cox solutions move smoothly along the path);
     "batch" solves lambdas as lanes with the shared global-bound
     factorization.  Returns coefficients on the original scale.
+
+    ``penalty_factor`` / ``lower_limits`` / ``upper_limits`` /
+    ``exclude`` (glmnet's per-coefficient arguments for family='cox',
+    same semantics as :func:`admm_tpu.lasso_path`): per-coordinate
+    thresholds with the factor-aware grid top, an exact
+    clip-after-shrink box on the original scale, and exclusion via the
+    zero box.
     """
     X_np = np.asarray(X)
     t_np = np.asarray(time, np.float64).ravel()
@@ -269,9 +296,15 @@ def cox_lasso_path(X, time, event, *,
     dj = jnp.asarray(d_np[order], dtype)
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
+    from .lasso import validate_pf_limits
+
+    pf, limits = validate_pf_limits(penalty_factor, exclude,
+                                    lower_limits, upper_limits, p,
+                                    dtype)
     return _cox_path(Xj, dj, first, last, int(nlambda),
                      lambda_min_ratio, lams, rho, maxit, eps_abs,
-                     eps_rel, alpha, standardize_x=standardize,
+                     eps_rel, alpha, pf, limits,
+                     standardize_x=standardize,
                      path_mode=path_mode,
                      newton_steps=int(newton_steps))
 

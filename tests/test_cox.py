@@ -117,3 +117,50 @@ def test_cv_cox_vvh():
     assert cv.lambda_1se >= cv.lambda_min
     i = int(np.argmin(cv.cvm))
     assert cv.cvm[i] < cv.cvm[0]  # beats the null top
+
+
+def test_cox_penalty_factor_limits_exclude():
+    """glmnet's per-coefficient arguments for family='cox':
+    column-rescaling oracle for penalty_factor, exclusion pinned equal
+    to dropping the column, nonnegativity box, batch-mode support, and
+    CV pass-through."""
+    import admm_tpu
+
+    rng = np.random.default_rng(5)
+    n, p = 150, 8
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.8, -0.8], np.zeros(p - 2)])
+    t = rng.exponential(np.exp(-(X @ b)))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+
+    pf = np.array([2.0, 0.5, 1.0, 3.0, 1.0, 1.0, 0.5, 1.0])
+    pfs = pf * (p / pf.sum())
+    lams = np.geomspace(0.1, 0.005, 6)
+    r1 = admm_tpu.cox_lasso_path(X, t, d, lambdas=lams,
+                                 standardize=False, penalty_factor=pf,
+                                 eps_abs=1e-7, eps_rel=1e-7)
+    r2 = admm_tpu.cox_lasso_path(X / pfs, t, d, lambdas=lams,
+                                 standardize=False,
+                                 eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.coef),
+                               np.asarray(r2.coef) / pfs, atol=1e-5)
+
+    r3 = admm_tpu.cox_lasso_path(X, t, d, lambdas=lams, exclude=[0],
+                                 eps_abs=1e-7, eps_rel=1e-7)
+    keep = list(range(1, p))
+    r4 = admm_tpu.cox_lasso_path(X[:, keep], t, d, lambdas=lams,
+                                 eps_abs=1e-7, eps_rel=1e-7)
+    c3 = np.asarray(r3.coef)
+    assert np.abs(c3[:, 0]).max() == 0.0
+    np.testing.assert_allclose(c3[:, keep], np.asarray(r4.coef),
+                               atol=1e-5)
+
+    r5 = admm_tpu.cox_lasso_path(X, t, d, nlambda=6, lower_limits=0.0)
+    assert np.asarray(r5.coef).min() >= 0.0
+    r6 = admm_tpu.cox_lasso_path(X, t, d, nlambda=6, penalty_factor=pf,
+                                 path_mode="batch")
+    assert np.isfinite(np.asarray(r6.coef)).all()
+
+    cv = admm_tpu.cv_cox_path(X, t, d, nfolds=4, nlambda=6, exclude=[0])
+    assert np.abs(np.asarray(cv.fit.coef)[:, 0]).max() == 0.0
+    assert np.isfinite(cv.cvm).all()
