@@ -51,7 +51,7 @@ from .models.relaxed import (cv_relaxed_lasso_path,
 from .models.logistic import logistic_lasso_path
 from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
-from .glmnet import cv_glmnet, glmnet
+from .glmnet import big_glm, cv_glmnet, glmnet
 from .summary import path_table, format_path_table
 from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
                                  parallel_glm_lasso_path,
@@ -81,7 +81,7 @@ __all__ = [
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
     "path_table", "format_path_table",
     "assess", "roc", "confusion", "c_index",
-    "glmnet", "cv_glmnet", "coef",
+    "glmnet", "cv_glmnet", "coef", "big_glm",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",

@@ -86,6 +86,45 @@ def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
     return cox_lasso_path(X, t, d, alpha=alpha, **kw)
 
 
+def big_glm(X, y=None, family: str = "gaussian", *, weights=None,
+            offset=None, lower_limits=None, upper_limits=None,
+            intercept: bool = True, time=None, event=None, **kw):
+    """One UNPENALIZED fit (glmnet's ``bigGlm``), returned as a
+    single-point path result (``lambdas == [0.0]``) that ``predict`` /
+    ``assess`` / ``coef`` accept like any other.
+
+    The lambda = 0 point rides the same ADMM engines (the prox
+    degenerates to the identity, or to the box clip when limits are
+    given), so every family and argument of :func:`glmnet` works;
+    meaningful for n > p designs, as in glmnet.  The gaussian engine's
+    auto-rho is a power law of lambda (zero at lambda = 0), so rho is
+    pinned to 1 there — any positive rho converges to the same
+    unpenalized optimum.
+    """
+    if family in ("gaussian", "mgaussian") and "rho" not in kw:
+        kw["rho"] = 1.0
+    if family == "gaussian" and offset is not None:
+        # Gaussian offset is an exact response shift; the returned
+        # intercept/coefficients are for eta = b0 + Xb + offset.
+        y = np.asarray(y, np.float64) - np.asarray(offset, np.float64)
+        offset = None
+    if offset is not None:
+        kw["offset"] = offset
+    if family in ("gaussian", "binomial", "poisson", "huber", "cox"):
+        kw["lower_limits"] = lower_limits
+        kw["upper_limits"] = upper_limits
+    elif lower_limits is not None or upper_limits is not None:
+        raise ValueError("coefficient limits are not supported for "
+                         f"family {family!r} (glmnet's own multinomial "
+                         "restriction)")
+    if family != "cox":
+        kw["intercept"] = intercept
+    if weights is not None:
+        kw["weights"] = weights
+    return glmnet(X, y, family, lambdas=np.zeros(1),
+                  time=time, event=event, **kw)
+
+
 def cv_glmnet(X, y=None, family: str = "gaussian", *,
               alpha: float = 1.0,
               type_multinomial: str = "ungrouped",

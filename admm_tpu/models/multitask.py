@@ -179,10 +179,12 @@ def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None):
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "nlambda", "path_mode", "trace_len"))
+                                   "nlambda", "path_mode", "trace_len",
+                                   "standardize_y"))
 def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
              eps_abs, eps_rel, weights=None, pf=None, keep=None, *,
-             standardize_x, intercept, path_mode, trace_len=None):
+             standardize_x, intercept, path_mode, trace_len=None,
+             standardize_y=False):
     n, p = X.shape
     K = Y.shape[1]
     dtype = X.dtype
@@ -217,6 +219,17 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         sd_x = _guard(jnp.sqrt(jnp.sum(wcol[:, None] * c * c, axis=0)
                                / n), col_mean)
         Xs = Xs / sd_x[None, :]
+    sd_y = jnp.ones((K,), dtype)
+    if standardize_y:
+        # glmnet's standardize.response=TRUE for family='mgaussian':
+        # each task's response scaled to unit (weighted, 1/n) sd so the
+        # shared row penalty weighs tasks equally; coefficients are
+        # mapped back below.
+        cmy = wmean(Y, axis=0)
+        cy = Y - cmy[None, :]
+        sd_y = _guard(jnp.sqrt(jnp.sum(wcol[:, None] * cy * cy, axis=0)
+                               / n), cmy)
+        Ys = Ys / sd_y[None, :]
     if w is not None:
         # sqrt(w) row scaling: the quadratic loss becomes weighted and
         # everything downstream (Gram, lambda grid, solves) follows.
@@ -265,8 +278,9 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
                                              maxit, eps_abs, eps_rel,
                                              trace_len)
 
-    # Recover: coef rows rescaled by sd_x; per-task intercepts.
-    coef = coefs / sd_x[None, :, None]
+    # Recover: coef rows rescaled by sd_x (and sd_y when the response
+    # was standardized); per-task intercepts.
+    coef = coefs / sd_x[None, :, None] * sd_y[None, None, :]
     beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
     return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
                         niter=niter, trace=traces)
@@ -276,6 +290,7 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                          nlambda: int = 50,
                          lambda_min_ratio: float = 1e-2,
                          standardize: bool = True, intercept: bool = True,
+                         standardize_response: bool = False,
                          maxit: int = 10000, eps_abs: float = 1e-5,
                          eps_rel: float = 1e-5, rho: float = -1.0,
                          path_mode: str = "batch",
@@ -304,6 +319,12 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
     always in), with the factor-aware grid top.  ``exclude`` forces
     whole coefficient rows out of the model (the prox of group penalty
     + row indicator is exactly mask-after-shrink).
+
+    ``standardize_response`` (glmnet's ``standardize.response``,
+    default FALSE as there): scale each task's response to unit sd
+    before fitting so the shared row penalty weighs tasks equally;
+    coefficients and intercepts are returned on the ORIGINAL response
+    scales (pinned: invariant to per-task response rescaling when on).
     """
     X = jnp.asarray(X, dtype)
     Y = jnp.asarray(Y, dtype)
@@ -334,7 +355,8 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                     maxit, eps_abs, eps_rel, w, pf, keep,
                     standardize_x=standardize,
                     intercept=intercept, path_mode=path_mode,
-                    trace_len=trace_len)
+                    trace_len=trace_len,
+                    standardize_y=bool(standardize_response))
 
 
 def _keep_mask(exclude, p, dtype):

@@ -126,3 +126,41 @@ def test_glmnet_validation():
         admm_tpu.glmnet(X, y, family="cox")
     with pytest.raises(ValueError, match="event"):
         admm_tpu.glmnet(X, family="cox", time=y)
+
+
+def test_big_glm_unpenalized_oracles():
+    """bigGlm == the unpenalized fit: OLS for gaussian (lstsq oracle),
+    sklearn LogisticRegression(C→inf) for binomial; limits and the cox
+    family work at lambda = 0."""
+    rng = np.random.default_rng(8)
+    n, p = 200, 6
+    X = rng.normal(size=(n, p))
+    b = rng.normal(size=p)
+    y = 1.0 + X @ b + 0.2 * rng.normal(size=n)
+
+    fit = admm_tpu.big_glm(X, y)
+    A = np.c_[np.ones(n), X]
+    ols = np.linalg.lstsq(A, y, rcond=None)[0]
+    np.testing.assert_allclose(float(fit.beta0[0]), ols[0], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fit.coef)[0], ols[1:],
+                               atol=2e-3)
+
+    from sklearn.linear_model import LogisticRegression
+
+    yb = (rng.uniform(size=n) < 1 / (1 + np.exp(-(X @ b)))).astype(float)
+    fb = admm_tpu.big_glm(X, yb, family="binomial", eps_abs=1e-7,
+                          eps_rel=1e-7)
+    sk = LogisticRegression(C=1e8, tol=1e-10).fit(X, yb)
+    np.testing.assert_allclose(np.asarray(fb.coef)[0], sk.coef_[0],
+                               atol=5e-3)
+
+    # Nonnegative unpenalized least squares (limits at lambda = 0).
+    fnn = admm_tpu.big_glm(X, y, lower_limits=0.0)
+    assert np.asarray(fnn.coef).min() >= 0.0
+
+    # Cox at lambda = 0 runs and is finite.
+    t = rng.exponential(np.exp(-0.5 * X[:, 0]))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    fc = admm_tpu.big_glm(X, family="cox", time=t, event=d)
+    assert np.isfinite(np.asarray(fc.coef)).all()
+    assert np.asarray(fc.lambdas).tolist() == [0.0]

@@ -158,3 +158,38 @@ def test_multitask_penalty_factor_and_exclude():
                                atol=3e-4)
     with pytest.raises(ValueError):
         admm_tpu.multitask_lasso_path(X, Y, nlambda=4, exclude=[p])
+
+
+def test_multitask_standardize_response():
+    """glmnet's standardize.response=TRUE: with it ON, rescaling one
+    task's response by a constant rescales that task's coefficients by
+    the same constant and leaves the OTHER tasks' solution paths
+    unchanged (the shared penalty sees unit-sd responses either way);
+    with it OFF a rescaled task dominates the row norms and shifts
+    every task's path."""
+    import admm_tpu
+
+    rng = np.random.default_rng(13)
+    n, p, K = 150, 10, 3
+    X = rng.normal(size=(n, p))
+    B = np.zeros((p, K))
+    B[:4] = rng.uniform(0.5, 1.5, (4, K))
+    Y = X @ B + 0.3 * rng.normal(size=(n, K))
+    scale = np.array([1.0, 50.0, 1.0])
+
+    a = admm_tpu.multitask_lasso_path(X, Y, nlambda=8,
+                                      standardize_response=True)
+    bb = admm_tpu.multitask_lasso_path(X, Y * scale, nlambda=8,
+                                       standardize_response=True)
+    np.testing.assert_allclose(np.asarray(a.lambdas),
+                               np.asarray(bb.lambdas), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bb.coef),
+                               np.asarray(a.coef) * scale, rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bb.beta0),
+                               np.asarray(a.beta0) * scale, rtol=1e-3,
+                               atol=1e-5)
+    # OFF (the default): the rescaled task changes the shared path.
+    c = admm_tpu.multitask_lasso_path(X, Y * scale, nlambda=8)
+    assert not np.allclose(np.asarray(c.coef),
+                           np.asarray(a.coef) * scale, rtol=1e-3)
