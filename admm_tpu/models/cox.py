@@ -77,20 +77,30 @@ def _tie_groups(times_sorted_desc: np.ndarray):
     return jnp.asarray(first), jnp.asarray(last)
 
 
-def _cox_grad_eta(eta, d, first, last, n):
+def _cox_grad_eta(eta, d, first, last, n, w=None):
     """Breslow partial-likelihood gradient in eta (sorted-desc order),
     scaled 1/n: ``(e^{eta_i} G_i - d_i)/n`` with
     ``G_i = sum_{events k: t_k <= t_i} d_k / S_k`` via one prefix and
-    one suffix cumsum + two static tie-group gathers."""
+    one suffix cumsum + two static tie-group gathers.
+
+    ``w``: optional observation weights (glmnet's ``weights`` for
+    family='cox' — case weights): the weighted Breslow likelihood
+    ``sum_i w_i d_i [eta_i - log S_i]`` with ``S_i = sum_{t_j >= t_i}
+    w_j e^{eta_j}`` — both the risk-set sums and the event terms carry
+    w, so an integer weight k is exactly row repetition (tested)."""
     ee = jnp.exp(jnp.minimum(eta, 30.0))
+    dd = d
+    if w is not None:
+        ee = w * ee
+        dd = w * d
     S = jnp.cumsum(ee)[last]                 # risk-set sums, tie-aware
-    rc = jnp.cumsum((d / S)[::-1])[::-1]     # suffix sum of d_k/S_k
+    rc = jnp.cumsum((dd / S)[::-1])[::-1]    # suffix sum of w_k d_k/S_k
     G = rc[first]
-    return (ee * G - d) / n
+    return (ee * G - dd) / n
 
 
 def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-             fixed_minv=None, pf=None, bounds=None):
+             fixed_minv=None, pf=None, bounds=None, off=None, w=None):
     """``fixed_minv`` None => the ADAPTIVE majorizer: the (p, p)
     inverse rides ``st.aux`` and is refreshed once per lambda from the
     warm-start iterate (see _cox_path) — ``V_k <= diag(pi_k)`` gives
@@ -105,7 +115,9 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
 
         def step(_, b):
             eta = dot(Xs, b)
-            g = _cox_grad_eta(eta, d, first, last, n)
+            if off is not None:
+                eta = eta + off
+            g = _cox_grad_eta(eta, d, first, last, n, w)
             grad = dot(Xs.T, g) + st.rho * (b - v)
             return b - dot(Minv, grad)
 
@@ -141,21 +153,28 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
                                    "path_mode", "newton_steps"))
 def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
               rho0, maxit, eps_abs, eps_rel, alpha, pf=None, limits=None,
-              *, standardize_x, path_mode, newton_steps):
-    from ..data.standardize import _guard, _sd_n
+              w=None, off=None, *, standardize_x, path_mode,
+              newton_steps):
+    from ..data.standardize import _guard
 
     n, p = X.shape
     dtype = X.dtype
-    d_total = jnp.sum(d)
+    if w is not None:
+        w = w * (n / jnp.sum(w))   # glmnet: weights sum to n
+    wc = jnp.ones((n,), dtype) if w is None else w
+    d_total = jnp.sum(wc * d)
     # Center + optionally scale (no intercept: centering is free here —
     # the partial likelihood is invariant to column shifts, since a
     # shift adds a constant to every eta that cancels inside each
-    # risk-set softmax — and it conditions the Gram).
-    col_mean = jnp.mean(X, axis=0)
+    # risk-set softmax — and it conditions the Gram).  Weighted moments
+    # when case weights are given (glmnet convention).
+    col_mean = jnp.sum(wc[:, None] * X, axis=0) / n
     Xs = X - col_mean[None, :]
     sd_x = jnp.ones((p,), dtype)
     if standardize_x:
-        sd_x = _guard(_sd_n(X, axis=0), col_mean)
+        c = X - col_mean[None, :]
+        sd_x = _guard(jnp.sqrt(jnp.sum(wc[:, None] * c * c, axis=0)
+                               / n), col_mean)
         Xs = Xs / sd_x[None, :]
 
     # Original-scale coefficient box -> standardized scale (coef_orig
@@ -164,8 +183,9 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
     if limits is not None:
         bounds = (limits[0] * sd_x, limits[1] * sd_x)
 
-    # Grid top: gradient of the null model (eta = 0).
-    g0 = _cox_grad_eta(jnp.zeros((n,), dtype), d, first, last, n)
+    # Grid top: gradient of the null model (eta = offset, or 0).
+    eta0 = jnp.zeros((n,), dtype) if off is None else off
+    g0 = _cox_grad_eta(eta0, d, first, last, n, w)
     if user_lams is None:
         scores = jnp.abs(dot(Xs.T, g0))
         if pf is not None:
@@ -188,14 +208,22 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
 
     def majorizer_inv(b):
         # Tight diagonal bound at the current iterate: V_k <= diag(pi_k)
-        # => H <= Xs' diag(w) Xs / n with w = e^eta * G (the positive
-        # part of the gradient decomposition).
+        # => H <= Xs' diag(wm) Xs / n with wm = e^eta * G (the positive
+        # part of the gradient decomposition; the weighted likelihood's
+        # wm = w e^eta * G_w follows the same derivation with S and the
+        # event terms carrying w).
         eta = dot(Xs, b)
+        if off is not None:
+            eta = eta + off
         ee = jnp.exp(jnp.minimum(eta, 30.0))
+        dd = d
+        if w is not None:
+            ee = w * ee
+            dd = w * d
         S = jnp.cumsum(ee)[last]
-        G = jnp.cumsum((d / S)[::-1])[::-1][first]
-        w = ee * G
-        H = dot(Xs.T * w[None, :], Xs) / n
+        G = jnp.cumsum((dd / S)[::-1])[::-1][first]
+        wm = ee * G
+        H = dot(Xs.T * wm[None, :], Xs) / n
         return ridge_inverse(H, rho)
 
     zeros = jnp.zeros((p,), dtype)
@@ -211,7 +239,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         H_fix = (d_total / (2.0 * n)) * dot(Xs.T, Xs)
         Minv = ridge_inverse(H_fix, rho)
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       Minv, pf, bounds)
+                       Minv, pf, bounds, off, w)
         solve = make_batched_solver(make_admm_solver(ops,
                                                      adapt_rho=False))
         st = _batched_cold_states(lams.shape[0], p, rho, lams, dtype)
@@ -226,7 +254,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         from ..core.engine import warm_start
 
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       None, pf, bounds)
+                       None, pf, bounds, off, w)
         solve = make_admm_solver(ops, adapt_rho=False)
         st0 = make_state(zeros, zeros, zeros, rho, lams[0],
                          aux=majorizer_inv(zeros), dtype=dtype)
@@ -252,6 +280,8 @@ def cox_lasso_path(X, time, event, *,
                    path_mode: str = "scan", newton_steps: int = 2,
                    penalty_factor: Optional[jnp.ndarray] = None,
                    lower_limits=None, upper_limits=None, exclude=None,
+                   weights: Optional[jnp.ndarray] = None,
+                   offset: Optional[jnp.ndarray] = None,
                    dtype=jnp.float32) -> CoxPathResult:
     """Solve the L1/elastic-net Cox partial-likelihood path.
 
@@ -271,6 +301,14 @@ def cox_lasso_path(X, time, event, *,
     thresholds with the factor-aware grid top, an exact
     clip-after-shrink box on the original scale, and exclusion via the
     zero box.
+
+    ``weights`` (glmnet's ``weights`` for family='cox'): case weights
+    — the weighted Breslow likelihood (risk-set sums AND event terms
+    carry w, normalized to sum n); an integer weight k is exactly
+    repeating the row k times (tested).  ``offset``: a fixed (n,) term
+    added to the linear predictor (``eta = X b + offset``); a CONSTANT
+    offset leaves the fit invariant (the partial likelihood's shift
+    gauge — tested).
     """
     X_np = np.asarray(X)
     t_np = np.asarray(time, np.float64).ravel()
@@ -294,6 +332,20 @@ def cox_lasso_path(X, time, event, *,
     first, last = _tie_groups(t_np[order])
     Xj = jnp.asarray(X_np[order], dtype)
     dj = jnp.asarray(d_np[order], dtype)
+    wj = offj = None
+    if weights is not None:
+        w_np = np.asarray(weights, np.float64).ravel()
+        if w_np.shape != (n,):
+            raise ValueError("weights must have one entry per row")
+        if np.any(w_np <= 0):
+            raise ValueError("cox weights must be positive (a zero "
+                             "weight: drop the row)")
+        wj = jnp.asarray(w_np[order], dtype)
+    if offset is not None:
+        o_np = np.asarray(offset, np.float64).ravel()
+        if o_np.shape != (n,):
+            raise ValueError("offset must have one entry per row")
+        offj = jnp.asarray(o_np[order], dtype)
     lams = (None if lambdas is None
             else jnp.sort(jnp.asarray(lambdas, dtype))[::-1])
     from .lasso import validate_pf_limits
@@ -303,24 +355,30 @@ def cox_lasso_path(X, time, event, *,
                                     dtype)
     return _cox_path(Xj, dj, first, last, int(nlambda),
                      lambda_min_ratio, lams, rho, maxit, eps_abs,
-                     eps_rel, alpha, pf, limits,
+                     eps_rel, alpha, pf, limits, wj, offj,
                      standardize_x=standardize,
                      path_mode=path_mode,
                      newton_steps=int(newton_steps))
 
 
-def _breslow_pl(X, t, d, coefs):
+def _breslow_pl(X, t, d, coefs, w=None, off=None):
     """Breslow log partial likelihood per path point ((L,) numpy):
-    ``sum_{events i} [eta_i - log sum_{t_j >= t_i} e^{eta_j}]``."""
+    ``sum_{events i} w_i [eta_i - log sum_{t_j >= t_i} w_j e^{eta_j}]``
+    (weights/offset optional, matching the solver's weighted
+    likelihood)."""
     X = np.asarray(X, np.float64)
     t = np.asarray(t, np.float64).ravel()
     d = np.asarray(d, np.float64).ravel()
     C = np.asarray(coefs, np.float64)           # (L, p)
     order = np.argsort(-t, kind="stable")
     Xs, ts, ds = X[order], t[order], d[order]
+    ws = (np.ones_like(ds) if w is None
+          else np.asarray(w, np.float64).ravel()[order])
     eta = C @ Xs.T                               # (L, n)
+    if off is not None:
+        eta = eta + np.asarray(off, np.float64).ravel()[order][None, :]
     m = eta.max(axis=1, keepdims=True)
-    ee = np.exp(eta - m)
+    ee = ws[None, :] * np.exp(eta - m)
     cum = np.cumsum(ee, axis=1)
     # Tie-aware risk sums: read each tie group's end.
     n = ts.shape[0]
@@ -334,7 +392,7 @@ def _breslow_pl(X, t, d, coefs):
         i = j + 1
     logS = np.log(cum[:, last]) + m              # (L, n)
     # eta - logS = (eta - m) - log(cum): the max-shift m cancels.
-    return ((eta - logS) * ds[None, :]).sum(axis=1)
+    return ((eta - logS) * (ws * ds)[None, :]).sum(axis=1)
 
 
 def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
@@ -354,7 +412,16 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     t = np.asarray(time, np.float64).ravel()
     d = np.asarray(event, np.float64).ravel()
     n = X.shape[0]
-    full = cox_lasso_path(X, t, d, nlambda=nlambda, **path_kw)
+    w = path_kw.pop("weights", None)
+    off = path_kw.pop("offset", None)
+    w = None if w is None else np.asarray(w, np.float64).ravel()
+    off = None if off is None else np.asarray(off, np.float64).ravel()
+
+    def sub(v, m):
+        return None if v is None else v[m]
+
+    full = cox_lasso_path(X, t, d, nlambda=nlambda, weights=w,
+                          offset=off, **path_kw)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
@@ -362,9 +429,11 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     for f in range(nfolds):
         tr = foldid != f
         rf = cox_lasso_path(X[tr], t[tr], d[tr], lambdas=lams,
+                            weights=sub(w, tr), offset=sub(off, tr),
                             **path_kw)
-        pl_full = _breslow_pl(X, t, d, np.asarray(rf.coef))
-        pl_tr = _breslow_pl(X[tr], t[tr], d[tr], np.asarray(rf.coef))
+        pl_full = _breslow_pl(X, t, d, np.asarray(rf.coef), w, off)
+        pl_tr = _breslow_pl(X[tr], t[tr], d[tr], np.asarray(rf.coef),
+                            sub(w, tr), sub(off, tr))
         dev[f] = -2.0 * (pl_full - pl_tr)
 
     cvm = dev.mean(axis=0)

@@ -164,3 +164,48 @@ def test_cox_penalty_factor_limits_exclude():
     cv = admm_tpu.cv_cox_path(X, t, d, nfolds=4, nlambda=6, exclude=[0])
     assert np.abs(np.asarray(cv.fit.coef)[:, 0]).max() == 0.0
     assert np.isfinite(cv.cvm).all()
+
+
+def test_cox_weights_and_offset():
+    """glmnet's weights/offset for family='cox': integer case weights
+    == row duplication (Breslow ties make the duplicated rows exact),
+    a CONSTANT offset leaves the fit invariant (the partial
+    likelihood's shift gauge), and CV subsets both per fold."""
+    import admm_tpu
+
+    rng = np.random.default_rng(6)
+    n, p = 100, 5
+    X = rng.normal(size=(n, p))
+    t = np.round(rng.exponential(
+        np.exp(-(X[:, :2] @ [0.8, -0.8]))), 2) + 0.05
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    lams = np.geomspace(0.1, 0.01, 5)
+
+    r0 = admm_tpu.cox_lasso_path(X, t, d, lambdas=lams,
+                                 eps_abs=1e-7, eps_rel=1e-7)
+    r1 = admm_tpu.cox_lasso_path(X, t, d, lambdas=lams,
+                                 offset=np.full(n, 3.7),
+                                 eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(r0.coef),
+                               np.asarray(r1.coef), atol=2e-6)
+
+    w = rng.integers(1, 4, size=n).astype(float)
+    idx = np.repeat(np.arange(n), w.astype(int))
+    rw = admm_tpu.cox_lasso_path(X, t, d, lambdas=lams, weights=w,
+                                 eps_abs=1e-8, eps_rel=1e-8)
+    rd = admm_tpu.cox_lasso_path(X[idx], t[idx], d[idx], lambdas=lams,
+                                 eps_abs=1e-8, eps_rel=1e-8)
+    np.testing.assert_allclose(np.asarray(rw.coef),
+                               np.asarray(rd.coef), atol=2e-6)
+
+    rb = admm_tpu.cox_lasso_path(X, t, d, nlambda=5, weights=w,
+                                 offset=0.3 * X[:, 4],
+                                 path_mode="batch")
+    assert np.isfinite(np.asarray(rb.coef)).all()
+
+    cv = admm_tpu.cv_cox_path(X, t, d, nfolds=4, nlambda=5, weights=w,
+                              offset=0.2 * X[:, 4])
+    assert np.isfinite(cv.cvm).all()
+    with pytest.raises(ValueError, match="positive"):
+        admm_tpu.cox_lasso_path(X, t, d, nlambda=4,
+                                weights=np.zeros(n))
