@@ -57,10 +57,13 @@ class MNPathResult(NamedTuple):
     trace: Optional[jnp.ndarray] = None
 
 
-def _softmax_grad(Xa, B, Yoh, n, obs_w=None):
+def _softmax_grad(Xa, B, Yoh, n, obs_w=None, off=None):
     """(q, C) gradient of the mean NLL at B: Xa'(w o (softmax - Y))/n
-    (``obs_w`` = normalized observation weights, or None)."""
+    (``obs_w`` = normalized observation weights, ``off`` = (n, C)
+    fixed linear-predictor offset, either None)."""
     eta = dot(Xa, B)
+    if off is not None:
+        eta = eta + off
     g = jax.nn.softmax(eta, axis=1) - Yoh
     if obs_w is not None:
         g = obs_w[:, None] * g
@@ -68,7 +71,7 @@ def _softmax_grad(Xa, B, Yoh, n, obs_w=None):
 
 
 def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
-            fixed_minv, obs_w=None, keep=None):
+            fixed_minv, obs_w=None, keep=None, off=None):
     """``pen_mask`` (q,) carries 0 on the intercept row and the
     per-row penalty factors on the slopes (glmnet's ``penalty.factor``
     for family='multinomial' rides the existing mask); ``keep``:
@@ -83,7 +86,7 @@ def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
         v = st.z - st.y / st.rho
 
         def step(_, B):
-            grad = (_softmax_grad(Xa, B, Yoh, n, obs_w)
+            grad = (_softmax_grad(Xa, B, Yoh, n, obs_w, off)
                     + st.rho * (B - v))
             return B - dot(fixed_minv, grad)
 
@@ -116,7 +119,7 @@ def _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped, newton_steps,
 
 
 def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
-               newton_steps, obs_w=None, keep=None):
+               newton_steps, obs_w=None, keep=None, off=None):
     """Engine triple (cold state, solver, reported iterate) — shared by
     the path driver and the checkpointed driver.
 
@@ -138,7 +141,7 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
     H_fix = dot(Xw.T, Xw) / (2.0 * n)
     Minv = ridge_inverse(H_fix, rho)
     ops = _mn_ops(Xa, Yoh, n, q, C, pen_mask, alpha, grouped,
-                  newton_steps, Minv, obs_w, keep)
+                  newton_steps, Minv, obs_w, keep, off)
     solve = make_admm_solver(ops, adapt_rho=False)
     zeros = jnp.zeros((q, C), dtype)
     st0 = make_state(zeros, zeros, zeros, rho, lam_first, dtype=dtype)
@@ -151,8 +154,8 @@ def _mn_engine(Xa, Yoh, lam_first, rho0, pen_mask, alpha, grouped,
                                    "trace_len"))
 def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
              eps_abs, eps_rel, alpha, weights=None, pf=None, keep_p=None,
-             *, nclass, standardize_x, intercept, path_mode, grouped,
-             newton_steps, trace_len=None):
+             off=None, *, nclass, standardize_x, intercept, path_mode,
+             grouped, newton_steps, trace_len=None):
     from .glm import prep_design
 
     n, p = X.shape
@@ -179,13 +182,31 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
 
     # glmnet lambda_max: the (weighted) null model's score.  Null
     # probabilities = (weighted) class frequencies (the intercept-only
-    # optimum) or uniform.
-    if intercept:
-        pi0 = (jnp.mean(Yoh, axis=0) if w is None
-               else jnp.sum(w[:, None] * Yoh, axis=0) / n)
+    # optimum) or uniform; with an OFFSET the null intercepts solve the
+    # offset-shifted score by majorize-minimize steps (softmax
+    # curvature bound 1/2 -> step 2/n on the summed gradient; 100
+    # steps is far past convergence for a C-vector).
+    if off is None:
+        if intercept:
+            pi0 = (jnp.mean(Yoh, axis=0) if w is None
+                   else jnp.sum(w[:, None] * Yoh, axis=0) / n)
+        else:
+            pi0 = jnp.full((C,), 1.0 / C, dtype)
+        P0 = jnp.broadcast_to(pi0[None, :], (n, C))
     else:
-        pi0 = jnp.full((C,), 1.0 / C, dtype)
-    G0 = pi0[None, :] - Yoh
+        if intercept:
+            def b0_step(_, b0):
+                g = jax.nn.softmax(b0[None, :] + off, axis=1) - Yoh
+                if w is not None:
+                    g = w[:, None] * g
+                return b0 - (2.0 / n) * jnp.sum(g, axis=0)
+
+            b0 = jax.lax.fori_loop(0, 100, b0_step,
+                                   jnp.zeros((C,), dtype))
+            P0 = jax.nn.softmax(b0[None, :] + off, axis=1)
+        else:
+            P0 = jax.nn.softmax(off, axis=1)
+    G0 = P0 - Yoh
     if w is not None:
         G0 = w[:, None] * G0
     G0 = dot(Xs.T, G0) / n  # (p, C)
@@ -214,7 +235,7 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
 
     st0, solve, report = _mn_engine(Xa, Yoh, lams[0], rho0, pen_mask,
                                     alpha, grouped, newton_steps,
-                                    obs_w=w, keep=keep)
+                                    obs_w=w, keep=keep, off=off)
 
     if path_mode == "batch":
         k = lams.shape[0]
@@ -271,6 +292,7 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
                            weights: Optional[jnp.ndarray] = None,
                            penalty_factor: Optional[jnp.ndarray] = None,
                            exclude=None,
+                           offset: Optional[jnp.ndarray] = None,
                            dtype=jnp.float32) -> MNPathResult:
     """Solve the sparse multinomial (softmax) regression lambda path.
 
@@ -288,7 +310,9 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
     becomes ``lambda * pf_j`` across all classes (both penalty types),
     with the factor-aware grid top.  ``exclude`` forces variables out
     of the model for every class (mask-after-shrink, exact for both
-    penalties).
+    penalties).  ``offset`` (glmnet's multinomial offset): an (n, C)
+    fixed term in the linear predictor; the auto grid's null
+    intercepts solve the offset-shifted score.
     """
     X = jnp.asarray(X, dtype)
     y_np = jnp.asarray(y).ravel()
@@ -318,8 +342,13 @@ def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,
     pf, _ = validate_pf_limits(penalty_factor, None, None, None,
                                X.shape[1], dtype)
     keep_p = _keep_mask(exclude, X.shape[1], dtype)
+    off = None
+    if offset is not None:
+        off = jnp.asarray(offset, dtype)
+        if off.shape != (X.shape[0], int(nclass)):
+            raise ValueError("offset must be (n, nclass)")
     return _mn_path(X, y_np, int(nlambda), lambda_min_ratio, lams, rho,
-                    maxit, eps_abs, eps_rel, alpha, w, pf, keep_p,
+                    maxit, eps_abs, eps_rel, alpha, w, pf, keep_p, off,
                     nclass=int(nclass),
                     standardize_x=standardize, intercept=intercept,
                     path_mode=path_mode, grouped=bool(grouped),

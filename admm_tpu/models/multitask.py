@@ -299,6 +299,7 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                          weights: Optional[jnp.ndarray] = None,
                          penalty_factor: Optional[jnp.ndarray] = None,
                          exclude=None,
+                         offset: Optional[jnp.ndarray] = None,
                          dtype=jnp.float32) -> MTPathResult:
     """Solve the multi-task Lasso lambda path on device.
 
@@ -325,12 +326,22 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
     before fitting so the shared row penalty weighs tasks equally;
     coefficients and intercepts are returned on the ORIGINAL response
     scales (pinned: invariant to per-task response rescaling when on).
+
+    ``offset`` (glmnet's ``offset`` for family='mgaussian'): an (n, K)
+    fixed term in the linear predictor — the gaussian loss makes it an
+    exact response shift (``eta = b0 + X b + offset``); supply the
+    same ``newoffset`` at prediction time.
     """
     X = jnp.asarray(X, dtype)
     Y = jnp.asarray(Y, dtype)
     if Y.ndim != 2:
         raise ValueError("Y must be (n, K) — use lasso_path for a "
                          "single response")
+    if offset is not None:
+        off = jnp.asarray(offset, dtype)
+        if off.shape != Y.shape:
+            raise ValueError("offset must match Y's (n, K) shape")
+        Y = Y - off
     if X.shape[0] != Y.shape[0]:
         raise ValueError("nrow(x) should be equal to nrow(y)")
     if path_mode not in ("batch", "scan"):

@@ -147,3 +147,39 @@ def test_multinomial_penalty_factor_and_exclude():
                                              exclude=[1, 4],
                                              grouped=grouped)
         assert np.abs(np.asarray(re.coef)[:, [1, 4]]).max() == 0.0
+
+
+def test_multinomial_offset_invariances():
+    """glmnet's (n, C) multinomial offset: a per-row constant across
+    classes is the softmax gauge (fit invariant); a per-CLASS constant
+    is absorbed by the sum-to-zero intercepts (coef invariant, beta0
+    shifted by the centered offset); the offset-aware auto grid still
+    nulls the model at its top."""
+    import admm_tpu
+
+    rng = np.random.default_rng(15)
+    n, p, C = 150, 8, 3
+    X = rng.normal(size=(n, p))
+    y = np.argmax(X @ (rng.normal(size=(p, C)) * 2.0)
+                  + rng.gumbel(size=(n, C)), axis=1)
+    lams = np.geomspace(0.1, 0.01, 5)
+    m0 = admm_tpu.multinomial_lasso_path(X, y, lambdas=lams,
+                                         eps_abs=1e-7, eps_rel=1e-7)
+    r = rng.normal(size=n)
+    mg = admm_tpu.multinomial_lasso_path(
+        X, y, lambdas=lams, offset=np.tile(r[:, None], (1, C)),
+        eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(m0.coef), np.asarray(mg.coef),
+                               atol=1e-5)
+    o = np.array([0.7, -0.3, 0.1])
+    mc = admm_tpu.multinomial_lasso_path(
+        X, y, lambdas=lams, offset=np.tile(o, (n, 1)),
+        eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(m0.coef), np.asarray(mc.coef),
+                               atol=1e-5)
+    shift = np.asarray(m0.beta0) - np.asarray(mc.beta0)
+    np.testing.assert_allclose(
+        shift, np.broadcast_to(o - o.mean(), shift.shape), atol=1e-5)
+    ma = admm_tpu.multinomial_lasso_path(X, y, nlambda=6,
+                                         offset=np.tile(o, (n, 1)))
+    assert np.abs(np.asarray(ma.coef)[0]).max() < 1e-6

@@ -193,3 +193,23 @@ def test_multitask_standardize_response():
     c = admm_tpu.multitask_lasso_path(X, Y * scale, nlambda=8)
     assert not np.allclose(np.asarray(c.coef),
                            np.asarray(a.coef) * scale, rtol=1e-3)
+
+
+def test_multitask_offset_is_exact_response_shift():
+    import admm_tpu
+
+    rng = np.random.default_rng(14)
+    n, p, K = 150, 8, 3
+    X = rng.normal(size=(n, p))
+    Y = X @ rng.normal(size=(p, K)) + 0.2 * rng.normal(size=(n, K))
+    O = rng.normal(size=(n, K))
+    lams = np.geomspace(0.5, 0.05, 5)
+    a = admm_tpu.multitask_lasso_path(X, Y, lambdas=lams, offset=O)
+    b = admm_tpu.multitask_lasso_path(X, Y - O, lambdas=lams)
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(b.coef),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.beta0), np.asarray(b.beta0),
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="offset"):
+        admm_tpu.multitask_lasso_path(X, Y, nlambda=4,
+                                      offset=np.zeros(n))
