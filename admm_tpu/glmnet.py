@@ -103,11 +103,6 @@ def big_glm(X, y=None, family: str = "gaussian", *, weights=None,
     """
     if family in ("gaussian", "mgaussian") and "rho" not in kw:
         kw["rho"] = 1.0
-    if family == "gaussian" and offset is not None:
-        # Gaussian offset is an exact response shift; the returned
-        # intercept/coefficients are for eta = b0 + Xb + offset.
-        y = np.asarray(y, np.float64) - np.asarray(offset, np.float64)
-        offset = None
     if offset is not None:
         kw["offset"] = offset
     if family in ("gaussian", "binomial", "poisson", "huber", "cox"):

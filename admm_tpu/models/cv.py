@@ -213,21 +213,25 @@ def _make_gaussian_fold_eta(alpha, enet_scale, standardize, intercept,
                                    "intercept", "path_mode",
                                    "newton_steps"))
 def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
-                   eps_rel, alpha, pf=None, limits=None, *, family,
-                   standardize_x, intercept, path_mode, newton_steps):
+                   eps_rel, alpha, pf=None, limits=None, off=None, *,
+                   family, standardize_x, intercept, path_mode,
+                   newton_steps):
     """Jitted core of the GLM fold sweep (module-level for cache reuse
     and on-device own-fold selection, as
-    :func:`_gaussian_fold_etas`)."""
+    :func:`_gaussian_fold_etas`).  ``off`` (glmnet's ``offset``) enters
+    every fold fit AND the returned linear predictors, so held-out
+    scoring sees eta = b0 + Xb + offset exactly as glmnet's cvraw."""
     from .glm import _glm_path
 
     def one(mask):
         res = _glm_path(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
-                        eps_rel, alpha, mask, None, pf, limits,
+                        eps_rel, alpha, mask, off, pf, limits,
                         family=family,
                         standardize_x=standardize_x,
                         intercept=intercept, path_mode=path_mode,
                         newton_steps=newton_steps)
-        return res.beta0[:, None] + res.coef @ X.T
+        eta = res.beta0[:, None] + res.coef @ X.T
+        return eta if off is None else eta + off[None, :]
 
     etas = jax.vmap(one)(masks)
     return etas[fid, :, jnp.arange(fid.shape[0])]
@@ -252,7 +256,7 @@ def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
                        eps_abs, eps_rel, rho, path_mode, dtype=None,
                        fold_mesh=None, newton_steps=None,
                        penalty_factor=None, lower_limits=None,
-                       upper_limits=None, exclude=None):
+                       upper_limits=None, exclude=None, offset=None):
     """One-program fold sweep for any GLM family (same contract as
     :func:`_make_gaussian_fold_eta`): fold f = the weighted GLM path
     with weight 0 on held-out rows (models/glm.py), vmapped."""
@@ -264,12 +268,15 @@ def _make_glm_fold_eta(fam, alpha, standardize, intercept, maxit,
         pf, lim = validate_pf_limits(penalty_factor, exclude,
                                      lower_limits, upper_limits,
                                      np.shape(X)[1], dtype)
+        off = None if offset is None \
+            else jnp.asarray(offset, dtype).ravel()
         return _glm_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
             jnp.asarray(lams, dtype),
             _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
             jnp.asarray(fid, jnp.int32),
-            rho, maxit, eps_abs, eps_rel, alpha, pf, lim, family=fam,
+            rho, maxit, eps_abs, eps_rel, alpha, pf, lim, off,
+            family=fam,
             standardize_x=standardize, intercept=intercept,
             path_mode=path_mode,
             newton_steps=_default_newton_steps(fam, newton_steps))
@@ -296,6 +303,7 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                   seed: int = 0, foldid: Optional[np.ndarray] = None,
                   path_mode: str = "batch", cv_mode: str = "auto",
                   weights: Optional[np.ndarray] = None,
+                  offset: Optional[np.ndarray] = None,
                   type_measure: str = "default", keep: bool = False,
                   _path_fn=None, _loss_fn=None, _fold_eta_fn=None,
                   _family=None, **solver_kw) -> CVResult:
@@ -353,6 +361,19 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     # loop fallback needs host subsetting.
     n, p = np.shape(X)
     y = np.asarray(y, np.float64).ravel()
+    if offset is not None:
+        # glmnet's cv.glmnet offset (gaussian): an exact response shift
+        # applies identically to every fold fit AND to the held-out
+        # scoring residual y - (b0 + Xb + offset), so shifting y once
+        # up front reproduces glmnet's cvm/cvsd exactly.
+        if _family is not None or _loss_fn is not None:
+            raise ValueError("offset= here is the gaussian response "
+                             "shift; GLM CV drivers take their own "
+                             "offset argument")
+        off = np.asarray(offset, np.float64).ravel()
+        if off.shape != y.shape:
+            raise ValueError("offset must have one entry per row")
+        y = y - off
     w = None if weights is None else np.asarray(weights,
                                                 np.float64).ravel()
     if w is not None and w.shape != (n,):
@@ -543,7 +564,8 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                 path_mode: str = "auto", loss=None,
                 newton_steps: Optional[int] = None,
                 penalty_factor=None, lower_limits=None,
-                upper_limits=None, exclude=None, **kw) -> CVResult:
+                upper_limits=None, exclude=None, offset=None,
+                **kw) -> CVResult:
     """Cross-validated path for any smooth-loss GLM family (extension;
     admm_tpu/models/glm.py).  Held-out folds are scored by the FAMILY'S
     per-observation loss evaluated at the linear predictor — i.e. the
@@ -560,6 +582,11 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
     fam = family() if not isinstance(family, GLMFamily) else family
     if loss is None:
         loss = fam.cv_loss
+    if offset is not None and kw.get("cv_mode") == "loop":
+        # The host fold loop subsets rows; only the one-pass sweep
+        # threads the full offset vector through every fold fit.
+        raise ValueError("offset with cv_mode='loop' is not supported; "
+                         "use the default one-pass fold sweep")
 
     def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
                 lambda_min_ratio=lambda_min_ratio):
@@ -570,6 +597,7 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                               intercept=intercept, maxit=maxit,
                               eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
                               path_mode=path_mode, weights=wf,
+                              offset=offset,
                               penalty_factor=penalty_factor,
                               lower_limits=lower_limits,
                               upper_limits=upper_limits,
@@ -585,7 +613,7 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
                                   penalty_factor=penalty_factor,
                                   lower_limits=lower_limits,
                                   upper_limits=upper_limits,
-                                  exclude=exclude)
+                                  exclude=exclude, offset=offset)
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,
@@ -712,7 +740,15 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
     n = X.shape[0]
     C = int(y.max()) + 1
     path_kw.setdefault("nclass", C)
-    full = multinomial_lasso_path(X, y, nlambda=nlambda, **path_kw)
+    # glmnet's cv offset (multinomial): (n, C), subset per fold and
+    # added back to the held-out linear predictors before scoring.
+    off = path_kw.pop("offset", None)
+    if off is not None:
+        off = np.asarray(off, np.float64)
+        if off.shape != (n, C):
+            raise ValueError("offset must be (n, nclass)")
+    full = multinomial_lasso_path(X, y, nlambda=nlambda, offset=off,
+                                  **path_kw)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
@@ -720,11 +756,14 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
     for f in range(nfolds):
         tr = foldid != f
         va = foldid == f
-        res = multinomial_lasso_path(X[tr], y[tr], lambdas=lams,
-                                     **path_kw)
+        res = multinomial_lasso_path(
+            X[tr], y[tr], lambdas=lams,
+            offset=None if off is None else off[tr], **path_kw)
         # (L, n_va, C) linear predictors -> stable log-softmax.
         eta = (np.asarray(res.beta0)[:, None, :]
                + np.einsum("vp,lpc->lvc", X[va], np.asarray(res.coef)))
+        if off is not None:
+            eta = eta + off[va][None, :, :]
         eta = eta - eta.max(axis=2, keepdims=True)
         logp = eta - np.log(np.exp(eta).sum(axis=2, keepdims=True))
         yv = y[va]
@@ -762,7 +801,15 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
     X = np.asarray(X, np.float64)
     Y = np.asarray(Y, np.float64)
     n = X.shape[0]
-    full = multitask_lasso_path(X, Y, nlambda=nlambda, **path_kw)
+    # glmnet's cv offset (mgaussian): (n, K) response shift, subset per
+    # fold; held-out scoring adds it back (= scoring Y - off shifts).
+    off = path_kw.pop("offset", None)
+    if off is not None:
+        off = np.asarray(off, np.float64)
+        if off.shape != Y.shape:
+            raise ValueError("offset must match Y's (n, K) shape")
+    full = multitask_lasso_path(X, Y, nlambda=nlambda, offset=off,
+                                **path_kw)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
@@ -770,11 +817,14 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
     for f in range(nfolds):
         tr = foldid != f
         va = foldid == f
-        res = multitask_lasso_path(X[tr], Y[tr], lambdas=lams,
-                                   **path_kw)
+        res = multitask_lasso_path(
+            X[tr], Y[tr], lambdas=lams,
+            offset=None if off is None else off[tr], **path_kw)
         pred = (np.asarray(res.beta0)[:, None, :]
                 + np.einsum("vp,lpk->lvk", X[va],
                             np.asarray(res.coef)))  # (L, n_va, K)
+        if off is not None:
+            pred = pred + off[va][None, :, :]
         err[va] = ((pred - Y[va][None]) ** 2).sum(axis=2).T
 
     cvm, cvsd = _cv_curve(err, foldid)

@@ -752,6 +752,7 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                weights: Optional[jnp.ndarray] = None,
                penalty_factor: Optional[jnp.ndarray] = None,
                lower_limits=None, upper_limits=None, exclude=None,
+               offset: Optional[jnp.ndarray] = None,
                dfmax: Optional[int] = None, pmax: Optional[int] = None,
                dtype=jnp.float32) -> PathResult:
     """Solve the full Lasso / Elastic-Net lambda path on device.
@@ -812,6 +813,12 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     out of the model — exactly the lower=upper=0 box at those
     coordinates (merged into any user limits).
 
+    ``offset`` (glmnet's ``offset``): a fixed per-row additive term in
+    the linear predictor, ``eta = b0 + X b + offset``.  For the
+    gaussian family this is an exact response shift (the fit runs on
+    ``y - offset``); pass the same ``offset`` to :func:`admm_tpu.predict`
+    as glmnet's ``newoffset``.
+
     ``dfmax`` / ``pmax`` (glmnet): stop the returned path at the first
     grid point with more than dfmax nonzero coefficients (pmax bounds
     the EVER-active union); the result simply has fewer lambdas, as in
@@ -835,6 +842,13 @@ def lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
         trace_len = int(trace_len)
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
+    if offset is not None:
+        # glmnet's gaussian offset: an exact response shift (eta =
+        # b0 + X b + offset); supply the same newoffset at prediction.
+        off = jnp.asarray(offset, dtype).ravel()
+        if off.shape != y.shape:
+            raise ValueError("offset must have one entry per row")
+        y = y - off
     n, p = X.shape
     if path_mode == "activeset" and n > p:
         raise ValueError("path_mode='activeset' is the wide-regime "

@@ -402,3 +402,73 @@ def test_type_measure_multinomial_class():
     assert cvm2.cvm.min() < 2.0 / 3.0   # beats the uniform predictor
     with pytest.raises(ValueError):
         cv_multinomial_path(X, y, nlambda=5, type_measure="auc")
+
+
+def test_cv_gaussian_offset_equals_response_shift():
+    """cv.glmnet's gaussian offset: every fold fit AND the held-out
+    scoring residual shift identically, so CV with offset= must equal
+    CV on y - offset."""
+    X, y, _ = _problem(n=120, p=15)
+    rng = np.random.default_rng(4)
+    off = rng.normal(size=y.shape[0])
+    a = cv_lasso_path(X, y, offset=off, nfolds=3, nlambda=8, seed=0)
+    b = cv_lasso_path(X, y - off, nfolds=3, nlambda=8, seed=0)
+    np.testing.assert_allclose(a.cvm, b.cvm, rtol=1e-6)
+    np.testing.assert_allclose(a.cvsd, b.cvsd, rtol=1e-6)
+    assert a.lambda_min == b.lambda_min
+
+
+def test_cv_glm_offset_constant_invariance():
+    """A CONSTANT offset c only shifts the intercept by -c, so the CV
+    curve (deviance at eta including the offset) is unchanged."""
+    from admm_tpu.models.cv import cv_glm_path
+    from admm_tpu.models.glm import poisson
+
+    rng = np.random.default_rng(8)
+    n, p = 150, 10
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.5, -0.4], np.zeros(p - 2)])
+    y = rng.poisson(np.exp(0.3 + X @ b)).astype(float)
+    base = cv_glm_path(X, y, poisson(), nfolds=3, nlambda=6, seed=0,
+                       eps_abs=1e-7, eps_rel=1e-7)
+    offc = cv_glm_path(X, y, poisson(), nfolds=3, nlambda=6, seed=0,
+                       offset=np.full(n, 0.6),
+                       eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(offc.cvm, base.cvm, rtol=5e-4)
+    # Grids agree to float tolerance (offset-aware null fit), so
+    # compare the SELECTED INDEX, not the float.
+    assert np.argmin(offc.cvm) == np.argmin(base.cvm)
+    with pytest.raises(ValueError, match="loop"):
+        cv_glm_path(X, y, poisson(), nfolds=3, nlambda=6,
+                    offset=np.full(n, 0.6), cv_mode="loop")
+
+
+def test_cv_multinomial_multitask_offset():
+    """CV offsets for the matrix families: a column-constant
+    multinomial offset only shifts the intercepts (same CV curve); the
+    mgaussian offset is an exact response shift (CV on Y - off)."""
+    from admm_tpu.models.cv import (cv_multinomial_path,
+                                    cv_multitask_lasso_path)
+
+    rng = np.random.default_rng(5)
+    n, p, C = 150, 10, 3
+    X = rng.normal(size=(n, p))
+    eta = X[:, :2] @ rng.normal(size=(2, C))
+    y = np.argmax(eta + 0.3 * rng.normal(size=(n, C)), axis=1)
+    base = cv_multinomial_path(X, y, nfolds=3, nlambda=6, seed=0,
+                               eps_abs=1e-7, eps_rel=1e-7)
+    offc = cv_multinomial_path(X, y, nfolds=3, nlambda=6, seed=0,
+                               offset=np.tile([0.4, -0.2, 0.1], (n, 1)),
+                               eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(offc.cvm, base.cvm, rtol=2e-3)
+    with pytest.raises(ValueError, match="nclass"):
+        cv_multinomial_path(X, y, nlambda=4, offset=np.zeros((n, C + 1)))
+
+    K = 2
+    Y = X[:, :3] @ rng.normal(size=(3, K)) + 0.2 * rng.normal(size=(n, K))
+    off = rng.normal(size=(n, K))
+    a = cv_multitask_lasso_path(X, Y + off, nfolds=3, nlambda=6, seed=0,
+                                offset=off)
+    b = cv_multitask_lasso_path(X, Y, nfolds=3, nlambda=6, seed=0)
+    np.testing.assert_allclose(a.cvm, b.cvm, rtol=1e-4)
+    assert np.argmin(a.cvm) == np.argmin(b.cvm)

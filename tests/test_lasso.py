@@ -469,3 +469,28 @@ def test_limits_validation_and_wide_regime():
     assert np.asarray(r2.coef)[:, 0].max() <= 0.5 + 1e-6
     with pytest.raises(ValueError, match="lower <= 0 <= upper"):
         lasso_path(X, y, lower_limits=1.0)
+
+
+def test_gaussian_offset_equals_response_shift(tall_problem):
+    """glmnet's gaussian offset: fitting with offset= must equal the
+    fit on y - offset exactly (eta = b0 + Xb + offset), and predict's
+    newoffset adds it back."""
+    from admm_tpu.predict import predict
+
+    X, y, _ = tall_problem
+    rng = np.random.default_rng(9)
+    off = rng.normal(size=y.shape[0])
+    r_off = lasso_path(X, y, offset=off, nlambda=6)
+    r_shift = lasso_path(X, y - off, nlambda=6)
+    # The shift happens in f32 on device vs f64 on host: one ulp.
+    np.testing.assert_allclose(np.asarray(r_off.lambdas),
+                               np.asarray(r_shift.lambdas), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_off.coef),
+                               np.asarray(r_shift.coef), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_off.beta0),
+                               np.asarray(r_shift.beta0), atol=1e-4)
+    eta = predict(r_off, X, offset=off)
+    np.testing.assert_allclose(eta, predict(r_shift, X) + off[None, :],
+                               atol=1e-3)
+    with pytest.raises(ValueError, match="one entry per row"):
+        lasso_path(X, y, offset=off[:-1], nlambda=4)
