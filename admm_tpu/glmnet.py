@@ -81,7 +81,7 @@ def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
             X, y, alpha=alpha, grouped=type_multinomial == "grouped",
             **kw)
     if family == "mgaussian":
-        return multitask_lasso_path(X, y, **kw)
+        return multitask_lasso_path(X, y, alpha=alpha, **kw)
     t, d = _cox_args(y, time, event)
     return cox_lasso_path(X, t, d, alpha=alpha, **kw)
 
@@ -157,6 +157,6 @@ def cv_glmnet(X, y=None, family: str = "gaussian", *,
             X, y, alpha=alpha, grouped=type_multinomial == "grouped",
             **kw)
     if family == "mgaussian":
-        return cv_multitask_lasso_path(X, y, **kw)
+        return cv_multitask_lasso_path(X, y, alpha=alpha, **kw)
     t, d = _cox_args(y, time, event)
     return cv_cox_path(X, t, d, alpha=alpha, **kw)

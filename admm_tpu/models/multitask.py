@@ -59,7 +59,16 @@ def _row_prox(v, t):
     return v * jnp.maximum(0.0, 1.0 - t / jnp.maximum(rn, 1e-30))
 
 
-def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None):
+def _row_prox_enet(v, t, alpha):
+    """Elastic-net row prox (glmnet's mgaussian penalty
+    ``alpha ||B_j||_2 + (1-alpha)/2 ||B_j||_2^2`` at step ``t``): group
+    soft-threshold at ``alpha t`` then the ridge shrink — both terms
+    are row-separable, so the composition is exact (the row analog of
+    the gaussian enet prox, core/prox.py)."""
+    return _row_prox(v, alpha * t) / (1.0 + t * (1.0 - alpha))
+
+
+def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None, alpha=1.0):
     """``pf``: optional (p,) per-row penalty factors (glmnet's
     ``penalty.factor`` for family='mgaussian' — the group threshold
     becomes ``lam * pf_j``); ``keep``: optional (p,) 0/1 mask zeroing
@@ -74,7 +83,8 @@ def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None):
     def next_z(st, x_new):
         v = x_new + st.adj_y / st.rho
         t = st.lam / st.rho
-        z = _row_prox(v, t * pf[:, None] if pf is not None else t)
+        z = _row_prox_enet(v, t * pf[:, None] if pf is not None else t,
+                           alpha)
         if keep is not None:
             z = z * keep[:, None]
         return z, st.aux
@@ -92,7 +102,8 @@ def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None):
     )
 
 
-def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None):
+def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None,
+                 alpha=1.0):
     from ..core.engine import ProblemOps
 
     sqrt_sprad = jnp.sqrt(sprad)
@@ -101,7 +112,9 @@ def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None):
         tmp = st.aux + st.z + st.y / st.rho
         v = st.x - dot(Xs.T, tmp) / sprad
         t = st.lam / (st.rho * sprad)
-        x_new = _row_prox(v, t * pf[:, None] if pf is not None else t)
+        x_new = _row_prox_enet(v,
+                               t * pf[:, None] if pf is not None else t,
+                               alpha)
         if keep is not None:
             x_new = x_new * keep[:, None]
         return jnp.where(st.lam > lambda0 * (1.0 - 1e-5),
@@ -126,20 +139,22 @@ def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None):
     )
 
 
-def _mt_lambda0(Xs, Ys, pf=None, keep=None):
-    """B = 0 KKT boundary: max_j ||X_j' Y||_2 (the row-norm analog of
-    the Lasso's infinity-norm rule); with penalty factors the
-    factor-aware boundary over PENALIZED, non-excluded rows."""
+def _mt_lambda0(Xs, Ys, pf=None, keep=None, alpha=1.0):
+    """B = 0 KKT boundary: max_j ||X_j' Y||_2 / alpha (the row-norm
+    analog of the Lasso's infinity-norm rule; only the l1 part sets the
+    boundary, with glmnet's max(alpha, 1e-3) cap); with penalty factors
+    the factor-aware boundary over PENALIZED, non-excluded rows."""
     XtY = dot(Xs.T, Ys)
     rn = jnp.sqrt(jnp.sum(XtY * XtY, axis=1))
     if keep is not None:
         rn = rn * keep
     if pf is not None:
         rn = jnp.where(pf > 0, rn / jnp.maximum(pf, 1e-12), 0.0)
-    return jnp.max(rn)
+    return jnp.max(rn) / jnp.maximum(alpha, 1e-3)
 
 
-def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None):
+def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None,
+               alpha=1.0):
     """Engine triple (cold state, solver, reported iterate) — shared by
     the path driver and the checkpointed driver
     (admm_tpu.diag.checkpoint.checkpointed_multitask_lasso_path)."""
@@ -153,7 +168,7 @@ def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None):
                         jnp.cbrt(sprad) * ilam_first ** (2.0 / 3.0))
         Minv = ridge_inverse(XtX, rho)
         XtY = dot(Xs.T, Ys)
-        ops = _mt_tall_ops(Minv, XtY, p, K, pf, keep)
+        ops = _mt_tall_ops(Minv, XtY, p, K, pf, keep, alpha)
         solve = make_fadmm_solver(ops, adapt_rho=False)
         zeros = jnp.zeros((p, K), dtype)
         st0 = make_state(zeros, zeros, zeros, rho, ilam_first,
@@ -166,10 +181,11 @@ def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None):
     # row is penalized, +inf (gate disabled) when any row is
     # unpenalized — B never becomes all-zero then (the gaussian wide
     # path's lambda0_pf rule).
-    lambda0_int = _mt_lambda0(Xs, Ys, pf, keep)
+    lambda0_int = _mt_lambda0(Xs, Ys, pf, keep, alpha)
     if pf is not None:
         lambda0_int = jnp.where(jnp.all(pf > 0), lambda0_int, jnp.inf)
-    ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K, pf, keep)
+    ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K, pf, keep,
+                       alpha)
     solve = make_admm_solver(ops, adapt_rho=True)
     st0 = make_state(jnp.zeros((p, K), dtype),
                      jnp.zeros((n, K), dtype),
@@ -182,7 +198,8 @@ def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None):
                                    "nlambda", "path_mode", "trace_len",
                                    "standardize_y"))
 def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
-             eps_abs, eps_rel, weights=None, pf=None, keep=None, *,
+             eps_abs, eps_rel, weights=None, pf=None, keep=None,
+             alpha=1.0, *,
              standardize_x, intercept, path_mode, trace_len=None,
              standardize_y=False):
     n, p = X.shape
@@ -237,7 +254,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         Xs = Xs * sw[:, None]
         Ys = Ys * sw[:, None]
 
-    lam0 = _mt_lambda0(Xs, Ys, pf, keep) / n
+    lam0 = _mt_lambda0(Xs, Ys, pf, keep, alpha) / n
     if user_lams is None:
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
@@ -245,7 +262,8 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         lams = user_lams
     ilams = lams * n
 
-    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho0, pf, keep)
+    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho0, pf, keep,
+                                    alpha)
 
     if path_mode == "batch":
         k = ilams.shape[0]
@@ -289,6 +307,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
 def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                          nlambda: int = 50,
                          lambda_min_ratio: float = 1e-2,
+                         alpha: float = 1.0,
                          standardize: bool = True, intercept: bool = True,
                          standardize_response: bool = False,
                          maxit: int = 10000, eps_abs: float = 1e-5,
@@ -331,7 +350,15 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
     fixed term in the linear predictor — the gaussian loss makes it an
     exact response shift (``eta = b0 + X b + offset``); supply the
     same ``newoffset`` at prediction time.
+
+    ``alpha`` (glmnet's elastic net for family='mgaussian'): row
+    penalty ``lambda (alpha ||B_j||_2 + (1-alpha)/2 ||B_j||_2^2)`` —
+    the exact compound row prox (group soft-threshold then ridge
+    shrink) with the alpha-aware grid top.  Oracle: sklearn
+    ``MultiTaskElasticNet`` (tests/test_multitask.py).
     """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
     X = jnp.asarray(X, dtype)
     Y = jnp.asarray(Y, dtype)
     if Y.ndim != 2:
@@ -363,7 +390,7 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                                X.shape[1], dtype)
     keep = _keep_mask(exclude, X.shape[1], dtype)
     return _mt_path(X, Y, int(nlambda), lambda_min_ratio, lams, rho,
-                    maxit, eps_abs, eps_rel, w, pf, keep,
+                    maxit, eps_abs, eps_rel, w, pf, keep, float(alpha),
                     standardize_x=standardize,
                     intercept=intercept, path_mode=path_mode,
                     trace_len=trace_len,

@@ -383,14 +383,19 @@ def _mt_x_update(Xi, yi, rho, *, ntask: int, tall_block: bool):
     return x_update
 
 
-def _mt_master_prox(W: int, p: int, K: int):
+def _mt_master_prox(W: int, p: int, K: int, alpha: float = 1.0):
     """Row-norm group soft-threshold of the (p, K)-reshaped consensus
-    mean (the multi-task mixed-norm master)."""
+    mean (the multi-task mixed-norm master); ``alpha < 1`` adds the
+    exact ridge shrink (glmnet's mgaussian elastic net):
+    argmin_Z lam(alpha||Z_j||_2 + (1-alpha)/2||Z_j||_2^2)
+    + W rho/2 ||Z - m||_F^2."""
     def prox(zbar, lam, rho):
+        wr = W * rho
         V = zbar.reshape(p, K)
         rn = jnp.sqrt(jnp.sum(V * V, axis=1, keepdims=True))
-        Z = V * jnp.maximum(0.0, 1.0 - lam / jnp.maximum(
-            rho * W * rn, 1e-30))
+        shrunk = wr * V * jnp.maximum(
+            0.0, 1.0 - lam * alpha / jnp.maximum(wr * rn, 1e-30))
+        Z = shrunk / (lam * (1.0 - alpha) + wr)
         return Z.reshape(p * K)
 
     return prox
@@ -1053,7 +1058,8 @@ def parallel_multitask_lasso_path(
         X, Y, *, nworkers: Optional[int] = None,
         mesh: Optional[Mesh] = None,
         lambdas: Optional[jnp.ndarray] = None, nlambda: int = 50,
-        lambda_min_ratio: float = 1e-2, standardize: bool = True,
+        lambda_min_ratio: float = 1e-2, alpha: float = 1.0,
+        standardize: bool = True,
         intercept: bool = True, maxit: int = 10000,
         eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
         trace_len: Optional[int] = None, dtype=jnp.float32):
@@ -1067,6 +1073,8 @@ def parallel_multitask_lasso_path(
     """
     from ..models.multitask import MTPathResult, _mt_lambda0
 
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
     X = jnp.asarray(X, dtype)
     Y = jnp.asarray(Y, dtype)
     if Y.ndim != 2:
@@ -1092,7 +1100,7 @@ def parallel_multitask_lasso_path(
         sd_x = _guard(_sd_n(X, axis=0), col_mean)
         Xs = Xs / sd_x[None, :]
 
-    lam0 = _mt_lambda0(Xs, Ys) / n
+    lam0 = _mt_lambda0(Xs, Ys, alpha=alpha) / n
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
@@ -1107,7 +1115,7 @@ def parallel_multitask_lasso_path(
         _consensus_shard, nworkers=W,
         make_x_update=partial(_mt_x_update, ntask=K,
                               tall_block=rows_w >= p),
-        master_prox=_mt_master_prox(W, p, K),
+        master_prox=_mt_master_prox(W, p, K, float(alpha)),
         # Consensus-lasso auto-rho rule (reference:
         # src/PADMMLasso.h:199-200), on the internal lambda scale.
         auto_rho=lambda lam_first: lam_first / W,

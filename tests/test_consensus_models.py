@@ -323,3 +323,30 @@ def test_consensus_multitask_matches_serial():
     ser2 = multitask_lasso_path(X, Y, nlambda=5, maxit=200)
     np.testing.assert_allclose(np.asarray(par2.lambdas),
                                np.asarray(ser2.lambdas), rtol=1e-5)
+
+
+def test_consensus_multitask_elasticnet_matches_serial():
+    """alpha < 1 (glmnet's mgaussian elastic net) through the consensus
+    master prox equals the serial driver."""
+    from admm_tpu.models.multitask import multitask_lasso_path
+    from admm_tpu.parallel.consensus import (
+        parallel_multitask_lasso_path)
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(23)
+    n, p, K = 320, 12, 2
+    B = np.zeros((p, K))
+    B[:3] = rng.uniform(0.5, 1.5, (3, K))
+    X = rng.normal(size=(n, p))
+    Y = X @ B + 0.3 * rng.normal(size=(n, K))
+    lams = np.array([0.15, 0.05])
+    par = parallel_multitask_lasso_path(X, Y, nworkers=8,
+                                        mesh=make_mesh(8), lambdas=lams,
+                                        alpha=0.5,
+                                        eps_abs=1e-6, eps_rel=1e-6)
+    ser = multitask_lasso_path(X, Y, lambdas=lams, alpha=0.5,
+                               eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef),
+                               np.asarray(ser.coef), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(par.beta0),
+                               np.asarray(ser.beta0), atol=2e-3)

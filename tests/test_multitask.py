@@ -213,3 +213,43 @@ def test_multitask_offset_is_exact_response_shift():
     with pytest.raises(ValueError, match="offset"):
         admm_tpu.multitask_lasso_path(X, Y, nlambda=4,
                                       offset=np.zeros(n))
+
+
+def test_matches_sklearn_multitask_elasticnet():
+    """glmnet's mgaussian elastic net (alpha < 1): the compound row
+    prox against sklearn MultiTaskElasticNet's identical objective
+    (alpha_sklearn = lam, l1_ratio = alpha), both regimes."""
+    from sklearn.linear_model import MultiTaskElasticNet
+
+    X, Y, _ = _problem()
+    lam, al = 0.15, 0.6
+    r = multitask_lasso_path(X, Y, lambdas=np.array([lam]), alpha=al,
+                             standardize=False, intercept=True,
+                             eps_abs=1e-7, eps_rel=1e-7)
+    sk = MultiTaskElasticNet(alpha=lam, l1_ratio=al, fit_intercept=True,
+                             tol=1e-12, max_iter=100000).fit(X, Y)
+    np.testing.assert_allclose(np.asarray(r.coef)[0], sk.coef_.T,
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(r.beta0)[0], sk.intercept_,
+                               atol=3e-4)
+    # Wide regime.
+    rng = np.random.default_rng(7)
+    n, p, K = 60, 120, 3
+    Xw = rng.normal(size=(n, p))
+    Bw = np.zeros((p, K)); Bw[:6] = rng.uniform(0.5, 1.5, (6, K))
+    Yw = Xw @ Bw + 0.2 * rng.normal(size=(n, K))
+    rw = multitask_lasso_path(Xw, Yw, lambdas=np.array([lam]), alpha=al,
+                              standardize=False, intercept=False,
+                              eps_abs=1e-7, eps_rel=1e-7, maxit=60000)
+    skw = MultiTaskElasticNet(alpha=lam, l1_ratio=al,
+                              fit_intercept=False, tol=1e-12,
+                              max_iter=200000).fit(Xw, Yw)
+    np.testing.assert_allclose(np.asarray(rw.coef)[0], skw.coef_.T,
+                               atol=5e-4)
+    # alpha-aware auto grid top: the first point nulls the model, the
+    # second does not.
+    auto = multitask_lasso_path(X, Y, nlambda=4, alpha=al)
+    c = np.asarray(auto.coef)
+    assert np.all(c[0] == 0.0) and np.any(c[1] != 0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        multitask_lasso_path(X, Y, nlambda=4, alpha=0.0)
