@@ -397,7 +397,7 @@ def _breslow_pl(X, t, d, coefs, w=None, off=None):
 
 def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
                 foldid: Optional[np.ndarray] = None, nlambda: int = 50,
-                **path_kw):
+                type_measure: str = "deviance", **path_kw):
     """Cross-validated Cox path, scored by the Verweij-van Houwelingen
     partial-likelihood deviance (glmnet's type.measure="deviance" for
     family="cox"): per fold k, ``PL_full(b_{-k}) - PL_{-k}(b_{-k})`` —
@@ -405,9 +405,17 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     (unlike a naive per-row split) respects the risk-set coupling.
     Returns a :class:`~admm_tpu.models.cv.CVResult`-shaped object with
     per-fold (not per-observation) aggregation.
+
+    ``type_measure="C"`` (glmnet's other cox measure): per-fold
+    Harrell C-index of the HELD-OUT rows' risk scores, folds weighted
+    by their (weighted) event counts, ``lambda_min`` MAXIMISING the
+    curve; folds with no comparable pair get weight 0 (glmnet returns
+    NA there and recommends small nfolds).
     """
     from .cv import CVResult, _cv_foldid
 
+    if type_measure not in ("deviance", "default", "C"):
+        raise ValueError("cox type_measure must be 'deviance' or 'C'")
     X = np.asarray(X, np.float64)
     t = np.asarray(time, np.float64).ravel()
     d = np.asarray(event, np.float64).ravel()
@@ -425,21 +433,50 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
-    dev = np.zeros((nfolds, lams.shape[0]))
+    cvraw = np.zeros((nfolds, lams.shape[0]))
+    fold_w = np.ones(nfolds)
     for f in range(nfolds):
         tr = foldid != f
+        va = foldid == f
         rf = cox_lasso_path(X[tr], t[tr], d[tr], lambdas=lams,
                             weights=sub(w, tr), offset=sub(off, tr),
                             **path_kw)
-        pl_full = _breslow_pl(X, t, d, np.asarray(rf.coef), w, off)
-        pl_tr = _breslow_pl(X[tr], t[tr], d[tr], np.asarray(rf.coef),
-                            sub(w, tr), sub(off, tr))
-        dev[f] = -2.0 * (pl_full - pl_tr)
+        if type_measure == "C":
+            from ..assess import c_index
 
-    cvm = dev.mean(axis=0)
-    cvsd = dev.std(axis=0, ddof=1) / np.sqrt(nfolds)
-    i_min = int(np.argmin(cvm))
-    within = cvm <= cvm[i_min] + cvsd[i_min]
+            eta = np.asarray(rf.coef) @ X[va].T          # (L, n_va)
+            if off is not None:
+                eta = eta + off[va][None, :]
+            try:
+                cvraw[f] = c_index(eta, t[va], d[va])
+            except ValueError:           # no comparable pair this fold
+                fold_w[f] = 0.0
+                continue
+            # glmnet: folds weighted by their weighted event count.
+            fold_w[f] = float(d[va].sum() if w is None
+                              else (w[va] * d[va]).sum())
+        else:
+            pl_full = _breslow_pl(X, t, d, np.asarray(rf.coef), w, off)
+            pl_tr = _breslow_pl(X[tr], t[tr], d[tr],
+                                np.asarray(rf.coef),
+                                sub(w, tr), sub(off, tr))
+            cvraw[f] = -2.0 * (pl_full - pl_tr)
+
+    if type_measure == "C":
+        if fold_w.sum() == 0:
+            raise ValueError("the C-index is undefined in every fold "
+                             "(no comparable pairs); use fewer folds")
+        fw = fold_w / fold_w.sum()
+        cvm = fw @ cvraw
+        nf_eff = int((fold_w > 0).sum())
+        cvsd = np.sqrt((fw @ (cvraw - cvm) ** 2) / max(nf_eff - 1, 1))
+        i_min = int(np.argmax(cvm))
+        within = cvm >= cvm[i_min] - cvsd[i_min]
+    else:
+        cvm = cvraw.mean(axis=0)
+        cvsd = cvraw.std(axis=0, ddof=1) / np.sqrt(nfolds)
+        i_min = int(np.argmin(cvm))
+        within = cvm <= cvm[i_min] + cvsd[i_min]
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
                     lambda_min=float(lams[i_min]),
                     lambda_1se=float(lams[np.flatnonzero(within)[0]]),

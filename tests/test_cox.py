@@ -209,3 +209,32 @@ def test_cox_weights_and_offset():
     with pytest.raises(ValueError, match="positive"):
         admm_tpu.cox_lasso_path(X, t, d, nlambda=4,
                                 weights=np.zeros(n))
+
+
+def test_cv_cox_type_measure_C():
+    """glmnet's type.measure='C' for family='cox': per-fold held-out
+    Harrell C-index, event-count fold weights, MAXIMISING selection."""
+    from admm_tpu.glmnet import cv_glmnet
+    from admm_tpu.models.cox import cv_cox_path
+
+    rng = np.random.default_rng(31)
+    n, p = 200, 10
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.8, -0.6], np.zeros(p - 2)])
+    t = rng.exponential(np.exp(-(X @ b)))
+    d = (rng.uniform(size=n) < 0.8).astype(float)
+    cv = cv_cox_path(X, t, d, nfolds=4, nlambda=8, seed=0,
+                     type_measure="C")
+    assert np.all((cv.cvm >= 0.0) & (cv.cvm <= 1.0))
+    # Signal is strong: the best model discriminates well...
+    assert cv.cvm.max() > 0.65
+    # ...and lambda_min MAXIMISES (the null top of the grid ties at .5).
+    assert cv.cvm[np.flatnonzero(cv.lambdas == cv.lambda_min)[0]] \
+        == cv.cvm.max()
+    assert cv.lambda_1se >= cv.lambda_min
+    # Front-door pass-through.
+    cv2 = cv_glmnet(X, np.c_[t, d], "cox", nfolds=4, nlambda=8, seed=0,
+                    type_measure="C")
+    np.testing.assert_allclose(cv2.cvm, cv.cvm)
+    with pytest.raises(ValueError, match="type_measure"):
+        cv_cox_path(X, t, d, nlambda=5, type_measure="auc")
