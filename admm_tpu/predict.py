@@ -30,8 +30,6 @@ remaining predict types); ``X`` is unused for both (pass None).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
@@ -40,17 +38,42 @@ def _select_lam(result, lam):
     return int(np.argmin(np.abs(lams - float(lam))))
 
 
-def predict(result, X, *, lam: Optional[float] = None,
+def _resolve_cv(result, lam):
+    """glmnet's ``predict.cv.glmnet`` / ``coef.cv.glmnet``: a CV result
+    predicts through its full-data fit at ``s = "lambda.1se"`` by
+    DEFAULT (glmnet's choice), ``"lambda.min"``, or a numeric lambda.
+    Returns (fit, lam) unchanged for plain path results."""
+    if not (hasattr(result, "fit") and hasattr(result, "lambda_1se")):
+        if isinstance(lam, str):
+            raise ValueError("string lam selectors need a CV result")
+        return result, lam
+    if lam is None:
+        lam = "lambda_1se"
+    if isinstance(lam, str):
+        key = lam.replace(".", "_")
+        if key not in ("lambda_1se", "lambda_min"):
+            raise ValueError("lam must be numeric, 'lambda.min' or "
+                             "'lambda.1se' for CV results")
+        lam = getattr(result, key)
+    return result.fit, float(lam)
+
+
+def predict(result, X, *, lam=None,
             type: str = "link", family: str = "gaussian",
             offset=None):
     """Predict from any fitted path result (module docstring).
 
     Returns numpy arrays; with ``lam`` set, the nearest grid point is
-    used and the leading lambda axis is dropped.
+    used and the leading lambda axis is dropped.  A CV result (from any
+    ``cv_*`` driver) predicts through its full-data fit at
+    ``lam="lambda.1se"`` by default — glmnet's ``predict.cv.glmnet``;
+    pass ``lam="lambda.min"`` or a number to override.
     """
     from .models.cox import CoxPathResult
     from .models.multinomial import MNPathResult
     from .models.multitask import MTPathResult
+
+    result, lam = _resolve_cv(result, lam)
 
     if type not in ("link", "response", "class", "coefficients",
                     "nonzero"):
@@ -121,8 +144,10 @@ def predict(result, X, *, lam: Optional[float] = None,
     return eta if lam is None else eta[_select_lam(result, lam)]
 
 
-def coef(result, *, lam: Optional[float] = None):
+def coef(result, *, lam=None):
     """The intercept-prepended coefficient matrix at ``lam`` (or the
     whole path) — glmnet's ``coef(fit, s=)`` accessor, equivalent to
-    ``predict(result, None, type="coefficients", lam=lam)``."""
+    ``predict(result, None, type="coefficients", lam=lam)``.  CV
+    results default to ``lam="lambda.1se"`` (glmnet's
+    ``coef.cv.glmnet``)."""
     return predict(result, None, type="coefficients", lam=lam)

@@ -84,3 +84,32 @@ def test_predict_cox_relative_risk():
     assert rr.shape == (4, n) and np.all(rr > 0)
     with pytest.raises(ValueError, match="cox"):
         admm_tpu.predict(r, X, type="class")
+
+
+def test_predict_cv_result_lambda_strings():
+    """glmnet's predict.cv.glmnet / coef.cv.glmnet: a CV result
+    predicts through its full-data fit, defaulting to s='lambda.1se',
+    with 'lambda.min' and numeric overrides."""
+    from admm_tpu.models.cv import cv_lasso_path
+    from admm_tpu.predict import coef, predict
+
+    rng = np.random.default_rng(12)
+    n, p = 150, 15
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[1.0, -0.8], np.zeros(p - 2)])
+    y = X @ b + 0.3 * rng.normal(size=n)
+    cv = cv_lasso_path(X, y, nfolds=3, nlambda=10)
+    np.testing.assert_allclose(
+        predict(cv, X), predict(cv.fit, X, lam=cv.lambda_1se))
+    np.testing.assert_allclose(
+        predict(cv, X, lam="lambda.min"),
+        predict(cv.fit, X, lam=cv.lambda_min))
+    np.testing.assert_allclose(
+        coef(cv, lam="lambda_min"), coef(cv.fit, lam=cv.lambda_min))
+    np.testing.assert_allclose(
+        predict(cv, X, lam=cv.lambda_min),
+        predict(cv.fit, X, lam=cv.lambda_min))
+    with pytest.raises(ValueError, match="lambda"):
+        predict(cv, X, lam="lambda.best")
+    with pytest.raises(ValueError, match="CV result"):
+        predict(cv.fit, X, lam="lambda.min")
