@@ -50,7 +50,7 @@ def _binomial_dev(eta, y):
 
 def assess(result, X, y, *, family: str = "gaussian",
            weights: Optional[np.ndarray] = None,
-           lam: Optional[float] = None, eta=None,
+           lam=None, eta=None,
            time=None, event=None) -> dict:
     """Every applicable performance measure of a fitted path on test
     data (glmnet's ``assess.glmnet``).
@@ -73,9 +73,16 @@ def assess(result, X, y, *, family: str = "gaussian",
     ``eta=`` scores a precomputed (nlambda, n) linear-predictor matrix
     instead (e.g. ``cv.fit_preval.T`` from ``keep=True``) — ``result``
     and ``X`` may then be None.
+
+    A CV result assesses its full-data fit at ``lam="lambda.1se"`` by
+    default (glmnet's ``assess.glmnet`` on a cv object); pass
+    ``lam="lambda.min"`` or a number to override.
     """
     from .models.cox import CoxPathResult
     from .models.multinomial import MNPathResult
+    from .predict import _resolve_cv
+
+    result, lam = _resolve_cv(result, lam)
 
     w = None if weights is None else \
         np.asarray(weights, np.float64).ravel()

@@ -213,3 +213,23 @@ def test_assess_validation_errors():
         admm_tpu.assess(None, None, y)
     with pytest.raises(ValueError, match="nlambda"):
         admm_tpu.assess(None, None, y, eta=np.zeros(60))
+
+
+def test_assess_cv_result_defaults_to_1se():
+    """glmnet's assess.glmnet on a cv object: scored at lambda.1se by
+    default, lambda.min on request."""
+    from admm_tpu import assess
+    from admm_tpu.models.cv import cv_lasso_path
+
+    rng = np.random.default_rng(13)
+    n, p = 150, 12
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] - 0.5 * X[:, 1] + 0.2 * rng.normal(size=n)
+    cv = cv_lasso_path(X, y, nfolds=3, nlambda=8)
+    a = assess(cv, X, y)
+    b = assess(cv.fit, X, y, lam=cv.lambda_1se)
+    assert np.isscalar(a["mse"]) or a["mse"].ndim == 0
+    np.testing.assert_allclose(a["mse"], b["mse"])
+    c = assess(cv, X, y, lam="lambda.min")
+    np.testing.assert_allclose(
+        c["mse"], assess(cv.fit, X, y, lam=cv.lambda_min)["mse"])
