@@ -49,6 +49,7 @@ from .models.multitask import multitask_lasso_path
 from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
 from .models.logistic import logistic_lasso_path
+from .data.makex import make_x
 from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
 from .glmnet import big_glm, cv_glmnet, glmnet
@@ -81,7 +82,7 @@ __all__ = [
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
     "path_table", "format_path_table",
     "assess", "roc", "confusion", "c_index",
-    "glmnet", "cv_glmnet", "coef", "big_glm",
+    "glmnet", "cv_glmnet", "coef", "big_glm", "make_x",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",

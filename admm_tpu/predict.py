@@ -21,8 +21,11 @@ Works for every path-result type in the package:
   ``type="response"`` -> softmax probabilities, ``type="class"`` ->
   integer labels.
 
-``lam`` selects the single nearest grid point (glmnet's ``s=``),
-dropping the leading lambda axis.
+``lam`` (glmnet's ``s=``, default ``exact=FALSE`` semantics) drops the
+leading lambda axis: an ``s`` on the grid is exact, an off-grid ``s``
+linearly interpolates the coefficients between its bracketing grid
+points on the lambda scale (glmnet's ``lambda.interp``), clamped to
+the grid range.
 
 ``type="coefficients"`` returns the intercept-prepended coefficient
 matrix and ``type="nonzero"`` the nonzero-coefficient indices (glmnet's
@@ -33,9 +36,28 @@ from __future__ import annotations
 import numpy as np
 
 
-def _select_lam(result, lam):
-    lams = np.asarray(result.lambdas)
-    return int(np.argmin(np.abs(lams - float(lam))))
+def _at_lam(result, lam):
+    """glmnet's ``lambda.interp`` (predict's default ``exact=FALSE``):
+    coefficients at ``s`` are the LINEAR interpolation between the
+    bracketing grid points on the lambda scale, clamped to the grid
+    range; an ``s`` on the grid is exact.  Returns a single-point
+    result of the same type (leading lambda axis length 1)."""
+    lams = np.asarray(result.lambdas, np.float64)   # decreasing
+    s = float(np.clip(float(lam), lams.min(), lams.max()))
+    right = int(np.searchsorted(-lams, -s))   # first i with lams[i]<=s
+    left = max(right - 1, 0)
+    frac = 0.0 if right == left else \
+        float((lams[left] - s)
+              / max(lams[left] - lams[right], 1e-300))
+
+    def mix(a):
+        a = np.asarray(a, np.float64)
+        return ((1.0 - frac) * a[left] + frac * a[right])[None]
+
+    kw = {"lambdas": np.array([s]), "coef": mix(result.coef)}
+    if hasattr(result, "beta0"):
+        kw["beta0"] = mix(result.beta0)
+    return result._replace(**kw)
 
 
 def _resolve_cv(result, lam):
@@ -63,8 +85,8 @@ def predict(result, X, *, lam=None,
             offset=None):
     """Predict from any fitted path result (module docstring).
 
-    Returns numpy arrays; with ``lam`` set, the nearest grid point is
-    used and the leading lambda axis is dropped.  A CV result (from any
+    Returns numpy arrays; with ``lam`` set, the leading lambda axis is
+    dropped (grid-interpolated — module docstring).  A CV result (from any
     ``cv_*`` driver) predicts through its full-data fit at
     ``lam="lambda.1se"`` by default — glmnet's ``predict.cv.glmnet``;
     pass ``lam="lambda.min"`` or a number to override.
@@ -74,6 +96,9 @@ def predict(result, X, *, lam=None,
     from .models.multitask import MTPathResult
 
     result, lam = _resolve_cv(result, lam)
+    squeeze = lam is not None
+    if squeeze:
+        result = _at_lam(result, lam)
 
     if type not in ("link", "response", "class", "coefficients",
                     "nonzero"):
@@ -87,8 +112,8 @@ def predict(result, X, *, lam=None,
             # with any nonzero entry), per path point or at ``lam``.
             nz_mask = (coef != 0.0) if coef.ndim == 2 \
                 else np.any(coef != 0.0, axis=-1)
-            if lam is not None:
-                return np.flatnonzero(nz_mask[_select_lam(result, lam)])
+            if squeeze:
+                return np.flatnonzero(nz_mask[0])
             return [np.flatnonzero(m) for m in nz_mask]
         if isinstance(result, CoxPathResult):
             out = coef                                   # no intercept
@@ -97,7 +122,7 @@ def predict(result, X, *, lam=None,
             out = (np.concatenate([beta0[:, None], coef], axis=1)
                    if coef.ndim == 2 else
                    np.concatenate([beta0[:, None, :], coef], axis=1))
-        return out if lam is None else out[_select_lam(result, lam)]
+        return out[0] if squeeze else out
     X = np.asarray(X, np.float64)
     if isinstance(result, CoxPathResult):
         # No intercept (baseline hazard); 'response' = relative risk.
@@ -107,7 +132,7 @@ def predict(result, X, *, lam=None,
         elif type == "class":
             raise ValueError("cox predictions are 'link' (linear "
                              "predictor) or 'response' (relative risk)")
-        return eta if lam is None else eta[_select_lam(result, lam)]
+        return eta[0] if squeeze else eta
     beta0 = np.asarray(result.beta0)
     coef = np.asarray(result.coef)
 
@@ -141,7 +166,7 @@ def predict(result, X, *, lam=None,
             elif family != "gaussian":
                 raise ValueError(f"unknown family {family!r}")
 
-    return eta if lam is None else eta[_select_lam(result, lam)]
+    return eta[0] if squeeze else eta
 
 
 def coef(result, *, lam=None):

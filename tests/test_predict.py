@@ -113,3 +113,33 @@ def test_predict_cv_result_lambda_strings():
         predict(cv, X, lam="lambda.best")
     with pytest.raises(ValueError, match="CV result"):
         predict(cv.fit, X, lam="lambda.min")
+
+
+def test_predict_lambda_interpolation():
+    """glmnet's lambda.interp (predict's exact=FALSE default): off-grid
+    s blends the bracketing grid points linearly on the lambda scale;
+    on-grid s is exact; s outside the grid clamps."""
+    from admm_tpu.models.lasso import lasso_path
+    from admm_tpu.predict import coef, predict
+
+    rng = np.random.default_rng(14)
+    n, p = 120, 10
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] - 0.7 * X[:, 1] + 0.1 * rng.normal(size=n)
+    r = lasso_path(X, y, nlambda=8)
+    lams = np.asarray(r.lambdas, np.float64)
+    # On-grid: exact.
+    np.testing.assert_allclose(coef(r, lam=lams[3]),
+                               np.asarray(coef(r))[3], rtol=1e-12)
+    # Midpoint (lambda scale): the exact 50/50 blend.
+    s = 0.5 * (lams[2] + lams[3])
+    full = np.asarray(coef(r))
+    np.testing.assert_allclose(coef(r, lam=s),
+                               0.5 * (full[2] + full[3]), rtol=1e-10)
+    # eta interpolates consistently (linear in the coefficients).
+    np.testing.assert_allclose(
+        predict(r, X, lam=s),
+        0.5 * (predict(r, X)[2] + predict(r, X)[3]), rtol=1e-8)
+    # Clamped outside the grid.
+    np.testing.assert_allclose(coef(r, lam=lams[0] * 10.0), full[0])
+    np.testing.assert_allclose(coef(r, lam=lams[-1] / 10.0), full[-1])

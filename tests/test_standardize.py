@@ -135,3 +135,33 @@ def test_large_mean_f32_stable_sd():
     assert np.all(np.isfinite(sd))
     np.testing.assert_allclose(sd, X.std(axis=0), rtol=0.05)
     assert np.all(np.isfinite(np.asarray(Xs)))
+
+
+def test_make_x_one_hot_and_imputation():
+    """glmnet's makeX: full indicator set per factor level, train-mean
+    imputation applied to both matrices, test levels unioned."""
+    import numpy as np
+
+    from admm_tpu import make_x
+
+    train = {"age": [30.0, 40.0, np.nan, 50.0],
+             "city": ["a", "b", None, "a"]}
+    test = {"age": [np.nan, 20.0], "city": ["c", "b"]}
+    X, names = make_x(train, na_impute=True)
+    assert names == ["age", "city:a", "city:b"]
+    np.testing.assert_allclose(X[:, 0], [30, 40, 40, 50])   # mean=40
+    np.testing.assert_allclose(X[:, 1], [1, 0, 2/3, 1])     # level freq
+    Xt, Xte, names2 = make_x(train, test, na_impute=True)
+    assert names2 == ["age", "city:a", "city:b", "city:c"]  # union
+    np.testing.assert_allclose(Xte[:, 0], [40, 20])         # TRAIN mean
+    np.testing.assert_allclose(Xte[:, 3], [1, 0])
+    # Default (no imputation): NaNs propagate.
+    Xn, _ = make_x(train)
+    assert np.isnan(Xn[2, 0]) and np.isnan(Xn[2, 1])
+    # 2D numeric passthrough.
+    A = np.array([[1.0, np.nan], [2.0, 3.0]])
+    Xa, na = make_x(A, na_impute=True)
+    np.testing.assert_allclose(Xa, [[1.0, 3.0], [2.0, 3.0]])
+    assert na == ["V0", "V1"]
+    with pytest.raises(ValueError, match="same columns"):
+        make_x(train, {"age": [1.0]})
