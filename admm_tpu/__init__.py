@@ -44,7 +44,7 @@ from .models.genlasso import (difference_matrix, fused_lasso_path,
 from .models.grouplasso import group_lasso_path
 from .models.lad import quantile_fit
 from .models.multinomial import multinomial_lasso_path
-from .models.cox import cox_lasso_path, cv_cox_path
+from .models.cox import cox_lasso_path, cv_cox_path, survfit_cox
 from .models.multitask import multitask_lasso_path
 from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
@@ -84,6 +84,7 @@ __all__ = [
     "assess", "roc", "confusion", "c_index",
     "glmnet", "cv_glmnet", "coef", "big_glm", "make_x",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
+    "survfit_cox",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",

@@ -481,3 +481,75 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
                     lambda_min=float(lams[i_min]),
                     lambda_1se=float(lams[np.flatnonzero(within)[0]]),
                     fit=full, foldid=foldid)
+
+
+class SurvFit(NamedTuple):
+    """Breslow baseline-hazard survival curves (survfit_cox)."""
+    time: np.ndarray     # (T,) unique event times, ascending
+    cumhaz: np.ndarray   # (T,) baseline cumulative hazard H0(t)
+    surv: np.ndarray     # (T, m) S(t | x_new) = exp(-H0(t) e^eta_new)
+
+
+def survfit_cox(result, X, time, event, *, Xnew=None, lam=None,
+                weights=None, offset=None, newoffset=None) -> SurvFit:
+    """Survival curves from a fitted Cox path (glmnet's
+    ``survfit.coxnet``): the Breslow baseline cumulative hazard is
+    estimated from the TRAINING data (``X``/``time``/``event`` — the
+    data the model was fit on, with the same ``weights``/``offset``),
+
+        H0(t) = sum_{event times t_k <= t}
+                (sum of weighted events at t_k) / S(t_k),
+        S(t_k) = sum_{t_j >= t_k} w_j e^{eta_j},
+
+    and each row of ``Xnew`` (default: the training ``X``) gets
+    ``S(t | x) = exp(-H0(t) e^{eta_x})`` evaluated at every event time.
+
+    ``lam`` selects the path point (interpolated off-grid, as
+    ``predict``); a CV result defaults to its ``lambda.1se`` like
+    ``predict``.  A plain path result requires an explicit ``lam``
+    unless the path has exactly one point.
+    """
+    from ..predict import _at_lam, _resolve_cv
+
+    result, lam = _resolve_cv(result, lam)
+    if lam is not None:
+        result = _at_lam(result, lam)
+    elif np.asarray(result.lambdas).shape[0] != 1:
+        raise ValueError("pass lam= to select the path point (or use "
+                         "a CV result, which defaults to lambda.1se)")
+    beta = np.asarray(result.coef, np.float64)[0]    # (p,)
+
+    X = np.asarray(X, np.float64)
+    t = np.asarray(time, np.float64).ravel()
+    d = np.asarray(event, np.float64).ravel()
+    n = t.shape[0]
+    w = (np.ones(n) if weights is None
+         else np.asarray(weights, np.float64).ravel())
+    eta = X @ beta
+    if offset is not None:
+        eta = eta + np.asarray(offset, np.float64).ravel()
+
+    order = np.argsort(t, kind="stable")             # ASCENDING
+    ts, ds, ws = t[order], d[order], w[order]
+    ee = ws * np.exp(eta[order])
+    # Risk set of t_k = everyone with t_j >= t_k: a suffix sum; ties
+    # share the risk set of their group's FIRST (ascending) position.
+    suffix = np.cumsum(ee[::-1])[::-1]
+    uniq, first_idx = np.unique(ts, return_index=True)
+    S = suffix[first_idx]                            # (U,)
+    dsum = np.add.reduceat(ws * ds, first_idx)       # weighted events/time
+    has_event = dsum > 0
+    t_ev = uniq[has_event]
+    dH = dsum[has_event] / S[has_event]
+    if t_ev.size == 0:
+        raise ValueError("no events in the training data")
+    H0 = np.cumsum(dH)
+
+    Xn = X if Xnew is None else np.asarray(Xnew, np.float64)
+    eta_new = Xn @ beta
+    if newoffset is not None:
+        eta_new = eta_new + np.asarray(newoffset, np.float64).ravel()
+    elif Xnew is None and offset is not None:
+        eta_new = eta_new + np.asarray(offset, np.float64).ravel()
+    surv = np.exp(-np.outer(H0, np.exp(eta_new)))
+    return SurvFit(time=t_ev, cumhaz=H0, surv=surv)

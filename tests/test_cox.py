@@ -238,3 +238,52 @@ def test_cv_cox_type_measure_C():
     np.testing.assert_allclose(cv2.cvm, cv.cvm)
     with pytest.raises(ValueError, match="type_measure"):
         cv_cox_path(X, t, d, nlambda=5, type_measure="auc")
+
+
+def test_survfit_cox_breslow_baseline():
+    """survfit (glmnet's survfit.coxnet): the Breslow baseline
+    cumulative hazard against an explicit risk-set loop, the
+    Nelson-Aalen special case at beta=0, and CV-result defaults."""
+    import admm_tpu
+    from admm_tpu.models.cox import cv_cox_path, survfit_cox
+
+    rng = np.random.default_rng(33)
+    n, p = 120, 6
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.7, -0.5], np.zeros(p - 2)])
+    t = rng.exponential(np.exp(-(X @ b)))
+    t[10:14] = t[10]                       # ties
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    r = cox_lasso_path(X, t, d, nlambda=6)
+    lam = float(r.lambdas[4])
+    sf = survfit_cox(r, X, t, d, lam=lam)
+    # Independent loop-based Breslow baseline at the same beta.
+    beta = np.asarray(admm_tpu.predict(r, None, type="coefficients",
+                                       lam=lam), np.float64)
+    ee = np.exp(X @ beta)
+    H_ref = []
+    acc = 0.0
+    for tk in sf.time:
+        acc += d[t == tk].sum() / ee[t >= tk].sum()
+        H_ref.append(acc)
+    np.testing.assert_allclose(sf.cumhaz, H_ref, rtol=1e-10)
+    # Survival curves: monotone nonincreasing in t, in (0, 1].
+    assert np.all(np.diff(sf.surv, axis=0) <= 1e-12)
+    assert sf.surv.shape == (sf.time.size, n)
+    np.testing.assert_allclose(
+        sf.surv, np.exp(-np.outer(sf.cumhaz, ee)), rtol=1e-12)
+    # beta = 0 (top of grid) reduces to Nelson-Aalen.
+    sf0 = survfit_cox(r, X, t, d, lam=float(r.lambdas[0]))
+    na = []
+    acc = 0.0
+    for tk in sf0.time:
+        acc += d[t == tk].sum() / float((t >= tk).sum())
+        na.append(acc)
+    np.testing.assert_allclose(sf0.cumhaz, na, rtol=1e-6)
+    # CV result: defaults to lambda.1se.
+    cv = cv_cox_path(X, t, d, nfolds=3, nlambda=6, seed=0)
+    sfa = survfit_cox(cv, X, t, d)
+    sfb = survfit_cox(cv.fit, X, t, d, lam=cv.lambda_1se)
+    np.testing.assert_allclose(sfa.surv, sfb.surv)
+    with pytest.raises(ValueError, match="lam"):
+        survfit_cox(r, X, t, d)
