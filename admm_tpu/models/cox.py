@@ -94,7 +94,11 @@ def _cox_grad_eta(eta, d, first, last, n, w=None):
         ee = w * ee
         dd = w * d
     S = jnp.cumsum(ee)[last]                 # risk-set sums, tie-aware
-    rc = jnp.cumsum((dd / S)[::-1])[::-1]    # suffix sum of w_k d_k/S_k
+    # dd > 0 implies S >= w_i e^{eta_i} > 0; positions with dd = 0
+    # contribute nothing — the guard makes an all-zero-weight risk-set
+    # tail (weight-zero CV fold lanes) an exact 0 instead of 0/0.
+    q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
+    rc = jnp.cumsum(q[::-1])[::-1]           # suffix sum of w_k d_k/S_k
     G = rc[first]
     return (ee * G - dd) / n
 
@@ -221,7 +225,8 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
             ee = w * ee
             dd = w * d
         S = jnp.cumsum(ee)[last]
-        G = jnp.cumsum((dd / S)[::-1])[::-1][first]
+        q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
+        G = jnp.cumsum(q[::-1])[::-1][first]
         wm = ee * G
         H = dot(Xs.T * wm[None, :], Xs) / n
         return ridge_inverse(H, rho)
@@ -269,6 +274,30 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
 
     coef = coefs_s / sd_x[None, :]
     return CoxPathResult(lambdas=lams, coef=coef, niter=niter)
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "path_mode",
+                                   "newton_steps"))
+def _cox_fold_coefs(X, d, first, last, lams, masks, rho, maxit,
+                    eps_abs, eps_rel, alpha, pf=None, limits=None,
+                    w=None, off=None, *, standardize_x, path_mode,
+                    newton_steps):
+    """Jitted ONE-PROGRAM CV fold sweep (the cox analog of
+    models/cv.py::_glm_fold_etas): fold f is the weighted path with
+    weight 0 on its held-out rows — zero-weight rows drop out of the
+    Breslow risk sets and event terms EXACTLY (``_cox_grad_eta``'s
+    guard), so each lane equals the training-subset fit — vmapped over
+    the (nfolds, n) mask matrix.  Returns (nfolds, L, p) original-scale
+    coefficients (rows in the caller's time-sorted order)."""
+    def one(mask):
+        wf = mask if w is None else mask * w
+        res = _cox_path(X, d, first, last, 2, 1e-2, lams, rho, maxit,
+                        eps_abs, eps_rel, alpha, pf, limits, wf, off,
+                        standardize_x=standardize_x,
+                        path_mode=path_mode, newton_steps=newton_steps)
+        return res.coef
+
+    return jax.vmap(one)(masks)
 
 
 def cox_lasso_path(X, time, event, *,
@@ -397,7 +426,8 @@ def _breslow_pl(X, t, d, coefs, w=None, off=None):
 
 def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
                 foldid: Optional[np.ndarray] = None, nlambda: int = 50,
-                type_measure: str = "deviance", **path_kw):
+                type_measure: str = "deviance", cv_mode: str = "auto",
+                **path_kw):
     """Cross-validated Cox path, scored by the Verweij-van Houwelingen
     partial-likelihood deviance (glmnet's type.measure="deviance" for
     family="cox"): per fold k, ``PL_full(b_{-k}) - PL_{-k}(b_{-k})`` —
@@ -411,17 +441,28 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     by their (weighted) event counts, ``lambda_min`` MAXIMISING the
     curve; folds with no comparable pair get weight 0 (glmnet returns
     NA there and recommends small nfolds).
+
+    ``cv_mode``: "onepass" (the default via "auto") runs EVERY fold's
+    whole path as one compiled program — fold f is the weighted cox
+    path with weight 0 on held-out rows (exactly the training-subset
+    fit: zero-weight rows drop out of the Breslow risk sets), vmapped
+    over the fold-mask axis; only the cheap deviance/C-index scoring
+    stays on the host.  "loop" is the host-side per-fold refit (the two
+    agree to solver tolerance — tested).
     """
     from .cv import CVResult, _cv_foldid
 
     if type_measure not in ("deviance", "default", "C"):
         raise ValueError("cox type_measure must be 'deviance' or 'C'")
+    if cv_mode not in ("auto", "onepass", "loop"):
+        raise ValueError("cv_mode must be 'auto', 'onepass' or 'loop'")
     X = np.asarray(X, np.float64)
     t = np.asarray(time, np.float64).ravel()
     d = np.asarray(event, np.float64).ravel()
     n = X.shape[0]
     w = path_kw.pop("weights", None)
     off = path_kw.pop("offset", None)
+    fold_mesh = path_kw.pop("fold_mesh", None)
     w = None if w is None else np.asarray(w, np.float64).ravel()
     off = None if off is None else np.asarray(off, np.float64).ravel()
 
@@ -433,14 +474,49 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
+    fold_coefs = None
+    if cv_mode != "loop":
+        # One-program fold sweep: replicate the driver's host prep
+        # (time-descending sort + tie groups) once, mask per fold.
+        dtype = path_kw.get("dtype", jnp.float32)
+        order = np.argsort(-t, kind="stable")
+        first, last = _tie_groups(t[order])
+        from .lasso import validate_pf_limits
+
+        pf, limits = validate_pf_limits(
+            path_kw.get("penalty_factor"), path_kw.get("exclude"),
+            path_kw.get("lower_limits"), path_kw.get("upper_limits"),
+            X.shape[1], dtype)
+        from .cv import _shard_folds
+
+        masks = (foldid[order][None, :]
+                 != np.arange(nfolds)[:, None]).astype(np.float64)
+        fold_coefs = np.asarray(_cox_fold_coefs(
+            jnp.asarray(X[order], dtype), jnp.asarray(d[order], dtype),
+            first, last, jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            path_kw.get("rho", -1.0), path_kw.get("maxit", 10000),
+            path_kw.get("eps_abs", 1e-5), path_kw.get("eps_rel", 1e-5),
+            path_kw.get("alpha", 1.0), pf, limits,
+            None if w is None else jnp.asarray(w[order], dtype),
+            None if off is None else jnp.asarray(off[order], dtype),
+            standardize_x=path_kw.get("standardize", True),
+            path_mode=path_kw.get("path_mode", "scan"),
+            newton_steps=int(path_kw.get("newton_steps", 2))),
+            np.float64)                          # (nfolds, L, p)
+
     cvraw = np.zeros((nfolds, lams.shape[0]))
     fold_w = np.ones(nfolds)
     for f in range(nfolds):
         tr = foldid != f
         va = foldid == f
-        rf = cox_lasso_path(X[tr], t[tr], d[tr], lambdas=lams,
-                            weights=sub(w, tr), offset=sub(off, tr),
-                            **path_kw)
+        if fold_coefs is not None:
+            rf = CoxPathResult(lambdas=lams, coef=fold_coefs[f],
+                               niter=None)
+        else:
+            rf = cox_lasso_path(X[tr], t[tr], d[tr], lambdas=lams,
+                                weights=sub(w, tr), offset=sub(off, tr),
+                                **path_kw)
         if type_measure == "C":
             from ..assess import c_index
 

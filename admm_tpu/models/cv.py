@@ -14,8 +14,10 @@ cvm/cvsd reduce.  A 10-fold CV is then 2 device dispatches (full fit +
 fold sweep) instead of 11 — the difference matters when each solve is
 sub-millisecond and every dispatch pays a ~30 ms tunnel round-trip
 (CLAUDE.md).  ``cv_mode="loop"`` keeps the host-side fold loop (the
-fallback for path drivers without a vmappable fold solver, e.g. the
-group Lasso).
+fallback for path drivers without a vmappable fold solver — only the
+Dantzig and relaxed-lasso CVs remain there; gaussian, every GLM
+family, the matrix families, the (sparse-)group and generalized
+Lasso, and cox all run one-pass by default).
 
 Conventions follow glmnet's ``cv.glmnet``: the lambda grid is computed
 once on the full data; per-fold models are fit on the training split and
@@ -232,6 +234,90 @@ def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
                         newton_steps=newton_steps)
         eta = res.beta0[:, None] + res.coef @ X.T
         return eta if off is None else eta + off[None, :]
+
+    etas = jax.vmap(one)(masks)
+    return etas[fid, :, jnp.arange(fid.shape[0])]
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "standardize_y"))
+def _mt_fold_etas(X, Y, lams, masks, fid, rho, maxit, eps_abs, eps_rel,
+                  pf=None, keep=None, alpha=1.0, *, standardize_x,
+                  intercept, standardize_y):
+    """Jitted one-program CV fold sweep for the multi-task Lasso
+    (the (p, K)-block analog of :func:`_glm_fold_etas`): fold f is the
+    weighted path with weight 0 on held-out rows, vmapped; returns the
+    (n, L, K) OWN-FOLD linear predictors selected on device."""
+    from .multitask import _mt_path
+
+    def one(mask):
+        res = _mt_path(X, Y, 2, 1e-2, lams, rho, maxit, eps_abs,
+                       eps_rel, mask, pf, keep, alpha,
+                       standardize_x=standardize_x, intercept=intercept,
+                       path_mode="batch", standardize_y=standardize_y)
+        return res.beta0[:, None, :] + jnp.einsum("np,lpk->lnk", X,
+                                                  res.coef)
+
+    etas = jax.vmap(one)(masks)                   # (F, L, n, K)
+    return etas[fid, :, jnp.arange(fid.shape[0])]  # (n, L, K)
+
+
+@partial(jax.jit, static_argnames=("nclass", "standardize_x",
+                                   "intercept", "grouped",
+                                   "newton_steps"))
+def _mn_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs, eps_rel,
+                  alpha, pf=None, keep_p=None, off=None, *, nclass,
+                  standardize_x, intercept, grouped, newton_steps):
+    """Jitted one-program CV fold sweep for the multinomial path;
+    returns the (n, L, C) own-fold linear predictors (offset
+    INCLUDED, so scoring sees glmnet's eta)."""
+    from .multinomial import _mn_path
+
+    def one(mask):
+        res = _mn_path(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
+                       eps_rel, alpha, mask, pf, keep_p, off,
+                       nclass=nclass, standardize_x=standardize_x,
+                       intercept=intercept, path_mode="batch",
+                       grouped=grouped, newton_steps=newton_steps)
+        eta = res.beta0[:, None, :] + jnp.einsum("np,lpc->lnc", X,
+                                                 res.coef)
+        return eta if off is None else eta + off[None, :, :]
+
+    etas = jax.vmap(one)(masks)
+    return etas[fid, :, jnp.arange(fid.shape[0])]  # (n, L, C)
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "l1_ratio"))
+def _group_fold_etas(X, y, groups, gweights, lams, masks, fid, rho,
+                     maxit, eps_abs, eps_rel, *, standardize_x,
+                     intercept, l1_ratio):
+    """Jitted one-program CV fold sweep for the (sparse-)group Lasso
+    (weight-zero fold lanes over ``_gl_path``'s ``obs_weights``)."""
+    from .grouplasso import _gl_path
+
+    def one(mask):
+        res = _gl_path(X, y, groups, gweights, 2, 1e-2, lams, rho,
+                       maxit, eps_abs, eps_rel, mask,
+                       standardize_x=standardize_x, intercept=intercept,
+                       l1_ratio=l1_ratio)
+        return res.beta0[:, None] + res.coef @ X.T
+
+    etas = jax.vmap(one)(masks)
+    return etas[fid, :, jnp.arange(fid.shape[0])]
+
+
+@partial(jax.jit, static_argnames=("intercept",))
+def _gen_fold_etas(X, y, D, lams, masks, fid, rho, maxit, eps_abs,
+                   eps_rel, *, intercept):
+    """Jitted one-program CV fold sweep for the generalized Lasso."""
+    from .genlasso import _gen_path
+
+    def one(mask):
+        res = _gen_path(X, y, D, 2, 1e-2, lams, rho, maxit, eps_abs,
+                        eps_rel, mask, intercept=intercept,
+                        path_mode="batch")
+        return res.beta0[:, None] + res.coef @ X.T
 
     etas = jax.vmap(one)(masks)
     return etas[fid, :, jnp.arange(fid.shape[0])]
@@ -524,26 +610,42 @@ def cv_group_lasso_path(X, y, groups, *, weights=None, nlambda: int = 100,
                         standardize: bool = True, intercept: bool = True,
                         maxit: int = 10000, eps_abs: float = 1e-5,
                         eps_rel: float = 1e-5, rho: float = -1.0,
+                        obs_weights=None, l1_ratio: float = 0.0,
                         **kw) -> CVResult:
-    """Cross-validated group-Lasso path (extension; same fold protocol
-    as :func:`cv_lasso_path`).  Solver options are named explicitly so
-    they reach the group solver (generic **kw would be consumed by the
-    lasso path this wraps)."""
-    from .grouplasso import group_lasso_path
+    """Cross-validated (sparse-)group-Lasso path (extension; same fold
+    protocol as :func:`cv_lasso_path`, one-pass fold sweep by default).
+    ``weights`` are the GROUP penalty weights; ``obs_weights`` the
+    observation weights (the group path's naming).  Solver options are
+    named explicitly so they reach the group solver (generic **kw
+    would be consumed by the lasso path this wraps)."""
+    from .grouplasso import group_lasso_path, normalize_groups
 
-    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+    def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
                 lambda_min_ratio=lambda_min_ratio):
         return group_lasso_path(Xf, yf, groups, weights=weights,
                                 lambdas=lambdas, nlambda=nlambda,
                                 lambda_min_ratio=lambda_min_ratio,
                                 standardize=standardize,
                                 intercept=intercept, maxit=maxit,
-                                eps_abs=eps_abs, eps_rel=eps_rel, rho=rho)
+                                eps_abs=eps_abs, eps_rel=eps_rel,
+                                rho=rho, obs_weights=wf,
+                                l1_ratio=l1_ratio)
+
+    def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
+        p = np.shape(Xf)[1]
+        gj, gw = normalize_groups(groups, p, weights, dtype)
+        return _group_fold_etas(
+            jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype), gj, gw,
+            jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
+            jnp.asarray(fid, jnp.int32), rho, maxit, eps_abs, eps_rel,
+            standardize_x=standardize, intercept=intercept,
+            l1_ratio=float(l1_ratio))
 
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,
-                         _path_fn=path_fn, **kw)
+                         weights=obs_weights,
+                         _path_fn=path_fn, _fold_eta_fn=fold_eta, **kw)
 
 
 def cv_logistic_path(X, y, **kw) -> CVResult:
@@ -657,21 +759,29 @@ def cv_gen_lasso_path(X, y, D, *, nlambda: int = 50,
     """Cross-validated generalized-Lasso path (extension): selects
     lambda for an arbitrary (m, p) structure matrix ``D`` (fused lasso,
     trend filtering) by held-out MSE; same fold protocol as
-    :func:`cv_lasso_path`, host fold loop."""
+    :func:`cv_lasso_path`, one-pass fold sweep by default."""
     from .genlasso import gen_lasso_path
 
-    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+    def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
                 lambda_min_ratio=lambda_min_ratio):
         return gen_lasso_path(Xf, yf, D, lambdas=lambdas,
                               nlambda=nlambda,
                               lambda_min_ratio=lambda_min_ratio,
                               intercept=intercept, maxit=maxit,
                               eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
-                              path_mode=path_mode)
+                              path_mode=path_mode, weights=wf)
+
+    def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
+        return _gen_fold_etas(
+            jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype),
+            jnp.asarray(D, dtype), jnp.asarray(lams, dtype),
+            jnp.asarray(masks, dtype), jnp.asarray(fid, jnp.int32),
+            rho, maxit, eps_abs, eps_rel, intercept=intercept)
 
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
-                         intercept=intercept, _path_fn=path_fn, **kw)
+                         intercept=intercept, _path_fn=path_fn,
+                         _fold_eta_fn=fold_eta, **kw)
 
 
 def cv_fused_lasso_path(X, y, *, order: int = 1, **kw) -> CVResult:
@@ -705,14 +815,21 @@ def _cv_foldid(n, nfolds, seed, foldid):
     return foldid, nfolds
 
 
-def _cv_curve(per_obs, foldid):
+def _cv_curve(per_obs, foldid, w=None):
     """cvm/cvsd/lambda_min/lambda_1se from an (n, nlambda)
-    per-observation loss matrix (glmnet aggregation)."""
+    per-observation loss matrix (glmnet aggregation; optional
+    observation weights as in cv_lasso_path)."""
     scored = foldid >= 0
     n_sc = int(scored.sum())
-    cvm = per_obs[scored].mean(axis=0)
-    cvsd = np.sqrt(((per_obs[scored] - cvm) ** 2).mean(axis=0)
-                   / (n_sc - 1))
+    if w is None:
+        cvm = per_obs[scored].mean(axis=0)
+        cvsd = np.sqrt(((per_obs[scored] - cvm) ** 2).mean(axis=0)
+                       / (n_sc - 1))
+    else:
+        ws = np.asarray(w, np.float64).ravel()[scored]
+        cvm = (ws[:, None] * per_obs[scored]).sum(axis=0) / ws.sum()
+        cvsd = np.sqrt((ws[:, None] * (per_obs[scored] - cvm) ** 2)
+                       .sum(axis=0) / ws.sum() / (n_sc - 1))
     return cvm, cvsd
 
 
@@ -720,6 +837,7 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
                         foldid: Optional[np.ndarray] = None,
                         nlambda: int = 50,
                         type_measure: str = "deviance",
+                        cv_mode: str = "auto",
                         **path_kw) -> CVResult:
     """Cross-validated sparse multinomial path (extension), scored by
     per-observation MULTINOMIAL DEVIANCE ``-2 log p_{i, y_i}``
@@ -728,13 +846,21 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
     (misclassification of the argmax), 'mse'/'mae' (over the C
     class-indicator/probability differences).  ``path_kw`` forwards to
     :func:`admm_tpu.models.multinomial.multinomial_lasso_path`; the
-    ``fit`` field holds the full-data MNPathResult."""
+    ``fit`` field holds the full-data MNPathResult.
+
+    ``cv_mode``: "onepass" (the default via "auto") runs the whole
+    fold sweep as ONE compiled program — fold f is the weighted path
+    with weight 0 on its held-out rows, vmapped (the gaussian/GLM
+    protocol, :mod:`admm_tpu.models.cv` docstring); "loop" refits per
+    fold on the host.  Equal to solver tolerance (tested)."""
     from .multinomial import multinomial_lasso_path
 
     if type_measure not in ("deviance", "default", "class", "mse",
                             "mae"):
         raise ValueError("multinomial type_measure must be 'deviance',"
                          " 'class', 'mse' or 'mae'")
+    if cv_mode not in ("auto", "onepass", "loop"):
+        raise ValueError("cv_mode must be 'auto', 'onepass' or 'loop'")
     X = np.asarray(X, np.float64)
     y = np.asarray(y).ravel().astype(np.int64)
     n = X.shape[0]
@@ -747,40 +873,83 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
         off = np.asarray(off, np.float64)
         if off.shape != (n, C):
             raise ValueError("offset must be (n, nclass)")
+    w = path_kw.pop("weights", None)
+    w = None if w is None else np.asarray(w, np.float64).ravel()
+    fold_mesh = path_kw.pop("fold_mesh", None)
     full = multinomial_lasso_path(X, y, nlambda=nlambda, offset=off,
-                                  **path_kw)
+                                  weights=w, **path_kw)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
-    dev = np.full((n, lams.shape[0]), np.nan)
-    for f in range(nfolds):
-        tr = foldid != f
-        va = foldid == f
-        res = multinomial_lasso_path(
-            X[tr], y[tr], lambdas=lams,
-            offset=None if off is None else off[tr], **path_kw)
-        # (L, n_va, C) linear predictors -> stable log-softmax.
-        eta = (np.asarray(res.beta0)[:, None, :]
-               + np.einsum("vp,lpc->lvc", X[va], np.asarray(res.coef)))
-        if off is not None:
-            eta = eta + off[va][None, :, :]
-        eta = eta - eta.max(axis=2, keepdims=True)
-        logp = eta - np.log(np.exp(eta).sum(axis=2, keepdims=True))
-        yv = y[va]
-        if type_measure == "class":
-            dev[va] = (np.argmax(logp, axis=2) != yv[None, :]) \
-                .astype(float).T
-        elif type_measure in ("mse", "mae"):
-            p_ = np.exp(logp)                    # (L, n_va, C)
-            ind = np.zeros((yv.size, C))
-            ind[np.arange(yv.size), yv] = 1.0
-            d = p_ - ind[None, :, :]
-            dev[va] = (np.abs(d).sum(axis=2).T if type_measure == "mae"
-                       else (d ** 2).sum(axis=2).T)
-        else:
-            dev[va] = -2.0 * logp[:, np.arange(va.sum()), yv].T
+    onepass = cv_mode != "loop" and not any(
+        path_kw.get(k) is not None for k in ("trace_len", "data_mesh"))
+    if cv_mode == "onepass" and not onepass:
+        raise ValueError("cv_mode='onepass' does not support "
+                         "trace_len/data_mesh")
+    eta_all = np.full((n, lams.shape[0], C), np.nan)
+    if onepass:
+        from .lasso import validate_pf_limits
+        from .multitask import _keep_mask
 
-    cvm, cvsd = _cv_curve(dev, foldid)
+        dtype = path_kw.get("dtype", jnp.float32)
+        pf, _ = validate_pf_limits(path_kw.get("penalty_factor"), None,
+                                   None, None, X.shape[1], dtype)
+        keep_p = _keep_mask(path_kw.get("exclude"), X.shape[1], dtype)
+        masks = (foldid[None, :]
+                 != np.arange(nfolds)[:, None]).astype(np.float64)
+        if w is not None:
+            masks = masks * w[None, :]
+        eta_all = np.asarray(_mn_fold_etas(
+            jnp.asarray(X, dtype), jnp.asarray(y),
+            jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            jnp.asarray(np.clip(foldid, 0, None), jnp.int32),
+            path_kw.get("rho", -1.0), path_kw.get("maxit", 10000),
+            path_kw.get("eps_abs", 1e-5), path_kw.get("eps_rel", 1e-5),
+            path_kw.get("alpha", 1.0), pf, keep_p,
+            None if off is None else jnp.asarray(off, dtype),
+            nclass=C,
+            standardize_x=path_kw.get("standardize", True),
+            intercept=path_kw.get("intercept", True),
+            grouped=bool(path_kw.get("grouped", False)),
+            newton_steps=int(path_kw.get("newton_steps", 2))),
+            np.float64)                           # (n, L, C)
+    else:
+        for f in range(nfolds):
+            tr = foldid != f
+            va = foldid == f
+            res = multinomial_lasso_path(
+                X[tr], y[tr], lambdas=lams,
+                weights=None if w is None else w[tr],
+                offset=None if off is None else off[tr], **path_kw)
+            eta = (np.asarray(res.beta0)[:, None, :]
+                   + np.einsum("vp,lpc->lvc", X[va],
+                               np.asarray(res.coef)))
+            if off is not None:
+                eta = eta + off[va][None, :, :]
+            eta_all[va] = np.moveaxis(eta, 0, 1)  # (n_va, L, C)
+
+    # Stable log-softmax scoring over ALL scored rows at once.
+    scored = foldid >= 0
+    ev = eta_all[scored]                          # (m, L, C)
+    ev = ev - ev.max(axis=2, keepdims=True)
+    logp = ev - np.log(np.exp(ev).sum(axis=2, keepdims=True))
+    ys = y[scored]
+    dev = np.full((n, lams.shape[0]), np.nan)
+    if type_measure == "class":
+        dev[scored] = (np.argmax(logp, axis=2)
+                       != ys[:, None]).astype(float)
+    elif type_measure in ("mse", "mae"):
+        p_ = np.exp(logp)                         # (m, L, C)
+        ind = np.zeros((ys.size, C))
+        ind[np.arange(ys.size), ys] = 1.0
+        d = p_ - ind[:, None, :]
+        dev[scored] = (np.abs(d).sum(axis=2) if type_measure == "mae"
+                       else (d ** 2).sum(axis=2))
+    else:
+        dev[scored] = -2.0 * logp[np.arange(ys.size), :, ys]
+
+    cvm, cvsd = _cv_curve(dev, foldid, w)
     i_min = int(np.argmin(cvm))
     within = cvm <= cvm[i_min] + cvsd[i_min]
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
@@ -791,13 +960,21 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
 
 def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
                             foldid: Optional[np.ndarray] = None,
-                            nlambda: int = 50, **path_kw) -> CVResult:
+                            nlambda: int = 50, cv_mode: str = "auto",
+                            **path_kw) -> CVResult:
     """Cross-validated multi-task Lasso path (extension), scored by the
     per-observation squared error SUMMED OVER TASKS (the Frobenius
     analog of the gaussian MSE).  ``path_kw`` forwards to
-    :func:`admm_tpu.models.multitask.multitask_lasso_path`."""
+    :func:`admm_tpu.models.multitask.multitask_lasso_path`.
+
+    ``cv_mode``: "onepass" (the default via "auto") runs the whole
+    fold sweep as ONE compiled program — folds as weight-zero lanes,
+    vmapped (the gaussian/GLM protocol); "loop" refits per fold on the
+    host.  Equal to solver tolerance (tested)."""
     from .multitask import multitask_lasso_path
 
+    if cv_mode not in ("auto", "onepass", "loop"):
+        raise ValueError("cv_mode must be 'auto', 'onepass' or 'loop'")
     X = np.asarray(X, np.float64)
     Y = np.asarray(Y, np.float64)
     n = X.shape[0]
@@ -808,26 +985,65 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
         off = np.asarray(off, np.float64)
         if off.shape != Y.shape:
             raise ValueError("offset must match Y's (n, K) shape")
+    w = path_kw.pop("weights", None)
+    w = None if w is None else np.asarray(w, np.float64).ravel()
+    fold_mesh = path_kw.pop("fold_mesh", None)
     full = multitask_lasso_path(X, Y, nlambda=nlambda, offset=off,
-                                **path_kw)
+                                weights=w, **path_kw)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
+    onepass = cv_mode != "loop" and not any(
+        path_kw.get(k) is not None for k in ("trace_len", "data_mesh"))
+    if cv_mode == "onepass" and not onepass:
+        raise ValueError("cv_mode='onepass' does not support "
+                         "trace_len/data_mesh")
     err = np.full((n, lams.shape[0]), np.nan)
-    for f in range(nfolds):
-        tr = foldid != f
-        va = foldid == f
-        res = multitask_lasso_path(
-            X[tr], Y[tr], lambdas=lams,
-            offset=None if off is None else off[tr], **path_kw)
-        pred = (np.asarray(res.beta0)[:, None, :]
-                + np.einsum("vp,lpk->lvk", X[va],
-                            np.asarray(res.coef)))  # (L, n_va, K)
-        if off is not None:
-            pred = pred + off[va][None, :, :]
-        err[va] = ((pred - Y[va][None]) ** 2).sum(axis=2).T
+    Yf = Y if off is None else Y - off          # fits see shifted Y
+    if onepass:
+        from .lasso import validate_pf_limits
+        from .multitask import _keep_mask
 
-    cvm, cvsd = _cv_curve(err, foldid)
+        dtype = path_kw.get("dtype", jnp.float32)
+        pf, _ = validate_pf_limits(path_kw.get("penalty_factor"), None,
+                                   None, None, X.shape[1], dtype)
+        keep = _keep_mask(path_kw.get("exclude"), X.shape[1], dtype)
+        masks = (foldid[None, :]
+                 != np.arange(nfolds)[:, None]).astype(np.float64)
+        if w is not None:
+            masks = masks * w[None, :]
+        eta_all = np.asarray(_mt_fold_etas(
+            jnp.asarray(X, dtype), jnp.asarray(Yf, dtype),
+            jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            jnp.asarray(np.clip(foldid, 0, None), jnp.int32),
+            path_kw.get("rho", -1.0), path_kw.get("maxit", 10000),
+            path_kw.get("eps_abs", 1e-5), path_kw.get("eps_rel", 1e-5),
+            pf, keep, path_kw.get("alpha", 1.0),
+            standardize_x=path_kw.get("standardize", True),
+            intercept=path_kw.get("intercept", True),
+            standardize_y=bool(path_kw.get("standardize_response",
+                                           False))),
+            np.float64)                          # (n, L, K)
+        if off is not None:
+            eta_all = eta_all + off[:, None, :]
+        err = ((eta_all - Y[:, None, :]) ** 2).sum(axis=2)
+    else:
+        for f in range(nfolds):
+            tr = foldid != f
+            va = foldid == f
+            res = multitask_lasso_path(
+                X[tr], Y[tr], lambdas=lams,
+                weights=None if w is None else w[tr],
+                offset=None if off is None else off[tr], **path_kw)
+            pred = (np.asarray(res.beta0)[:, None, :]
+                    + np.einsum("vp,lpk->lvk", X[va],
+                                np.asarray(res.coef)))  # (L, n_va, K)
+            if off is not None:
+                pred = pred + off[va][None, :, :]
+            err[va] = ((pred - Y[va][None]) ** 2).sum(axis=2).T
+
+    cvm, cvsd = _cv_curve(err, foldid, w)
     i_min = int(np.argmin(cvm))
     within = cvm <= cvm[i_min] + cvsd[i_min]
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,

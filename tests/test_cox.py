@@ -287,3 +287,37 @@ def test_survfit_cox_breslow_baseline():
     np.testing.assert_allclose(sfa.surv, sfb.surv)
     with pytest.raises(ValueError, match="lam"):
         survfit_cox(r, X, t, d)
+
+
+def test_cv_cox_onepass_matches_loop():
+    """The one-program fold sweep (weight-zero lanes dropping out of
+    the Breslow risk sets) equals the host per-fold refit, weights and
+    offset included."""
+    from admm_tpu.models.cox import cv_cox_path
+
+    rng = np.random.default_rng(41)
+    n, p = 150, 8
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.7, -0.5], np.zeros(p - 2)])
+    t = rng.exponential(np.exp(-(X @ b)))
+    t[20:23] = t[20]
+    d = (rng.uniform(size=n) < 0.75).astype(float)
+    w = rng.uniform(0.5, 2.0, n)
+    off = 0.3 * rng.normal(size=n)
+    a = cv_cox_path(X, t, d, nfolds=3, nlambda=6, seed=0,
+                    cv_mode="onepass", weights=w, offset=off,
+                    eps_abs=1e-7, eps_rel=1e-7)
+    b_ = cv_cox_path(X, t, d, nfolds=3, nlambda=6, seed=0,
+                     cv_mode="loop", weights=w, offset=off,
+                     eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(a.cvm, b_.cvm, rtol=5e-4)
+    np.testing.assert_allclose(a.cvsd, b_.cvsd, rtol=5e-3, atol=1e-6)
+    assert np.argmin(a.cvm) == np.argmin(b_.cvm)
+    # The C-index measure rides the same sweep.
+    c1 = cv_cox_path(X, t, d, nfolds=3, nlambda=6, seed=0,
+                     type_measure="C", cv_mode="onepass")
+    c2 = cv_cox_path(X, t, d, nfolds=3, nlambda=6, seed=0,
+                     type_measure="C", cv_mode="loop")
+    np.testing.assert_allclose(c1.cvm, c2.cvm, atol=2e-3)
+    with pytest.raises(ValueError, match="cv_mode"):
+        cv_cox_path(X, t, d, nlambda=5, cv_mode="nope")

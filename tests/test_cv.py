@@ -213,15 +213,15 @@ def test_cv_weighted():
     assert np.all(np.isfinite(a.cvm)) and a.lambda_1se >= a.lambda_min
 
 
-def test_cv_group_lasso_rejects_onepass():
+def test_cv_dantzig_rejects_onepass():
     """Drivers without a vmappable fold solver must fail loudly on
-    cv_mode='onepass' (the documented fallback contract)."""
-    from admm_tpu.models.cv import cv_group_lasso_path
+    cv_mode='onepass' (the documented fallback contract; the Dantzig
+    engine is the one family without a weighted variant)."""
+    from admm_tpu.models.cv import cv_dantzig_path
 
     X, y, _ = _problem(n=100, p=12)
     with pytest.raises(ValueError, match="onepass"):
-        cv_group_lasso_path(X, y, np.arange(12) % 3, nlambda=4,
-                            cv_mode="onepass")
+        cv_dantzig_path(X, y, nlambda=4, cv_mode="onepass")
 
 
 def test_cv_dantzig_and_fused():
@@ -472,3 +472,105 @@ def test_cv_multinomial_multitask_offset():
     b = cv_multitask_lasso_path(X, Y, nfolds=3, nlambda=6, seed=0)
     np.testing.assert_allclose(a.cvm, b.cvm, rtol=1e-4)
     assert np.argmin(a.cvm) == np.argmin(b.cvm)
+
+
+def test_cv_matrix_families_onepass_matches_loop():
+    """One-program CV for the matrix families: the vmapped weight-zero
+    fold sweep equals the host per-fold refit (weights included)."""
+    from admm_tpu.models.cv import (cv_multinomial_path,
+                                    cv_multitask_lasso_path)
+
+    rng = np.random.default_rng(6)
+    n, p, C = 160, 12, 3
+    X = rng.normal(size=(n, p))
+    eta = X[:, :2] @ rng.normal(size=(2, C))
+    y = np.argmax(eta + 0.3 * rng.normal(size=(n, C)), axis=1)
+    w = rng.uniform(0.5, 2.0, n)
+    for kw in ({}, {"weights": w}, {"grouped": True}):
+        a = cv_multinomial_path(X, y, nfolds=3, nlambda=6, seed=0,
+                                cv_mode="onepass",
+                                eps_abs=1e-7, eps_rel=1e-7, **kw)
+        b = cv_multinomial_path(X, y, nfolds=3, nlambda=6, seed=0,
+                                cv_mode="loop",
+                                eps_abs=1e-7, eps_rel=1e-7, **kw)
+        np.testing.assert_allclose(a.cvm, b.cvm, rtol=2e-3,
+                                   err_msg=str(kw))
+        assert np.argmin(a.cvm) == np.argmin(b.cvm), kw
+
+    K = 2
+    Y = X[:, :3] @ rng.normal(size=(3, K)) + 0.2 * rng.normal(size=(n, K))
+    off = rng.normal(size=(n, K))
+    for kw in ({}, {"weights": w, "alpha": 0.6}, {"offset": off}):
+        a = cv_multitask_lasso_path(X, Y, nfolds=3, nlambda=6, seed=0,
+                                    cv_mode="onepass",
+                                    eps_abs=1e-7, eps_rel=1e-7, **kw)
+        b = cv_multitask_lasso_path(X, Y, nfolds=3, nlambda=6, seed=0,
+                                    cv_mode="loop",
+                                    eps_abs=1e-7, eps_rel=1e-7, **kw)
+        np.testing.assert_allclose(a.cvm, b.cvm, rtol=2e-3,
+                                   err_msg=str(kw))
+        assert np.argmin(a.cvm) == np.argmin(b.cvm), kw
+    with pytest.raises(ValueError, match="cv_mode"):
+        cv_multitask_lasso_path(X, Y, nlambda=5, cv_mode="nope")
+
+
+def test_cv_group_genlasso_onepass_matches_loop():
+    """One-program CV for the group and generalized Lasso: the vmapped
+    weight-zero fold sweep equals the host per-fold refit."""
+    from admm_tpu.models.cv import cv_gen_lasso_path, cv_group_lasso_path
+    from admm_tpu.models.genlasso import difference_matrix
+
+    rng = np.random.default_rng(7)
+    n, p = 150, 12
+    X = rng.normal(size=(n, p))
+    y = X[:, :4] @ np.array([1.0, 1.0, -0.8, -0.8]) \
+        + 0.2 * rng.normal(size=n)
+    groups = np.repeat(np.arange(p // 2), 2)
+    ow = rng.uniform(0.5, 2.0, n)
+    for kw in ({}, {"obs_weights": ow, "l1_ratio": 0.3}):
+        a = cv_group_lasso_path(X, y, groups, nfolds=3, nlambda=6,
+                                seed=0, cv_mode="onepass",
+                                eps_abs=1e-7, eps_rel=1e-7, **kw)
+        b = cv_group_lasso_path(X, y, groups, nfolds=3, nlambda=6,
+                                seed=0, cv_mode="loop",
+                                eps_abs=1e-7, eps_rel=1e-7, **kw)
+        np.testing.assert_allclose(a.cvm, b.cvm, rtol=2e-3,
+                                   err_msg=str(kw))
+        assert np.argmin(a.cvm) == np.argmin(b.cvm), kw
+
+    D = difference_matrix(p, 1)
+    for kw in ({}, {"weights": ow}):
+        a = cv_gen_lasso_path(X, y, D, nfolds=3, nlambda=6, seed=0,
+                              cv_mode="onepass",
+                              eps_abs=1e-7, eps_rel=1e-7, **kw)
+        b = cv_gen_lasso_path(X, y, D, nfolds=3, nlambda=6, seed=0,
+                              cv_mode="loop",
+                              eps_abs=1e-7, eps_rel=1e-7, **kw)
+        np.testing.assert_allclose(a.cvm, b.cvm, rtol=2e-3,
+                                   err_msg=str(kw))
+        assert np.argmin(a.cvm) == np.argmin(b.cvm), kw
+
+
+def test_fold_mesh_reaches_new_onepass_sweeps():
+    """fold_mesh shards the fold axis of the cox / matrix-family
+    sweeps: results equal the unsharded one-pass run."""
+    from admm_tpu.models.cox import cv_cox_path
+    from admm_tpu.models.cv import cv_multitask_lasso_path
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(9)
+    n, p = 160, 10
+    X = rng.normal(size=(n, p))
+    t = rng.exponential(np.exp(-X[:, 0]))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    mesh = make_mesh(8)
+    a = cv_cox_path(X, t, d, nfolds=8, nlambda=5, seed=0,
+                    fold_mesh=mesh)
+    b = cv_cox_path(X, t, d, nfolds=8, nlambda=5, seed=0)
+    np.testing.assert_allclose(a.cvm, b.cvm, rtol=1e-5)
+
+    Y = X[:, :3] @ rng.normal(size=(3, 2)) + 0.2 * rng.normal(size=(n, 2))
+    am = cv_multitask_lasso_path(X, Y, nfolds=8, nlambda=5, seed=0,
+                                 fold_mesh=mesh)
+    bm = cv_multitask_lasso_path(X, Y, nfolds=8, nlambda=5, seed=0)
+    np.testing.assert_allclose(am.cvm, bm.cvm, rtol=1e-5)
