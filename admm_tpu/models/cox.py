@@ -427,7 +427,7 @@ def _breslow_pl(X, t, d, coefs, w=None, off=None):
 def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
                 foldid: Optional[np.ndarray] = None, nlambda: int = 50,
                 type_measure: str = "deviance", cv_mode: str = "auto",
-                **path_kw):
+                keep: bool = False, **path_kw):
     """Cross-validated Cox path, scored by the Verweij-van Houwelingen
     partial-likelihood deviance (glmnet's type.measure="deviance" for
     family="cox"): per fold k, ``PL_full(b_{-k}) - PL_{-k}(b_{-k})`` —
@@ -507,6 +507,9 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
 
     cvraw = np.zeros((nfolds, lams.shape[0]))
     fold_w = np.ones(nfolds)
+    # glmnet's keep=TRUE: prevalidated (n, L) linear predictors (each
+    # row from the fold fit that excluded it).
+    preval = np.full((n, lams.shape[0]), np.nan) if keep else None
     for f in range(nfolds):
         tr = foldid != f
         va = foldid == f
@@ -517,6 +520,11 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
             rf = cox_lasso_path(X[tr], t[tr], d[tr], lambdas=lams,
                                 weights=sub(w, tr), offset=sub(off, tr),
                                 **path_kw)
+        if preval is not None:
+            ev = X[va] @ np.asarray(rf.coef).T           # (n_va, L)
+            if off is not None:
+                ev = ev + off[va][:, None]
+            preval[va] = ev
         if type_measure == "C":
             from ..assess import c_index
 
@@ -556,7 +564,7 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
                     lambda_min=float(lams[i_min]),
                     lambda_1se=float(lams[np.flatnonzero(within)[0]]),
-                    fit=full, foldid=foldid)
+                    fit=full, foldid=foldid, fit_preval=preval)
 
 
 class SurvFit(NamedTuple):

@@ -837,7 +837,7 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
                         foldid: Optional[np.ndarray] = None,
                         nlambda: int = 50,
                         type_measure: str = "deviance",
-                        cv_mode: str = "auto",
+                        cv_mode: str = "auto", keep: bool = False,
                         **path_kw) -> CVResult:
     """Cross-validated sparse multinomial path (extension), scored by
     per-observation MULTINOMIAL DEVIANCE ``-2 log p_{i, y_i}``
@@ -955,12 +955,14 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
                     lambda_min=float(lams[i_min]),
                     lambda_1se=float(lams[np.flatnonzero(within)[0]]),
-                    fit=full, foldid=foldid)
+                    fit=full, foldid=foldid,
+                    fit_preval=eta_all if keep else None)
 
 
 def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
                             foldid: Optional[np.ndarray] = None,
                             nlambda: int = 50, cv_mode: str = "auto",
+                            keep: bool = False,
                             **path_kw) -> CVResult:
     """Cross-validated multi-task Lasso path (extension), scored by the
     per-observation squared error SUMMED OVER TASKS (the Frobenius
@@ -999,6 +1001,7 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
         raise ValueError("cv_mode='onepass' does not support "
                          "trace_len/data_mesh")
     err = np.full((n, lams.shape[0]), np.nan)
+    eta_all = np.full((n, lams.shape[0], Y.shape[1]), np.nan)
     Yf = Y if off is None else Y - off          # fits see shifted Y
     if onepass:
         from .lasso import validate_pf_limits
@@ -1007,7 +1010,7 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
         dtype = path_kw.get("dtype", jnp.float32)
         pf, _ = validate_pf_limits(path_kw.get("penalty_factor"), None,
                                    None, None, X.shape[1], dtype)
-        keep = _keep_mask(path_kw.get("exclude"), X.shape[1], dtype)
+        keep_m = _keep_mask(path_kw.get("exclude"), X.shape[1], dtype)
         masks = (foldid[None, :]
                  != np.arange(nfolds)[:, None]).astype(np.float64)
         if w is not None:
@@ -1019,7 +1022,7 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
             jnp.asarray(np.clip(foldid, 0, None), jnp.int32),
             path_kw.get("rho", -1.0), path_kw.get("maxit", 10000),
             path_kw.get("eps_abs", 1e-5), path_kw.get("eps_rel", 1e-5),
-            pf, keep, path_kw.get("alpha", 1.0),
+            pf, keep_m, path_kw.get("alpha", 1.0),
             standardize_x=path_kw.get("standardize", True),
             intercept=path_kw.get("intercept", True),
             standardize_y=bool(path_kw.get("standardize_response",
@@ -1041,6 +1044,7 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
                                 np.asarray(res.coef)))  # (L, n_va, K)
             if off is not None:
                 pred = pred + off[va][None, :, :]
+            eta_all[va] = np.moveaxis(pred, 0, 1)
             err[va] = ((pred - Y[va][None]) ** 2).sum(axis=2).T
 
     cvm, cvsd = _cv_curve(err, foldid, w)
@@ -1049,4 +1053,5 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
                     lambda_min=float(lams[i_min]),
                     lambda_1se=float(lams[np.flatnonzero(within)[0]]),
-                    fit=full, foldid=foldid)
+                    fit=full, foldid=foldid,
+                    fit_preval=eta_all if keep else None)

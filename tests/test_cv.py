@@ -574,3 +574,38 @@ def test_fold_mesh_reaches_new_onepass_sweeps():
                                  fold_mesh=mesh)
     bm = cv_multitask_lasso_path(X, Y, nfolds=8, nlambda=5, seed=0)
     np.testing.assert_allclose(am.cvm, bm.cvm, rtol=1e-5)
+
+
+def test_keep_matrix_and_cox():
+    """glmnet's keep=TRUE for the matrix families and cox: the
+    prevalidated predictors reproduce the CV losses exactly."""
+    from admm_tpu.models.cox import cv_cox_path
+    from admm_tpu.models.cv import (cv_multinomial_path,
+                                    cv_multitask_lasso_path)
+
+    rng = np.random.default_rng(10)
+    n, p = 130, 10
+    X = rng.normal(size=(n, p))
+    Y = X[:, :3] @ rng.normal(size=(3, 2)) + 0.2 * rng.normal(size=(n, 2))
+    cv = cv_multitask_lasso_path(X, Y, nfolds=3, nlambda=5, seed=0,
+                                 keep=True)
+    assert cv.fit_preval.shape == (n, 5, 2)
+    np.testing.assert_allclose(
+        ((cv.fit_preval - Y[:, None, :]) ** 2).sum(axis=2).mean(axis=0),
+        cv.cvm, rtol=1e-10)
+
+    y3 = np.argmax(X[:, :2] @ rng.normal(size=(2, 3))
+                   + 0.3 * rng.normal(size=(n, 3)), axis=1)
+    cvm_ = cv_multinomial_path(X, y3, nfolds=3, nlambda=5, seed=0,
+                               keep=True)
+    assert cvm_.fit_preval.shape == (n, 5, 3)
+    ev = cvm_.fit_preval - cvm_.fit_preval.max(axis=2, keepdims=True)
+    logp = ev - np.log(np.exp(ev).sum(axis=2, keepdims=True))
+    dev = -2.0 * logp[np.arange(n), :, y3]
+    np.testing.assert_allclose(dev.mean(axis=0), cvm_.cvm, rtol=1e-8)
+
+    t = rng.exponential(np.exp(-X[:, 0]))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    cvc = cv_cox_path(X, t, d, nfolds=3, nlambda=5, seed=0, keep=True)
+    assert cvc.fit_preval.shape == (n, 5)
+    assert np.all(np.isfinite(cvc.fit_preval))
