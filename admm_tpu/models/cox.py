@@ -58,10 +58,12 @@ class CoxPathResult(NamedTuple):
     niter: jnp.ndarray    # (nlambda,) int32
 
 
-def _tie_groups(times_sorted_desc: np.ndarray):
+def _tie_groups(times_sorted_desc: np.ndarray, strata_sorted=None):
     """Host precompute: for each sorted position i, the FIRST and LAST
-    positions of its tie group (equal times).  Risk-set membership is
-    ``t_j >= t_i``  <=>  ``pos(j) <= last[i]`` in descending order."""
+    positions of its tie group (equal times — and, when stratified,
+    the same stratum: ties never merge across a stratum boundary).
+    Risk-set membership is ``t_j >= t_i``  <=>  ``pos(j) <= last[i]``
+    in descending order (within the stratum block)."""
     n = times_sorted_desc.shape[0]
     first = np.zeros(n, np.int32)
     last = np.zeros(n, np.int32)
@@ -69,7 +71,9 @@ def _tie_groups(times_sorted_desc: np.ndarray):
     while i < n:
         j = i
         while (j + 1 < n
-               and times_sorted_desc[j + 1] == times_sorted_desc[i]):
+               and times_sorted_desc[j + 1] == times_sorted_desc[i]
+               and (strata_sorted is None
+                    or strata_sorted[j + 1] == strata_sorted[i])):
             j += 1
         first[i:j + 1] = i
         last[i:j + 1] = j
@@ -77,7 +81,32 @@ def _tie_groups(times_sorted_desc: np.ndarray):
     return jnp.asarray(first), jnp.asarray(last)
 
 
-def _cox_grad_eta(eta, d, first, last, n, w=None):
+def _strata_prep(t_np, strata):
+    """Host prep for the stratified sort (glmnet's ``stratifySurv``):
+    returns (order, codes_sorted) with rows STRATUM-MAJOR and time
+    DESCENDING within each stratum, plus the per-row stratum block
+    edges (seg_first, seg_last) in sorted order."""
+    s_np = np.asarray(strata).ravel()
+    if s_np.shape != t_np.shape:
+        raise ValueError("strata must have one entry per row")
+    _, codes = np.unique(s_np, return_inverse=True)
+    order = np.lexsort((-t_np, codes))
+    ss = codes[order]
+    n = ss.shape[0]
+    seg_first = np.zeros(n, np.int32)
+    seg_last = np.zeros(n, np.int32)
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and ss[j + 1] == ss[i]:
+            j += 1
+        seg_first[i:j + 1] = i
+        seg_last[i:j + 1] = j
+        i = j + 1
+    return order, ss, jnp.asarray(seg_first), jnp.asarray(seg_last)
+
+
+def _cox_grad_eta(eta, d, first, last, n, w=None, seg=None):
     """Breslow partial-likelihood gradient in eta (sorted-desc order),
     scaled 1/n: ``(e^{eta_i} G_i - d_i)/n`` with
     ``G_i = sum_{events k: t_k <= t_i} d_k / S_k`` via one prefix and
@@ -87,24 +116,41 @@ def _cox_grad_eta(eta, d, first, last, n, w=None):
     family='cox' — case weights): the weighted Breslow likelihood
     ``sum_i w_i d_i [eta_i - log S_i]`` with ``S_i = sum_{t_j >= t_i}
     w_j e^{eta_j}`` — both the risk-set sums and the event terms carry
-    w, so an integer weight k is exactly row repetition (tested)."""
+    w, so an integer weight k is exactly row repetition (tested).
+
+    ``seg`` (STRATIFIED cox, glmnet's ``stratifySurv``): a
+    ``(seg_first, seg_last)`` pair of (n,) index arrays marking each
+    row's stratum block in the (stratum-major, time-descending) sort —
+    the cumsums become SEGMENTED (risk sets never cross a stratum
+    boundary) by subtracting the running sum at the block edge; the
+    unstratified case is exactly ``seg=None`` (one block)."""
     ee = jnp.exp(jnp.minimum(eta, 30.0))
     dd = d
     if w is not None:
         ee = w * ee
         dd = w * d
-    S = jnp.cumsum(ee)[last]                 # risk-set sums, tie-aware
+    cs = jnp.cumsum(ee)
+    if seg is None:
+        S = cs[last]                         # risk-set sums, tie-aware
+    else:
+        cs0 = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+        S = cs0[last + 1] - cs0[seg[0]]
     # dd > 0 implies S >= w_i e^{eta_i} > 0; positions with dd = 0
     # contribute nothing — the guard makes an all-zero-weight risk-set
     # tail (weight-zero CV fold lanes) an exact 0 instead of 0/0.
     q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
     rc = jnp.cumsum(q[::-1])[::-1]           # suffix sum of w_k d_k/S_k
-    G = rc[first]
+    if seg is None:
+        G = rc[first]
+    else:
+        rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
+        G = rc0[first] - rc0[seg[1] + 1]
     return (ee * G - dd) / n
 
 
 def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-             fixed_minv=None, pf=None, bounds=None, off=None, w=None):
+             fixed_minv=None, pf=None, bounds=None, off=None, w=None,
+             seg=None):
     """``fixed_minv`` None => the ADAPTIVE majorizer: the (p, p)
     inverse rides ``st.aux`` and is refreshed once per lambda from the
     warm-start iterate (see _cox_path) — ``V_k <= diag(pi_k)`` gives
@@ -121,7 +167,7 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
             eta = dot(Xs, b)
             if off is not None:
                 eta = eta + off
-            g = _cox_grad_eta(eta, d, first, last, n, w)
+            g = _cox_grad_eta(eta, d, first, last, n, w, seg)
             grad = dot(Xs.T, g) + st.rho * (b - v)
             return b - dot(Minv, grad)
 
@@ -157,7 +203,7 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
                                    "path_mode", "newton_steps"))
 def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
               rho0, maxit, eps_abs, eps_rel, alpha, pf=None, limits=None,
-              w=None, off=None, *, standardize_x, path_mode,
+              w=None, off=None, seg=None, *, standardize_x, path_mode,
               newton_steps):
     from ..data.standardize import _guard
 
@@ -189,7 +235,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
 
     # Grid top: gradient of the null model (eta = offset, or 0).
     eta0 = jnp.zeros((n,), dtype) if off is None else off
-    g0 = _cox_grad_eta(eta0, d, first, last, n, w)
+    g0 = _cox_grad_eta(eta0, d, first, last, n, w, seg)
     if user_lams is None:
         scores = jnp.abs(dot(Xs.T, g0))
         if pf is not None:
@@ -224,9 +270,19 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         if w is not None:
             ee = w * ee
             dd = w * d
-        S = jnp.cumsum(ee)[last]
+        cs = jnp.cumsum(ee)
+        if seg is None:
+            S = cs[last]
+        else:
+            cs0 = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+            S = cs0[last + 1] - cs0[seg[0]]
         q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
-        G = jnp.cumsum(q[::-1])[::-1][first]
+        rc = jnp.cumsum(q[::-1])[::-1]
+        if seg is None:
+            G = rc[first]
+        else:
+            rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
+            G = rc0[first] - rc0[seg[1] + 1]
         wm = ee * G
         H = dot(Xs.T * wm[None, :], Xs) / n
         return ridge_inverse(H, rho)
@@ -244,7 +300,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         H_fix = (d_total / (2.0 * n)) * dot(Xs.T, Xs)
         Minv = ridge_inverse(H_fix, rho)
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       Minv, pf, bounds, off, w)
+                       Minv, pf, bounds, off, w, seg)
         solve = make_batched_solver(make_admm_solver(ops,
                                                      adapt_rho=False))
         st = _batched_cold_states(lams.shape[0], p, rho, lams, dtype)
@@ -259,7 +315,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         from ..core.engine import warm_start
 
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       None, pf, bounds, off, w)
+                       None, pf, bounds, off, w, seg)
         solve = make_admm_solver(ops, adapt_rho=False)
         st0 = make_state(zeros, zeros, zeros, rho, lams[0],
                          aux=majorizer_inv(zeros), dtype=dtype)
@@ -280,8 +336,8 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
                                    "newton_steps"))
 def _cox_fold_coefs(X, d, first, last, lams, masks, rho, maxit,
                     eps_abs, eps_rel, alpha, pf=None, limits=None,
-                    w=None, off=None, *, standardize_x, path_mode,
-                    newton_steps):
+                    w=None, off=None, seg=None, *, standardize_x,
+                    path_mode, newton_steps):
     """Jitted ONE-PROGRAM CV fold sweep (the cox analog of
     models/cv.py::_glm_fold_etas): fold f is the weighted path with
     weight 0 on its held-out rows — zero-weight rows drop out of the
@@ -293,6 +349,7 @@ def _cox_fold_coefs(X, d, first, last, lams, masks, rho, maxit,
         wf = mask if w is None else mask * w
         res = _cox_path(X, d, first, last, 2, 1e-2, lams, rho, maxit,
                         eps_abs, eps_rel, alpha, pf, limits, wf, off,
+                        seg,
                         standardize_x=standardize_x,
                         path_mode=path_mode, newton_steps=newton_steps)
         return res.coef
@@ -311,6 +368,7 @@ def cox_lasso_path(X, time, event, *,
                    lower_limits=None, upper_limits=None, exclude=None,
                    weights: Optional[jnp.ndarray] = None,
                    offset: Optional[jnp.ndarray] = None,
+                   strata: Optional[np.ndarray] = None,
                    dtype=jnp.float32) -> CoxPathResult:
     """Solve the L1/elastic-net Cox partial-likelihood path.
 
@@ -338,6 +396,17 @@ def cox_lasso_path(X, time, event, *,
     added to the linear predictor (``eta = X b + offset``); a CONSTANT
     offset leaves the fit invariant (the partial likelihood's shift
     gauge — tested).
+
+    ``strata`` (glmnet's ``stratifySurv``): a length-n array of
+    stratum labels — the STRATIFIED Cox model, one shared coefficient
+    vector but separate baseline hazards: the partial likelihood is
+    the sum of per-stratum Breslow terms, so risk sets never cross a
+    stratum boundary.  TPU-native realization: rows sort
+    stratum-major/time-descending once on the host and every risk-set
+    cumsum becomes SEGMENTED (two extra gathers — same compiled
+    structure as the unstratified path).  One stratum reduces exactly
+    to the unstratified fit (tested); ``cv_cox_path`` and
+    :func:`admm_tpu.survfit_cox` accept the same argument.
     """
     X_np = np.asarray(X)
     t_np = np.asarray(time, np.float64).ravel()
@@ -357,8 +426,17 @@ def cox_lasso_path(X, time, event, *,
 
     # Sort by time DESCENDING once on the host (coefficients are
     # per-feature, so no unsort is needed); tie groups precomputed.
-    order = np.argsort(-t_np, kind="stable")
-    first, last = _tie_groups(t_np[order])
+    # With strata (glmnet's stratifySurv): stratum-major sort, tie
+    # groups and risk sets confined to each stratum block (segmented
+    # cumsums in _cox_grad_eta).
+    seg = None
+    if strata is None:
+        order = np.argsort(-t_np, kind="stable")
+        first, last = _tie_groups(t_np[order])
+    else:
+        order, ss, seg_first, seg_last = _strata_prep(t_np, strata)
+        first, last = _tie_groups(t_np[order], ss)
+        seg = (seg_first, seg_last)
     Xj = jnp.asarray(X_np[order], dtype)
     dj = jnp.asarray(d_np[order], dtype)
     wj = offj = None
@@ -384,17 +462,29 @@ def cox_lasso_path(X, time, event, *,
                                     dtype)
     return _cox_path(Xj, dj, first, last, int(nlambda),
                      lambda_min_ratio, lams, rho, maxit, eps_abs,
-                     eps_rel, alpha, pf, limits, wj, offj,
+                     eps_rel, alpha, pf, limits, wj, offj, seg,
                      standardize_x=standardize,
                      path_mode=path_mode,
                      newton_steps=int(newton_steps))
 
 
-def _breslow_pl(X, t, d, coefs, w=None, off=None):
+def _breslow_pl(X, t, d, coefs, w=None, off=None, strata=None):
     """Breslow log partial likelihood per path point ((L,) numpy):
     ``sum_{events i} w_i [eta_i - log sum_{t_j >= t_i} w_j e^{eta_j}]``
     (weights/offset optional, matching the solver's weighted
-    likelihood)."""
+    likelihood).  With ``strata`` the stratified PL is the SUM of the
+    per-stratum PLs at the shared coefficients."""
+    if strata is not None:
+        s_np = np.asarray(strata).ravel()
+        out = 0.0
+        for sv in np.unique(s_np):
+            m = s_np == sv
+            out = out + _breslow_pl(
+                np.asarray(X)[m], np.asarray(t).ravel()[m],
+                np.asarray(d).ravel()[m], coefs,
+                None if w is None else np.asarray(w).ravel()[m],
+                None if off is None else np.asarray(off).ravel()[m])
+        return out
     X = np.asarray(X, np.float64)
     t = np.asarray(t, np.float64).ravel()
     d = np.asarray(d, np.float64).ravel()
@@ -462,15 +552,17 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     n = X.shape[0]
     w = path_kw.pop("weights", None)
     off = path_kw.pop("offset", None)
+    strata = path_kw.pop("strata", None)
     fold_mesh = path_kw.pop("fold_mesh", None)
     w = None if w is None else np.asarray(w, np.float64).ravel()
     off = None if off is None else np.asarray(off, np.float64).ravel()
+    strata = None if strata is None else np.asarray(strata).ravel()
 
     def sub(v, m):
         return None if v is None else v[m]
 
     full = cox_lasso_path(X, t, d, nlambda=nlambda, weights=w,
-                          offset=off, **path_kw)
+                          offset=off, strata=strata, **path_kw)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
@@ -479,8 +571,14 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
         # One-program fold sweep: replicate the driver's host prep
         # (time-descending sort + tie groups) once, mask per fold.
         dtype = path_kw.get("dtype", jnp.float32)
-        order = np.argsort(-t, kind="stable")
-        first, last = _tie_groups(t[order])
+        seg = None
+        if strata is None:
+            order = np.argsort(-t, kind="stable")
+            first, last = _tie_groups(t[order])
+        else:
+            order, ss, seg_first, seg_last = _strata_prep(t, strata)
+            first, last = _tie_groups(t[order], ss)
+            seg = (seg_first, seg_last)
         from .lasso import validate_pf_limits
 
         pf, limits = validate_pf_limits(
@@ -500,6 +598,7 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
             path_kw.get("alpha", 1.0), pf, limits,
             None if w is None else jnp.asarray(w[order], dtype),
             None if off is None else jnp.asarray(off[order], dtype),
+            seg,
             standardize_x=path_kw.get("standardize", True),
             path_mode=path_kw.get("path_mode", "scan"),
             newton_steps=int(path_kw.get("newton_steps", 2))),
@@ -519,7 +618,7 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
         else:
             rf = cox_lasso_path(X[tr], t[tr], d[tr], lambdas=lams,
                                 weights=sub(w, tr), offset=sub(off, tr),
-                                **path_kw)
+                                strata=sub(strata, tr), **path_kw)
         if preval is not None:
             ev = X[va] @ np.asarray(rf.coef).T           # (n_va, L)
             if off is not None:
@@ -540,10 +639,12 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
             fold_w[f] = float(d[va].sum() if w is None
                               else (w[va] * d[va]).sum())
         else:
-            pl_full = _breslow_pl(X, t, d, np.asarray(rf.coef), w, off)
+            pl_full = _breslow_pl(X, t, d, np.asarray(rf.coef), w, off,
+                                  strata)
             pl_tr = _breslow_pl(X[tr], t[tr], d[tr],
                                 np.asarray(rf.coef),
-                                sub(w, tr), sub(off, tr))
+                                sub(w, tr), sub(off, tr),
+                                sub(strata, tr))
             cvraw[f] = -2.0 * (pl_full - pl_tr)
 
     if type_measure == "C":
@@ -575,7 +676,8 @@ class SurvFit(NamedTuple):
 
 
 def survfit_cox(result, X, time, event, *, Xnew=None, lam=None,
-                weights=None, offset=None, newoffset=None) -> SurvFit:
+                weights=None, offset=None, newoffset=None,
+                strata=None, newstrata=None):
     """Survival curves from a fitted Cox path (glmnet's
     ``survfit.coxnet``): the Breslow baseline cumulative hazard is
     estimated from the TRAINING data (``X``/``time``/``event`` — the
@@ -602,6 +704,40 @@ def survfit_cox(result, X, time, event, *, Xnew=None, lam=None,
         raise ValueError("pass lam= to select the path point (or use "
                          "a CV result, which defaults to lambda.1se)")
     beta = np.asarray(result.coef, np.float64)[0]    # (p,)
+
+    if strata is not None:
+        # Stratified baselines (glmnet's survfit on a stratifySurv
+        # fit): each stratum gets its own Breslow H0; returns a dict
+        # stratum-label -> SurvFit whose surv columns are the Xnew
+        # rows of that stratum (np.flatnonzero(newstrata == label)).
+        s_np = np.asarray(strata).ravel()
+        if Xnew is None:
+            ns = s_np
+        else:
+            if newstrata is None:
+                raise ValueError("pass newstrata= with Xnew for a "
+                                 "stratified fit")
+            ns = np.asarray(newstrata).ravel()
+
+        def subv(v, m):
+            return None if v is None else np.asarray(v).ravel()[m]
+
+        out = {}
+        Xn_all = X if Xnew is None else np.asarray(Xnew, np.float64)
+        for sv in np.unique(s_np):
+            m = s_np == sv
+            mn = ns == sv
+            if not mn.any():
+                continue
+            out[sv] = survfit_cox(
+                result, np.asarray(X, np.float64)[m],
+                np.asarray(time, np.float64).ravel()[m],
+                np.asarray(event, np.float64).ravel()[m],
+                Xnew=Xn_all[mn], weights=subv(weights, m),
+                offset=subv(offset, m),
+                newoffset=(subv(newoffset, mn) if Xnew is not None
+                           else subv(offset, m)))
+        return out
 
     X = np.asarray(X, np.float64)
     t = np.asarray(time, np.float64).ravel()

@@ -321,3 +321,74 @@ def test_cv_cox_onepass_matches_loop():
     np.testing.assert_allclose(c1.cvm, c2.cvm, atol=2e-3)
     with pytest.raises(ValueError, match="cv_mode"):
         cv_cox_path(X, t, d, nlambda=5, cv_mode="nope")
+
+
+def test_stratified_cox():
+    """glmnet's stratifySurv: segmented risk sets. Pinned by (a) one
+    stratum == unstratified exactly, (b) KKT of the stratified partial
+    likelihood via an independent per-stratum risk-set loop, (c) row
+    permutation invariance, (d) CV onepass==loop, (e) per-stratum
+    survfit baselines."""
+    from admm_tpu.models.cox import (cv_cox_path, cox_lasso_path,
+                                     survfit_cox)
+
+    rng = np.random.default_rng(55)
+    n, p = 200, 8
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.8, -0.6], np.zeros(p - 2)])
+    strata = rng.integers(0, 3, n)
+    # Stratum-dependent baselines (scale shifts) + shared beta.
+    t = rng.exponential(np.exp(-(X @ b))) * (1.0 + strata)
+    d = (rng.uniform(size=n) < 0.75).astype(float)
+
+    # (a) one stratum == unstratified.
+    r0 = cox_lasso_path(X, t, d, nlambda=5, eps_abs=1e-7, eps_rel=1e-7)
+    r1 = cox_lasso_path(X, t, d, nlambda=5, strata=np.zeros(n),
+                        eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.coef), np.asarray(r0.coef),
+                               atol=1e-6)
+
+    # (b) KKT at convergence against an explicit per-stratum loop.
+    lam = 0.03
+    r = cox_lasso_path(X, t, d, lambdas=np.array([lam]), strata=strata,
+                       standardize=False, eps_abs=1e-8, eps_rel=1e-8)
+    coef = np.asarray(r.coef, np.float64)[0]
+    eta = X @ coef
+    g = np.zeros(n)
+    for sv in np.unique(strata):
+        m = strata == sv
+        tm, dm, em = t[m], d[m], np.exp(eta[m])
+        gs = np.zeros(m.sum())
+        for i in range(m.sum()):
+            G = sum(dm[k] / em[tm >= tm[k]].sum()
+                    for k in range(m.sum()) if dm[k] > 0
+                    and tm[k] <= tm[i])
+            gs[i] = em[i] * G - dm[i]
+        g[m] = gs
+    grad = X.T @ g / n
+    act = np.abs(coef) > 1e-6
+    np.testing.assert_allclose(grad[act], -lam * np.sign(coef[act]),
+                               atol=5e-4)
+    assert np.all(np.abs(grad[~act]) <= lam * (1 + 1e-3))
+
+    # (c) permutation invariance.
+    perm = rng.permutation(n)
+    rp = cox_lasso_path(X[perm], t[perm], d[perm], strata=strata[perm],
+                        lambdas=np.array([lam]), standardize=False,
+                        eps_abs=1e-8, eps_rel=1e-8)
+    np.testing.assert_allclose(np.asarray(rp.coef), np.asarray(r.coef),
+                               atol=1e-5)
+
+    # (d) CV: onepass == loop with strata.
+    a = cv_cox_path(X, t, d, nfolds=3, nlambda=5, seed=0, strata=strata,
+                    cv_mode="onepass", eps_abs=1e-7, eps_rel=1e-7)
+    b_ = cv_cox_path(X, t, d, nfolds=3, nlambda=5, seed=0, strata=strata,
+                     cv_mode="loop", eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(a.cvm, b_.cvm, rtol=5e-4)
+
+    # (e) survfit: per-stratum baselines, monotone curves.
+    sf = survfit_cox(r, X, t, d, strata=strata)
+    assert set(sf.keys()) == set(np.unique(strata))
+    for sv, f in sf.items():
+        assert np.all(np.diff(f.surv, axis=0) <= 1e-12)
+        assert f.surv.shape[1] == int((strata == sv).sum())
