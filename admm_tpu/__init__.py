@@ -53,7 +53,7 @@ from .data.makex import make_x
 from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
 from .glmnet import big_glm, cv_glmnet, glmnet
-from .summary import path_table, format_path_table
+from .summary import deviance, format_path_table, path_table
 from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
                                  parallel_glm_lasso_path,
                                  parallel_group_lasso_path,
@@ -80,7 +80,7 @@ __all__ = [
     "cv_glm_path", "quantile_fit", "cv_dantzig_path",
     "cv_gen_lasso_path", "cv_fused_lasso_path",
     "multitask_lasso_path", "multinomial_lasso_path", "predict",
-    "path_table", "format_path_table",
+    "path_table", "format_path_table", "deviance",
     "assess", "roc", "confusion", "c_index",
     "glmnet", "cv_glmnet", "coef", "big_glm", "make_x",
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",

@@ -19,6 +19,7 @@ class PathTable(NamedTuple):
     df: np.ndarray         # (nlambda,) exact nonzero coefficient counts
     dev_ratio: np.ndarray  # (nlambda,) 1 - deviance/null_deviance
     lambdas: np.ndarray    # (nlambda,) the penalty grid
+    nulldev: float = 0.0   # the null (intercept-only) deviance
 
 
 def _resolve_family(family):
@@ -115,7 +116,15 @@ def path_table(result, X, y, *, family="gaussian",
     nulldev = float(null_per.sum())
     dev_ratio = (nulldev - dev) / nulldev if nulldev > 0 else \
         np.zeros_like(dev)
-    return PathTable(df=df, dev_ratio=dev_ratio, lambdas=lams)
+    return PathTable(df=df, dev_ratio=dev_ratio, lambdas=lams,
+                     nulldev=nulldev)
+
+
+def deviance(result, X, y, *, family="gaussian", weights=None):
+    """Residual deviance per path point (glmnet's
+    ``deviance.glmnet``): ``(1 - dev.ratio) * nulldev``."""
+    t = path_table(result, X, y, family=family, weights=weights)
+    return (1.0 - t.dev_ratio) * t.nulldev
 
 
 def format_path_table(table: PathTable) -> str:

@@ -82,3 +82,20 @@ def test_plot_cv_curve_renders(gauss, tmp_path):
     ax = plot_cv_curve(cv)
     assert ax is not None
     ax.figure.savefig(tmp_path / "cv.png")
+
+
+def test_deviance_accessor():
+    """glmnet's deviance.glmnet: (1 - dev.ratio) * nulldev; gaussian
+    residual deviance equals the residual sum of squares."""
+    import admm_tpu
+
+    rng = np.random.default_rng(15)
+    n, p = 120, 10
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] - 0.5 * X[:, 1] + 0.2 * rng.normal(size=n)
+    r = admm_tpu.lasso_path(X, y, nlambda=6)
+    dev = admm_tpu.deviance(r, X, y)
+    eta = admm_tpu.predict(r, X)
+    rss = ((eta - y[None, :]) ** 2).sum(axis=1)
+    np.testing.assert_allclose(dev, rss, rtol=1e-4)
+    assert dev[0] >= dev[-1]          # deviance decreases along the path
