@@ -114,3 +114,36 @@ print(f"Cindex of the true Cox score: {ci:.2f}")
 print("coef at lambda_min:",
       int((np.abs(admm_tpu.coef(cv.fit, lam=cv.lambda_min)[1:])
            > 1e-6).sum()), "nonzeros")
+
+# --- newest surfaces -------------------------------------------------
+
+# predict() straight from a CV result (glmnet's predict.cv.glmnet):
+# s defaults to lambda.1se; off-grid s interpolates (lambda.interp).
+eta_1se = admm_tpu.predict(cv, X)
+print("predict(cv): eta at lambda.1se, shape", eta_1se.shape)
+
+# Stratified Cox (glmnet's stratifySurv): per-stratum risk sets.
+strata = rng.integers(0, 2, n)
+fit_s = admm_tpu.glmnet(X, np.c_[t_surv, d_surv], family="cox",
+                        strata=strata, nlambda=10)
+cv_s = admm_tpu.cv_glmnet(X, np.c_[t_surv, d_surv], family="cox",
+                          strata=strata, nfolds=4, nlambda=10)
+print(f"stratified cox: lambda_min={cv_s.lambda_min:.4f}")
+
+# Survival curves (glmnet's survfit.coxnet): per-stratum Breslow
+# baselines, S(t | x) for each row.
+sf = admm_tpu.survfit_cox(cv_s, X, t_surv, d_surv, strata=strata)
+for sv, f in sorted(sf.items()):
+    print(f"  stratum {sv}: {f.time.size} event times, "
+          f"median S(t_end|x) = {np.median(f.surv[-1]):.2f}")
+
+# makeX (glmnet's design-matrix builder): one-hot + NA imputation.
+Xd, names = admm_tpu.make_x(
+    {"age": [31.0, np.nan, 52.0], "city": ["ann arbor", "boston",
+                                           "ann arbor"]},
+    na_impute=True)
+print("make_x columns:", names)
+
+# deviance(): glmnet's deviance.glmnet accessor.
+print("residual deviance at path ends:",
+      np.round(admm_tpu.deviance(cv.fit, X, y)[[0, -1]], 1).tolist())
