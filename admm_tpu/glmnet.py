@@ -7,7 +7,9 @@ module is for users arriving FROM glmnet, where a single ``glmnet()``
 call with a ``family=`` string reaches every model.  Arguments keep
 glmnet's names where they differ from ours (``type_multinomial``), and
 ``family="cox"`` accepts glmnet's ``Surv``-style ``y`` — an (n, 2)
-``[time, status]`` array — or separate ``time=``/``event=`` keywords.
+``[time, status]`` array, or an (n, 3) ``[start, stop, status]`` array
+for the start-stop (counting-process) model — or separate
+``time=``/``event=`` keywords.
 
 Families: ``gaussian`` (lasso / elastic net on ``alpha``),
 ``binomial``, ``poisson``, ``multinomial``, ``mgaussian`` (multi-
@@ -27,17 +29,22 @@ _FAMILIES = ("gaussian", "binomial", "poisson", "multinomial",
 
 
 def _cox_args(y, time, event):
-    """Resolve (time, event) from glmnet's Surv-style ``y`` or
-    explicit keywords."""
+    """Resolve (time, event, start) from glmnet's Surv-style ``y``
+    — an (n, 2) ``[time, status]`` or an (n, 3) ``[start, stop,
+    status]`` (the start-stop / counting-process model) — or explicit
+    keywords."""
     if time is not None:
         if event is None:
             raise ValueError("pass event= together with time=")
-        return time, event
+        return time, event, None
     yz = np.asarray(y, np.float64)
-    if yz.ndim != 2 or yz.shape[1] != 2:
-        raise ValueError("family='cox' needs y as an (n, 2) "
-                         "[time, status] array or time=/event=")
-    return yz[:, 0], yz[:, 1]
+    if yz.ndim == 2 and yz.shape[1] == 2:
+        return yz[:, 0], yz[:, 1], None
+    if yz.ndim == 2 and yz.shape[1] == 3:
+        return yz[:, 1], yz[:, 2], yz[:, 0]
+    raise ValueError("family='cox' needs y as an (n, 2) [time, status]"
+                     " or (n, 3) [start, stop, status] array, or "
+                     "time=/event=")
 
 
 def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
@@ -82,7 +89,9 @@ def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
             **kw)
     if family == "mgaussian":
         return multitask_lasso_path(X, y, alpha=alpha, **kw)
-    t, d = _cox_args(y, time, event)
+    t, d, st = _cox_args(y, time, event)
+    if st is not None:
+        kw.setdefault("start", st)
     return cox_lasso_path(X, t, d, alpha=alpha, **kw)
 
 
@@ -158,5 +167,7 @@ def cv_glmnet(X, y=None, family: str = "gaussian", *,
             **kw)
     if family == "mgaussian":
         return cv_multitask_lasso_path(X, y, alpha=alpha, **kw)
-    t, d = _cox_args(y, time, event)
+    t, d, st = _cox_args(y, time, event)
+    if st is not None:
+        kw.setdefault("start", st)
     return cv_cox_path(X, t, d, alpha=alpha, **kw)

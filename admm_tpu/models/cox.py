@@ -106,7 +106,30 @@ def _strata_prep(t_np, strata):
     return order, ss, jnp.asarray(seg_first), jnp.asarray(seg_last)
 
 
-def _cox_grad_eta(eta, d, first, last, n, w=None, seg=None):
+def _startstop_prep(stops_sorted, starts_sorted):
+    """Host prep for the START-STOP risk sets (rows already sorted
+    stop-DESCENDING): the three static index arrays of
+    ``_cox_grad_eta``'s ``ext`` —
+
+    * ``perm_s``: the start-descending permutation (for the second
+      prefix sum),
+    * ``b_idx[i] = #{j: start_j >= stop_i}`` (rows not yet entered at
+      t_i — subtracted from the risk-set sum),
+    * ``sidx[i]`` = first stop-desc position k with
+      ``stop_k <= start_i`` (events at or before row i's entry —
+      subtracted from its event sum).
+    """
+    n = stops_sorted.shape[0]
+    perm_s = np.argsort(-starts_sorted, kind="stable")
+    asc = np.sort(starts_sorted)
+    b_idx = n - np.searchsorted(asc, stops_sorted, side="left")
+    sidx = np.searchsorted(-stops_sorted, -starts_sorted, side="left")
+    return (jnp.asarray(perm_s.astype(np.int32)),
+            jnp.asarray(b_idx.astype(np.int32)),
+            jnp.asarray(sidx.astype(np.int32)))
+
+
+def _cox_grad_eta(eta, d, first, last, n, w=None, seg=None, ext=None):
     """Breslow partial-likelihood gradient in eta (sorted-desc order),
     scaled 1/n: ``(e^{eta_i} G_i - d_i)/n`` with
     ``G_i = sum_{events k: t_k <= t_i} d_k / S_k`` via one prefix and
@@ -123,7 +146,19 @@ def _cox_grad_eta(eta, d, first, last, n, w=None, seg=None):
     row's stratum block in the (stratum-major, time-descending) sort —
     the cumsums become SEGMENTED (risk sets never cross a stratum
     boundary) by subtracting the running sum at the block edge; the
-    unstratified case is exactly ``seg=None`` (one block)."""
+    unstratified case is exactly ``seg=None`` (one block).
+
+    ``ext`` (START-STOP / counting-process cox, glmnet's
+    ``Surv(start, stop, event)``): a ``(perm_s, b_idx, sidx)`` triple
+    of host-precomputed STATIC index arrays making the interval risk
+    set ``R(t) = {j: start_j < t <= stop_j}`` two extra gathers:
+    ``S(t_i) = A(t_i) - B(t_i)`` where A is the usual stop-descending
+    prefix sum and ``B(t_i) = sum_{start_j >= t_i} w_j e^{eta_j}``
+    reads a second cumsum (rows permuted start-descending by
+    ``perm_s``) at ``b_idx[i]``; the gradient's event sum subtracts
+    the events at or before each row's entry,
+    ``G_j = C(stop_j) - C(start_j)`` with ``C(start_j)`` the suffix
+    sum read at ``sidx[j]``.  Mutually exclusive with ``seg``."""
     ee = jnp.exp(jnp.minimum(eta, 30.0))
     dd = d
     if w is not None:
@@ -135,22 +170,29 @@ def _cox_grad_eta(eta, d, first, last, n, w=None, seg=None):
     else:
         cs0 = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
         S = cs0[last + 1] - cs0[seg[0]]
+    if ext is not None:
+        perm_s, b_idx, sidx = ext
+        cs_s = jnp.cumsum(ee[perm_s])        # start-descending order
+        cs_s0 = jnp.concatenate([jnp.zeros((1,), cs_s.dtype), cs_s])
+        S = S - cs_s0[b_idx]                 # drop not-yet-entered rows
     # dd > 0 implies S >= w_i e^{eta_i} > 0; positions with dd = 0
     # contribute nothing — the guard makes an all-zero-weight risk-set
     # tail (weight-zero CV fold lanes) an exact 0 instead of 0/0.
     q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
     rc = jnp.cumsum(q[::-1])[::-1]           # suffix sum of w_k d_k/S_k
-    if seg is None:
+    rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
+    if ext is not None:
+        G = rc0[first] - rc0[ext[2]]         # events in (start_j, stop_j]
+    elif seg is None:
         G = rc[first]
     else:
-        rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
         G = rc0[first] - rc0[seg[1] + 1]
     return (ee * G - dd) / n
 
 
 def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
              fixed_minv=None, pf=None, bounds=None, off=None, w=None,
-             seg=None):
+             seg=None, ext=None):
     """``fixed_minv`` None => the ADAPTIVE majorizer: the (p, p)
     inverse rides ``st.aux`` and is refreshed once per lambda from the
     warm-start iterate (see _cox_path) — ``V_k <= diag(pi_k)`` gives
@@ -167,7 +209,7 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
             eta = dot(Xs, b)
             if off is not None:
                 eta = eta + off
-            g = _cox_grad_eta(eta, d, first, last, n, w, seg)
+            g = _cox_grad_eta(eta, d, first, last, n, w, seg, ext)
             grad = dot(Xs.T, g) + st.rho * (b - v)
             return b - dot(Minv, grad)
 
@@ -203,8 +245,8 @@ def _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
                                    "path_mode", "newton_steps"))
 def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
               rho0, maxit, eps_abs, eps_rel, alpha, pf=None, limits=None,
-              w=None, off=None, seg=None, *, standardize_x, path_mode,
-              newton_steps):
+              w=None, off=None, seg=None, ext=None, *, standardize_x,
+              path_mode, newton_steps):
     from ..data.standardize import _guard
 
     n, p = X.shape
@@ -235,7 +277,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
 
     # Grid top: gradient of the null model (eta = offset, or 0).
     eta0 = jnp.zeros((n,), dtype) if off is None else off
-    g0 = _cox_grad_eta(eta0, d, first, last, n, w, seg)
+    g0 = _cox_grad_eta(eta0, d, first, last, n, w, seg, ext)
     if user_lams is None:
         scores = jnp.abs(dot(Xs.T, g0))
         if pf is not None:
@@ -276,12 +318,18 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         else:
             cs0 = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
             S = cs0[last + 1] - cs0[seg[0]]
+        if ext is not None:
+            cs_s = jnp.cumsum(ee[ext[0]])
+            cs_s0 = jnp.concatenate([jnp.zeros((1,), cs_s.dtype), cs_s])
+            S = S - cs_s0[ext[1]]
         q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
         rc = jnp.cumsum(q[::-1])[::-1]
-        if seg is None:
+        rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
+        if ext is not None:
+            G = rc0[first] - rc0[ext[2]]
+        elif seg is None:
             G = rc[first]
         else:
-            rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
             G = rc0[first] - rc0[seg[1] + 1]
         wm = ee * G
         H = dot(Xs.T * wm[None, :], Xs) / n
@@ -300,7 +348,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         H_fix = (d_total / (2.0 * n)) * dot(Xs.T, Xs)
         Minv = ridge_inverse(H_fix, rho)
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       Minv, pf, bounds, off, w, seg)
+                       Minv, pf, bounds, off, w, seg, ext)
         solve = make_batched_solver(make_admm_solver(ops,
                                                      adapt_rho=False))
         st = _batched_cold_states(lams.shape[0], p, rho, lams, dtype)
@@ -315,7 +363,7 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
         from ..core.engine import warm_start
 
         ops = _cox_ops(Xs, d, first, last, n, p, alpha, newton_steps,
-                       None, pf, bounds, off, w, seg)
+                       None, pf, bounds, off, w, seg, ext)
         solve = make_admm_solver(ops, adapt_rho=False)
         st0 = make_state(zeros, zeros, zeros, rho, lams[0],
                          aux=majorizer_inv(zeros), dtype=dtype)
@@ -336,8 +384,8 @@ def _cox_path(X, d, first, last, nlambda, lambda_min_ratio, user_lams,
                                    "newton_steps"))
 def _cox_fold_coefs(X, d, first, last, lams, masks, rho, maxit,
                     eps_abs, eps_rel, alpha, pf=None, limits=None,
-                    w=None, off=None, seg=None, *, standardize_x,
-                    path_mode, newton_steps):
+                    w=None, off=None, seg=None, ext=None, *,
+                    standardize_x, path_mode, newton_steps):
     """Jitted ONE-PROGRAM CV fold sweep (the cox analog of
     models/cv.py::_glm_fold_etas): fold f is the weighted path with
     weight 0 on its held-out rows — zero-weight rows drop out of the
@@ -349,7 +397,7 @@ def _cox_fold_coefs(X, d, first, last, lams, masks, rho, maxit,
         wf = mask if w is None else mask * w
         res = _cox_path(X, d, first, last, 2, 1e-2, lams, rho, maxit,
                         eps_abs, eps_rel, alpha, pf, limits, wf, off,
-                        seg,
+                        seg, ext,
                         standardize_x=standardize_x,
                         path_mode=path_mode, newton_steps=newton_steps)
         return res.coef
@@ -369,6 +417,7 @@ def cox_lasso_path(X, time, event, *,
                    weights: Optional[jnp.ndarray] = None,
                    offset: Optional[jnp.ndarray] = None,
                    strata: Optional[np.ndarray] = None,
+                   start: Optional[np.ndarray] = None,
                    dtype=jnp.float32) -> CoxPathResult:
     """Solve the L1/elastic-net Cox partial-likelihood path.
 
@@ -407,6 +456,17 @@ def cox_lasso_path(X, time, event, *,
     structure as the unstratified path).  One stratum reduces exactly
     to the unstratified fit (tested); ``cv_cox_path`` and
     :func:`admm_tpu.survfit_cox` accept the same argument.
+
+    ``start`` (glmnet's ``Surv(start, stop, event)`` — the START-STOP
+    / counting-process model, e.g. left truncation or time-varying
+    covariates as row episodes): ``time`` becomes the interval END and
+    the risk set at an event time t is ``{j: start_j < t <= stop_j}``.
+    TPU-native realization: the interval membership decomposes as
+    ``S(t) = sum_{stop_j >= t} - sum_{start_j >= t}`` — one extra
+    prefix sum (rows permuted start-descending) plus two
+    host-precomputed static gathers; ``start=None`` (all rows at risk
+    from the origin) is exactly the right-censored model (tested).
+    Not combinable with ``strata`` yet.
     """
     X_np = np.asarray(X)
     t_np = np.asarray(time, np.float64).ravel()
@@ -429,10 +489,21 @@ def cox_lasso_path(X, time, event, *,
     # With strata (glmnet's stratifySurv): stratum-major sort, tie
     # groups and risk sets confined to each stratum block (segmented
     # cumsums in _cox_grad_eta).
-    seg = None
+    seg = ext = None
+    if start is not None and strata is not None:
+        raise NotImplementedError("strata with start-stop data is not "
+                                  "supported yet")
     if strata is None:
         order = np.argsort(-t_np, kind="stable")
         first, last = _tie_groups(t_np[order])
+        if start is not None:
+            st_np = np.asarray(start, np.float64).ravel()
+            if st_np.shape != (n,):
+                raise ValueError("start must have one entry per row")
+            if np.any(st_np >= t_np):
+                raise ValueError("start must be < time (the interval "
+                                 "(start, stop] must be nonempty)")
+            ext = _startstop_prep(t_np[order], st_np[order])
     else:
         order, ss, seg_first, seg_last = _strata_prep(t_np, strata)
         first, last = _tie_groups(t_np[order], ss)
@@ -462,18 +533,41 @@ def cox_lasso_path(X, time, event, *,
                                     dtype)
     return _cox_path(Xj, dj, first, last, int(nlambda),
                      lambda_min_ratio, lams, rho, maxit, eps_abs,
-                     eps_rel, alpha, pf, limits, wj, offj, seg,
+                     eps_rel, alpha, pf, limits, wj, offj, seg, ext,
                      standardize_x=standardize,
                      path_mode=path_mode,
                      newton_steps=int(newton_steps))
 
 
-def _breslow_pl(X, t, d, coefs, w=None, off=None, strata=None):
+def _breslow_pl(X, t, d, coefs, w=None, off=None, strata=None,
+                start=None):
     """Breslow log partial likelihood per path point ((L,) numpy):
     ``sum_{events i} w_i [eta_i - log sum_{t_j >= t_i} w_j e^{eta_j}]``
     (weights/offset optional, matching the solver's weighted
     likelihood).  With ``strata`` the stratified PL is the SUM of the
-    per-stratum PLs at the shared coefficients."""
+    per-stratum PLs at the shared coefficients.  With ``start`` the
+    risk sets are the intervals ``start_j < t_i <= stop_j`` (an O(n^2)
+    mask — this is the host-side CV scorer, not the solver)."""
+    if start is not None:
+        X = np.asarray(X, np.float64)
+        t = np.asarray(t, np.float64).ravel()
+        d = np.asarray(d, np.float64).ravel()
+        st = np.asarray(start, np.float64).ravel()
+        C = np.asarray(coefs, np.float64)
+        ws = np.ones_like(d) if w is None \
+            else np.asarray(w, np.float64).ravel()
+        eta = C @ X.T                               # (L, n)
+        if off is not None:
+            eta = eta + np.asarray(off, np.float64).ravel()[None, :]
+        m = eta.max(axis=1, keepdims=True)
+        ee = ws[None, :] * np.exp(eta - m)          # (L, n)
+        ev = d > 0
+        # R[i, j] = row j at risk at event time t_i.
+        R = (st[None, :] < t[ev][:, None]) & (t[None, :] >= t[ev][:, None])
+        S = ee @ R.T                                # (L, n_ev)
+        logS = np.log(S) + m
+        return ((ws * d)[ev][None, :]
+                * (eta[:, ev] - logS)).sum(axis=1)
     if strata is not None:
         s_np = np.asarray(strata).ravel()
         out = 0.0
@@ -553,16 +647,23 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     w = path_kw.pop("weights", None)
     off = path_kw.pop("offset", None)
     strata = path_kw.pop("strata", None)
+    start = path_kw.pop("start", None)
     fold_mesh = path_kw.pop("fold_mesh", None)
     w = None if w is None else np.asarray(w, np.float64).ravel()
     off = None if off is None else np.asarray(off, np.float64).ravel()
     strata = None if strata is None else np.asarray(strata).ravel()
+    start = None if start is None else np.asarray(start,
+                                                  np.float64).ravel()
+    if start is not None and type_measure == "C":
+        raise ValueError("type_measure='C' is not defined for "
+                         "start-stop data; use 'deviance'")
 
     def sub(v, m):
         return None if v is None else v[m]
 
     full = cox_lasso_path(X, t, d, nlambda=nlambda, weights=w,
-                          offset=off, strata=strata, **path_kw)
+                          offset=off, strata=strata, start=start,
+                          **path_kw)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
@@ -571,10 +672,12 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
         # One-program fold sweep: replicate the driver's host prep
         # (time-descending sort + tie groups) once, mask per fold.
         dtype = path_kw.get("dtype", jnp.float32)
-        seg = None
+        seg = ext = None
         if strata is None:
             order = np.argsort(-t, kind="stable")
             first, last = _tie_groups(t[order])
+            if start is not None:
+                ext = _startstop_prep(t[order], start[order])
         else:
             order, ss, seg_first, seg_last = _strata_prep(t, strata)
             first, last = _tie_groups(t[order], ss)
@@ -598,7 +701,7 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
             path_kw.get("alpha", 1.0), pf, limits,
             None if w is None else jnp.asarray(w[order], dtype),
             None if off is None else jnp.asarray(off[order], dtype),
-            seg,
+            seg, ext,
             standardize_x=path_kw.get("standardize", True),
             path_mode=path_kw.get("path_mode", "scan"),
             newton_steps=int(path_kw.get("newton_steps", 2))),
@@ -618,7 +721,8 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
         else:
             rf = cox_lasso_path(X[tr], t[tr], d[tr], lambdas=lams,
                                 weights=sub(w, tr), offset=sub(off, tr),
-                                strata=sub(strata, tr), **path_kw)
+                                strata=sub(strata, tr),
+                                start=sub(start, tr), **path_kw)
         if preval is not None:
             ev = X[va] @ np.asarray(rf.coef).T           # (n_va, L)
             if off is not None:
@@ -640,11 +744,11 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
                               else (w[va] * d[va]).sum())
         else:
             pl_full = _breslow_pl(X, t, d, np.asarray(rf.coef), w, off,
-                                  strata)
+                                  strata, start)
             pl_tr = _breslow_pl(X[tr], t[tr], d[tr],
                                 np.asarray(rf.coef),
                                 sub(w, tr), sub(off, tr),
-                                sub(strata, tr))
+                                sub(strata, tr), sub(start, tr))
             cvraw[f] = -2.0 * (pl_full - pl_tr)
 
     if type_measure == "C":
@@ -677,7 +781,7 @@ class SurvFit(NamedTuple):
 
 def survfit_cox(result, X, time, event, *, Xnew=None, lam=None,
                 weights=None, offset=None, newoffset=None,
-                strata=None, newstrata=None):
+                strata=None, newstrata=None, start=None):
     """Survival curves from a fitted Cox path (glmnet's
     ``survfit.coxnet``): the Breslow baseline cumulative hazard is
     estimated from the TRAINING data (``X``/``time``/``event`` — the
@@ -749,6 +853,19 @@ def survfit_cox(result, X, time, event, *, Xnew=None, lam=None,
     if offset is not None:
         eta = eta + np.asarray(offset, np.float64).ravel()
 
+    if start is not None:
+        st = np.asarray(start, np.float64).ravel()
+        t_ev, H0 = _survfit_baseline_startstop(t, d, w, eta, st)
+        Xn = X if Xnew is None else np.asarray(Xnew, np.float64)
+        eta_new = Xn @ beta
+        if newoffset is not None:
+            eta_new = eta_new + np.asarray(newoffset,
+                                           np.float64).ravel()
+        elif Xnew is None and offset is not None:
+            eta_new = eta_new + np.asarray(offset, np.float64).ravel()
+        return SurvFit(time=t_ev, cumhaz=H0,
+                       surv=np.exp(-np.outer(H0, np.exp(eta_new))))
+
     order = np.argsort(t, kind="stable")             # ASCENDING
     ts, ds, ws = t[order], d[order], w[order]
     ee = ws * np.exp(eta[order])
@@ -773,3 +890,19 @@ def survfit_cox(result, X, time, event, *, Xnew=None, lam=None,
         eta_new = eta_new + np.asarray(offset, np.float64).ravel()
     surv = np.exp(-np.outer(H0, np.exp(eta_new)))
     return SurvFit(time=t_ev, cumhaz=H0, surv=surv)
+
+
+def _survfit_baseline_startstop(t, d, w, eta, start):
+    """Breslow baseline cumulative hazard under START-STOP risk sets
+    (left truncation): H0 over ascending event times with
+    ``S(t) = sum_{start_j < t <= stop_j} w_j e^{eta_j}`` (host O(n^2)
+    mask — estimation-time only)."""
+    ee = w * np.exp(eta)
+    ev = d > 0
+    t_ev = np.unique(t[ev])
+    if t_ev.size == 0:
+        raise ValueError("no events in the training data")
+    R = (start[None, :] < t_ev[:, None]) & (t[None, :] >= t_ev[:, None])
+    S = R @ ee                                      # (T,)
+    dsum = np.array([(w * d)[t == tk].sum() for tk in t_ev])
+    return t_ev, np.cumsum(dsum / S)

@@ -392,3 +392,92 @@ def test_stratified_cox():
     for sv, f in sf.items():
         assert np.all(np.diff(f.surv, axis=0) <= 1e-12)
         assert f.surv.shape[1] == int((strata == sv).sum())
+
+
+def test_startstop_cox():
+    """glmnet's Surv(start, stop, event) counting-process model:
+    interval risk sets via static gathers. Pinned by (a) start=0 ==
+    right-censored exactly, (b) KKT against an explicit interval
+    risk-set loop, (c) left truncation actually changes the fit,
+    (d) CV onepass == loop, (e) survfit baseline vs a loop,
+    (f) (n, 3) Surv front door."""
+    from admm_tpu.glmnet import cv_glmnet, glmnet
+    from admm_tpu.models.cox import (cv_cox_path, cox_lasso_path,
+                                     survfit_cox)
+
+    rng = np.random.default_rng(77)
+    n, p = 150, 6
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.7, -0.5], np.zeros(p - 2)])
+    stop = rng.exponential(np.exp(-(X @ b))) + 0.05
+    d = (rng.uniform(size=n) < 0.75).astype(float)
+    start = stop * rng.uniform(0.0, 0.8, n)
+
+    # (a) start = 0 reduces exactly.
+    r0 = cox_lasso_path(X, stop, d, nlambda=5, eps_abs=1e-7,
+                        eps_rel=1e-7)
+    rz = cox_lasso_path(X, stop, d, start=np.zeros(n), nlambda=5,
+                        eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_array_equal(np.asarray(rz.coef),
+                                  np.asarray(r0.coef))
+
+    # (b) KKT at convergence vs explicit interval loops.
+    lam = 0.03
+    r = cox_lasso_path(X, stop, d, start=start,
+                       lambdas=np.array([lam]), standardize=False,
+                       eps_abs=1e-8, eps_rel=1e-8)
+    coef = np.asarray(r.coef, np.float64)[0]
+    ee = np.exp(X @ coef)
+    g = np.zeros(n)
+    for i in range(n):
+        G = sum(1.0 / ee[(start < stop[k]) & (stop >= stop[k])].sum()
+                for k in range(n)
+                if d[k] > 0 and start[i] < stop[k] <= stop[i])
+        g[i] = ee[i] * G - d[i]
+    grad = X.T @ g / n
+    act = np.abs(coef) > 1e-6
+    np.testing.assert_allclose(grad[act], -lam * np.sign(coef[act]),
+                               atol=5e-4)
+    assert np.all(np.abs(grad[~act]) <= lam * (1 + 1e-3))
+
+    # (c) ignoring the truncation gives a DIFFERENT fit.
+    r_naive = cox_lasso_path(X, stop, d, lambdas=np.array([lam]),
+                             standardize=False, eps_abs=1e-8,
+                             eps_rel=1e-8)
+    assert np.abs(coef - np.asarray(r_naive.coef)[0]).max() > 1e-3
+
+    # (d) CV onepass == loop.
+    a = cv_cox_path(X, stop, d, start=start, nfolds=3, nlambda=5,
+                    seed=0, cv_mode="onepass", eps_abs=1e-7,
+                    eps_rel=1e-7)
+    b_ = cv_cox_path(X, stop, d, start=start, nfolds=3, nlambda=5,
+                     seed=0, cv_mode="loop", eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(a.cvm, b_.cvm, rtol=5e-4)
+    with pytest.raises(ValueError, match="start-stop"):
+        cv_cox_path(X, stop, d, start=start, nlambda=4,
+                    type_measure="C")
+
+    # (e) survfit: baseline hazard vs an explicit loop.
+    sf = survfit_cox(r, X, stop, d, start=start)
+    acc, H_ref = 0.0, []
+    for tk in sf.time:
+        S = ee[(start < tk) & (stop >= tk)].sum()
+        acc += d[stop == tk].sum() / S
+        H_ref.append(acc)
+    np.testing.assert_allclose(sf.cumhaz, H_ref, rtol=1e-10)
+
+    # (f) (n, 3) Surv-style y through the front doors.
+    y3 = np.c_[start, stop, d]
+    rf = glmnet(X, y3, "cox", lambdas=np.array([lam]),
+                standardize=False, eps_abs=1e-8, eps_rel=1e-8)
+    np.testing.assert_array_equal(np.asarray(rf.coef),
+                                  np.asarray(r.coef))
+    cvf = cv_glmnet(X, y3, "cox", nfolds=3, nlambda=5, seed=0)
+    np.testing.assert_allclose(cvf.cvm, a.cvm, rtol=1e-5)
+
+    # Validation.
+    with pytest.raises(ValueError, match="nonempty"):
+        cox_lasso_path(X, stop, d, start=stop, nlambda=4)
+    with pytest.raises(NotImplementedError):
+        cox_lasso_path(X, stop, d, start=start,
+                       strata=np.zeros(n), nlambda=4)
