@@ -588,3 +588,97 @@ def checkpointed_multinomial_path(
     beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
     return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
                         niter=niter)
+
+
+def checkpointed_cox_path(
+        X, time, event, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        alpha: float = 1.0, standardize: bool = True,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, newton_steps: int = 2, weights=None,
+        offset=None, strata=None, start=None, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """Cox partial-likelihood lambda path in resumable chunks — the
+    warm-started scan with the per-lambda adaptive majorizer
+    (models/cox.py), chunked via ``_scan_path``'s refresh hook so the
+    checkpointed run equals the one-shot scan.  The sorted times (which
+    define the risk sets), weights, offset, strata codes and entry
+    times all enter the fingerprint."""
+    from ..core.engine import make_admm_solver, make_state
+    from ..models.cox import (CoxPathResult, _cox_majorizer_inv,
+                              _cox_ops, _cox_standardize,
+                              _startstop_prep, _strata_prep,
+                              _tie_groups)
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X_np = np.asarray(X, np.float64)
+    t_np = np.asarray(time, np.float64).ravel()
+    d_np = np.asarray(event, np.float64).ravel()
+    n, p = X_np.shape
+    if start is not None and strata is not None:
+        raise NotImplementedError("strata with start-stop data is not "
+                                  "supported yet")
+    seg = ext = None
+    extra = []
+    if strata is None:
+        order = np.argsort(-t_np, kind="stable")
+        first, last = _tie_groups(t_np[order])
+        tag = "cox"
+        if start is not None:
+            st_np = np.asarray(start, np.float64).ravel()
+            if np.any(st_np >= t_np):
+                raise ValueError("start must be < time")
+            ext = _startstop_prep(t_np[order], st_np[order])
+            extra.append(jnp.asarray(st_np[order], dtype))
+            tag = "cox-startstop"
+    else:
+        order, ss, seg_first, seg_last = _strata_prep(t_np, strata)
+        first, last = _tie_groups(t_np[order], ss)
+        seg = (seg_first, seg_last)
+        extra.append(jnp.asarray(ss.astype(np.float64), dtype))
+        tag = "cox-strata"
+    Xj = jnp.asarray(X_np[order], dtype)
+    dj = jnp.asarray(d_np[order], dtype)
+    extra.insert(0, jnp.asarray(t_np[order], dtype))
+    w = off = None
+    if weights is not None:
+        w = jnp.asarray(np.asarray(weights, np.float64).ravel()[order],
+                        dtype)
+        w = w * (n / jnp.sum(w))
+        extra.append(w)
+    if offset is not None:
+        off = jnp.asarray(np.asarray(offset, np.float64).ravel()[order],
+                          dtype)
+        extra.append(off)
+    wc = jnp.ones((n,), dtype) if w is None else w
+    Xs, sd_x = _cox_standardize(Xj, wc, n, standardize)
+    rho_j = jnp.where(rho > 0, jnp.asarray(rho, dtype),
+                      jnp.asarray(0.5, dtype))
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+
+    ops = _cox_ops(Xs, dj, first, last, n, p, alpha, int(newton_steps),
+                   None, None, None, off, w, seg, ext)
+    solve = make_admm_solver(ops, adapt_rho=False)
+
+    def refresh(b):
+        return _cox_majorizer_inv(b, Xs, dj, first, last, n, rho_j, w,
+                                  off, seg, ext)
+
+    zeros = jnp.zeros((p,), dtype)
+    st0 = make_state(zeros, zeros, zeros, rho_j, lams[0],
+                     aux=refresh(zeros), dtype=dtype)
+    fp = _fingerprint(Xs, dj, lams, alpha, maxit, eps_abs, eps_rel,
+                      rho, standardize, False, False,
+                      model=f"{tag}-ns{int(newton_steps)}",
+                      extra_arrays=tuple(extra))
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, (lambda s: s.z), il, m, ea, er,
+        refresh=refresh)[:3])
+    out = _chunked_scan(st0, segment, lams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs_s, niter = out
+    return CoxPathResult(lambdas=lams, coef=coefs_s / sd_x[None, :],
+                         niter=niter)

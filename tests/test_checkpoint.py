@@ -4,6 +4,8 @@ The reference's only resume primitive is the in-process warm start
 (reference: src/ADMMLassoTall.h:219-230); here the same chain is cut at
 chunk boundaries and persisted, so a killed run resumes bit-exactly.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -441,3 +443,47 @@ def test_multitask_and_multinomial_crash_and_resume(tmp_path):
         checkpointed_multinomial_path(X, ylab, lambdas=lamsn,
                                       checkpoint=ck2 + ".3",
                                       chunk_size=4, grouped=True)
+
+
+def test_cox_crash_and_resume_identical(tmp_path):
+    """Cox checkpoint: crash-resume bit-exactness, agreement with the
+    plain scan path, and the start-stop variant; risk-set-defining
+    times are fingerprinted."""
+    from admm_tpu.diag.checkpoint import checkpointed_cox_path
+    from admm_tpu.models.cox import cox_lasso_path
+
+    rng = np.random.default_rng(21)
+    n, p = 120, 8
+    X = rng.normal(size=(n, p))
+    b = np.concatenate([[0.8, -0.6], np.zeros(p - 2)])
+    t = rng.exponential(np.exp(-(X @ b)))
+    d = (rng.uniform(size=n) < 0.75).astype(float)
+    lams = np.exp(np.linspace(np.log(0.2), np.log(0.01), 8))
+    for kw in ({}, {"start": t * rng.uniform(0, 0.7, n)}):
+        ck = str(tmp_path / f"cox{len(kw)}.npz")
+        out = checkpointed_cox_path(X, t, d, lambdas=lams,
+                                    checkpoint=ck, chunk_size=3,
+                                    _stop_after_chunks=1, **kw)
+        assert out is None and os.path.exists(ck)
+        res = checkpointed_cox_path(X, t, d, lambdas=lams,
+                                    checkpoint=ck, chunk_size=3, **kw)
+        ck2 = str(tmp_path / f"cox{len(kw)}-full.npz")
+        full = checkpointed_cox_path(X, t, d, lambdas=lams,
+                                     checkpoint=ck2, chunk_size=3, **kw)
+        np.testing.assert_array_equal(np.asarray(res.coef),
+                                      np.asarray(full.coef))
+        np.testing.assert_array_equal(np.asarray(res.niter),
+                                      np.asarray(full.niter))
+        plain = cox_lasso_path(X, t, d, lambdas=lams, **kw)
+        np.testing.assert_allclose(np.asarray(res.coef),
+                                   np.asarray(plain.coef), atol=1e-5)
+    # Different survival times (same X, d) must be refused — the
+    # sorted times define the risk sets and enter the fingerprint.
+    ck = str(tmp_path / "cox-partial.npz")
+    checkpointed_cox_path(X, t, d, lambdas=lams, checkpoint=ck,
+                          chunk_size=3, _stop_after_chunks=1)
+    t2 = t.copy()
+    t2[0] *= 2.0
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_cox_path(X, t2, d, lambdas=lams, checkpoint=ck,
+                              chunk_size=3)
