@@ -51,7 +51,7 @@ def _binomial_dev(eta, y):
 def assess(result, X, y, *, family: str = "gaussian",
            weights: Optional[np.ndarray] = None,
            lam=None, eta=None,
-           time=None, event=None) -> dict:
+           time=None, event=None, strata=None, start=None) -> dict:
     """Every applicable performance measure of a fitted path on test
     data (glmnet's ``assess.glmnet``).
 
@@ -104,17 +104,26 @@ def assess(result, X, y, *, family: str = "gaussian",
 
         if time is None:
             yz = np.asarray(y, np.float64)
-            if yz.ndim != 2 or yz.shape[1] != 2:
+            if yz.ndim == 2 and yz.shape[1] == 3:
+                # Surv(start, stop, status) columns.
+                start, time, event = yz[:, 0], yz[:, 1], yz[:, 2]
+            elif yz.ndim == 2 and yz.shape[1] == 2:
+                time, event = yz[:, 0], yz[:, 1]
+            else:
                 raise ValueError("cox assess needs time=/event= or y "
-                                 "as an (n, 2) [time, event] array")
-            time, event = yz[:, 0], yz[:, 1]
+                                 "as an (n, 2) [time, event] or (n, 3)"
+                                 " [start, stop, event] array")
         t = np.asarray(time, np.float64).ravel()
         d = np.asarray(event, np.float64).ravel()
         C = np.asarray(result.coef, np.float64)
         lams = np.asarray(result.lambdas)
         etam = C @ np.asarray(X, np.float64).T
-        out = {"deviance": -2.0 * _breslow_pl(X, t, d, C),
-               "C": c_index(etam, t, d)}
+        out = {"deviance": -2.0 * _breslow_pl(X, t, d, C,
+                                              weights, None,
+                                              strata, start)}
+        if start is None:
+            # Harrell's C is undefined under left truncation.
+            out["C"] = c_index(etam, t, d)
         return cut(out)
 
     y = np.asarray(y, np.float64)

@@ -94,3 +94,28 @@ def plot_cv_curve(cv, ax=None):
         top.set_xticks(ticks)
         top.set_xticklabels([str(int(k)) for k in labels])
     return ax
+
+
+def plot_survfit(sf, ax=None, max_curves: int = 50):
+    """Step-plot survival curves from :func:`admm_tpu.survfit_cox`
+    (glmnet's ``plot(survfit(...))``): one step line per column of
+    ``sf.surv`` (at most ``max_curves``, evenly subsampled).  Accepts a
+    single :class:`SurvFit` or the dict a STRATIFIED fit returns (one
+    line style group per stratum)."""
+    ax = _get_ax(ax)
+    items = sf.items() if isinstance(sf, dict) else [(None, sf)]
+    for label, f in items:
+        t = np.asarray(f.time)
+        S = np.asarray(f.surv)
+        cols = np.linspace(0, S.shape[1] - 1,
+                           min(max_curves, S.shape[1])).astype(int)
+        for j, c in enumerate(np.unique(cols)):
+            ax.step(t, S[:, c], where="post", alpha=0.6,
+                    label=(f"stratum {label}" if label is not None
+                           and j == 0 else None))
+    ax.set_xlabel("time")
+    ax.set_ylabel("S(t | x)")
+    ax.set_ylim(0.0, 1.02)
+    if isinstance(sf, dict):
+        ax.legend()
+    return ax

@@ -481,3 +481,37 @@ def test_startstop_cox():
     with pytest.raises(NotImplementedError):
         cox_lasso_path(X, stop, d, start=start,
                        strata=np.zeros(n), nlambda=4)
+
+
+def test_assess_cox_strata_start_and_survfit_plot():
+    """assess() accepts strata/start (stratified / interval Breslow
+    deviance; C dropped under left truncation) and plot_survfit
+    renders both result shapes."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import admm_tpu
+    from admm_tpu.models.cox import _breslow_pl, survfit_cox
+
+    rng = np.random.default_rng(91)
+    n, p = 100, 5
+    X = rng.normal(size=(n, p))
+    t = rng.exponential(np.exp(-X[:, 0]))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    strata = rng.integers(0, 2, n)
+    r = cox_lasso_path(X, t, d, strata=strata, nlambda=4)
+    a = admm_tpu.assess(r, X, np.c_[t, d], strata=strata)
+    np.testing.assert_allclose(
+        a["deviance"],
+        -2.0 * _breslow_pl(X, t, d, np.asarray(r.coef),
+                           strata=strata))
+    start = t * rng.uniform(0, 0.5, n)
+    rs = cox_lasso_path(X, t, d, start=start, nlambda=4)
+    asur = admm_tpu.assess(rs, X, np.c_[start, t, d])
+    assert "C" not in asur and np.all(np.isfinite(asur["deviance"]))
+
+    from admm_tpu.plotting import plot_survfit
+    sf = survfit_cox(r, X, t, d, strata=strata, lam=float(r.lambdas[-1]))
+    plot_survfit(sf)
+    sfu = survfit_cox(rs, X, t, d, start=start,
+                      lam=float(rs.lambdas[-1]))
+    plot_survfit(sfu)
