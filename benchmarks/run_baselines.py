@@ -440,6 +440,37 @@ def bench_cv(fast):
              f"{vals['loop']:.1f} ms ({vals['loop']/vals['onepass']:.1f}"
              "x) — the one-pass fold sweep is 2 dispatches instead of "
              "11 (models/cv.py)")
+
+    # Cox CV: the round-3 one-pass extension (weight-zero Breslow
+    # lanes).  The loop mode refits per fold AND re-sorts/re-uploads
+    # per fold — same wall-time protocol as above.
+    from admm_tpu.models.cox import cv_cox_path
+
+    nc, pc = (2000, 200) if not fast else (800, 80)
+    rng = np.random.default_rng(123)
+    Xc = rng.normal(size=(nc, pc))
+    bc = np.zeros(pc)
+    bc[:10] = rng.uniform(0.5, 1.5, 10) * rng.choice([-1, 1], 10)
+    tc = rng.exponential(np.exp(-(Xc @ bc)))
+    dc = (rng.uniform(size=nc) < 0.7).astype(float)
+    nl = 10 if fast else 20
+    cvals = {}
+    for mode in ("onepass", "loop"):
+        cv_cox_path(Xc, tc, dc, nfolds=5, nlambda=nl, cv_mode=mode,
+                    seed=1)  # warm-up/compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cv_cox_path(Xc, tc, dc, nfolds=5, nlambda=nl, cv_mode=mode,
+                        seed=1)
+            ts.append((time.perf_counter() - t0) * 1e3)
+        cvals[mode] = float(np.median(ts))
+    out[f"cv_cox_path_{nc}x{pc}_onepass_ms"] = dict(
+        value=round(cvals["onepass"], 1), baseline_ms=None,
+        note=f"5-fold {nl}-lambda cox CV wall ms; host fold loop takes "
+             f"{cvals['loop']:.1f} ms "
+             f"({cvals['loop']/cvals['onepass']:.1f}x) — fold lanes as "
+             "weight-zero Breslow risk sets (models/cox.py)")
     return out
 
 
