@@ -515,3 +515,28 @@ def test_assess_cox_strata_start_and_survfit_plot():
     sfu = survfit_cox(rs, X, t, d, start=start,
                       lam=float(rs.lambdas[-1]))
     plot_survfit(sfu)
+
+
+def test_startstop_weights_equal_row_duplication():
+    """The strongest weighted-risk-set invariant: integer case weight k
+    under START-STOP risk sets equals repeating the row k times (ties
+    included) — exercises the weighted interval sums, the entry-time
+    subtractions and the tie groups together."""
+    rng = np.random.default_rng(3)
+    n, p = 60, 5
+    X = rng.normal(size=(n, p))
+    stop = rng.exponential(np.exp(-X[:, 0])) + 0.05
+    stop[10:13] = stop[10]
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    start = stop * rng.uniform(0, 0.7, n)
+    w = rng.integers(1, 4, n).astype(float)
+    lams = np.array([0.05, 0.02])
+    rw = cox_lasso_path(X, stop, d, start=start, weights=w,
+                        lambdas=lams, standardize=False,
+                        eps_abs=1e-8, eps_rel=1e-8)
+    idx = np.repeat(np.arange(n), w.astype(int))
+    rd = cox_lasso_path(X[idx], stop[idx], d[idx], start=start[idx],
+                        lambdas=lams, standardize=False,
+                        eps_abs=1e-8, eps_rel=1e-8)
+    np.testing.assert_allclose(np.asarray(rw.coef),
+                               np.asarray(rd.coef), atol=2e-6)
