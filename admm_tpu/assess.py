@@ -29,10 +29,12 @@ import numpy as np
 from .predict import predict
 
 
-def _eta_matrix(result, X, eta):
+def _eta_matrix(result, X, eta, offset=None):
     """Resolve the (L, m) linear-predictor matrix from either a path
     result + data or a user-supplied ``eta`` (e.g. a ``keep=True``
-    ``CVResult.fit_preval`` transposed)."""
+    ``CVResult.fit_preval`` transposed).  ``offset`` is glmnet's
+    ``newoffset`` (fits made with an offset score at eta = b0 + Xb +
+    offset)."""
     if eta is not None:
         eta = np.asarray(eta, np.float64)
         if eta.ndim != 2:
@@ -41,7 +43,7 @@ def _eta_matrix(result, X, eta):
         return eta
     if result is None or X is None:
         raise ValueError("pass either (result, X) or eta=")
-    return np.asarray(predict(result, X, type="link"))
+    return np.asarray(predict(result, X, type="link", offset=offset))
 
 
 def _binomial_dev(eta, y):
@@ -50,7 +52,7 @@ def _binomial_dev(eta, y):
 
 def assess(result, X, y, *, family: str = "gaussian",
            weights: Optional[np.ndarray] = None,
-           lam=None, eta=None,
+           lam=None, eta=None, offset=None,
            time=None, event=None, strata=None, start=None) -> dict:
     """Every applicable performance measure of a fitted path on test
     data (glmnet's ``assess.glmnet``).
@@ -117,12 +119,17 @@ def assess(result, X, y, *, family: str = "gaussian",
         d = np.asarray(event, np.float64).ravel()
         C = np.asarray(result.coef, np.float64)
         lams = np.asarray(result.lambdas)
-        etam = C @ np.asarray(X, np.float64).T
+        # glmnet's newoffset: a fit made with offset= must be scored at
+        # eta = Xb + offset.
         out = {"deviance": -2.0 * _breslow_pl(X, t, d, C,
-                                              weights, None,
+                                              weights, offset,
                                               strata, start)}
         if start is None:
             # Harrell's C is undefined under left truncation.
+            etam = C @ np.asarray(X, np.float64).T
+            if offset is not None:
+                etam = etam + np.asarray(offset,
+                                         np.float64).ravel()[None, :]
             out["C"] = c_index(etam, t, d)
         return cut(out)
 
@@ -147,7 +154,7 @@ def assess(result, X, y, *, family: str = "gaussian",
         }
         return cut(out)
 
-    etam = _eta_matrix(result, X, eta)
+    etam = _eta_matrix(result, X, eta, offset)
     lams = (np.asarray(result.lambdas) if result is not None
             else np.arange(etam.shape[0]))
 

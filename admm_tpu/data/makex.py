@@ -61,16 +61,37 @@ def make_x(train, test=None, *, na_impute: bool = False):
         if [n for n, _ in te_cols] != [n for n, _ in tr_cols]:
             raise ValueError("test must have the same columns as train")
 
+    def _as_numeric(col):
+        """A column is numeric when every NON-MISSING entry is a
+        number (a Python list with None arrives as dtype object — it
+        must still be treated as numeric-with-missing, not one-hot
+        encoded); numeric-LOOKING strings stay categorical, as in
+        glmnet's data-frame semantics.  Returns the float64 column
+        with NaNs for missing, or None if categorical."""
+        if col.dtype.kind in "fiub":
+            return col.astype(np.float64)
+        if col.dtype.kind != "O":
+            return None
+        out = np.empty(len(col), np.float64)
+        for i, v in enumerate(col):
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                out[i] = np.nan
+            elif isinstance(v, (int, float, np.integer, np.floating)) \
+                    and not isinstance(v, bool):
+                out[i] = float(v)
+            else:
+                return None
+        return out
+
     names: list = []
     tr_out: list = []
     te_out: list = []
     for j, (name, col) in enumerate(tr_cols):
         tcol = te_cols[j][1] if te_cols is not None else None
-        numeric = col.dtype.kind in "fiub" and \
-            (tcol is None or tcol.dtype.kind in "fiub")
+        v = _as_numeric(col)
+        vt = None if tcol is None else _as_numeric(tcol)
+        numeric = v is not None and (tcol is None or vt is not None)
         if numeric:
-            v = col.astype(np.float64)
-            vt = None if tcol is None else tcol.astype(np.float64)
             if na_impute:
                 mu = np.nanmean(v) if np.isfinite(v).any() else 0.0
                 v = np.where(np.isnan(v), mu, v)

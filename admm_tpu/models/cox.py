@@ -129,6 +129,48 @@ def _startstop_prep(stops_sorted, starts_sorted):
             jnp.asarray(sidx.astype(np.int32)))
 
 
+def _cox_risk_terms(eta, d, first, last, w=None, seg=None, ext=None):
+    """The shared Breslow risk-set computation behind the gradient AND
+    the adaptive majorizer (they must stay bit-identical for the MM
+    step to bound the true curvature): returns ``(ee, dd, G)`` with
+    ``ee = w e^eta``, ``dd = w d`` and ``G_i = sum over the events row
+    i is at risk for of dd_k / S_k`` — plain, segmented (strata) or
+    interval (start-stop) risk sets per ``seg``/``ext`` (see
+    :func:`_cox_grad_eta`).
+
+    Guard: for a dd>0 row the true S is >= its own term ee (the row is
+    at risk at its own event time), so S is floored at ee elementwise —
+    this also caps the f32 cancellation of the start-stop A - B
+    difference (two large cumsums) which could otherwise drive a
+    computed S to <= 0 and q to ~1e30."""
+    ee = jnp.exp(jnp.minimum(eta, 30.0))
+    dd = d
+    if w is not None:
+        ee = w * ee
+        dd = w * d
+    cs = jnp.cumsum(ee)
+    if seg is None:
+        S = cs[last]                         # risk-set sums, tie-aware
+    else:
+        cs0 = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
+        S = cs0[last + 1] - cs0[seg[0]]
+    if ext is not None:
+        cs_s = jnp.cumsum(ee[ext[0]])        # start-descending order
+        cs_s0 = jnp.concatenate([jnp.zeros((1,), cs_s.dtype), cs_s])
+        S = S - cs_s0[ext[1]]                # drop not-yet-entered rows
+    q = jnp.where(dd > 0,
+                  dd / jnp.maximum(S, jnp.maximum(ee, 1e-30)), 0.0)
+    rc = jnp.cumsum(q[::-1])[::-1]           # suffix sum of w_k d_k/S_k
+    rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
+    if ext is not None:
+        G = rc0[first] - rc0[ext[2]]         # events in (start_j, stop_j]
+    elif seg is None:
+        G = rc[first]
+    else:
+        G = rc0[first] - rc0[seg[1] + 1]
+    return ee, dd, G
+
+
 def _cox_grad_eta(eta, d, first, last, n, w=None, seg=None, ext=None):
     """Breslow partial-likelihood gradient in eta (sorted-desc order),
     scaled 1/n: ``(e^{eta_i} G_i - d_i)/n`` with
@@ -159,34 +201,7 @@ def _cox_grad_eta(eta, d, first, last, n, w=None, seg=None, ext=None):
     the events at or before each row's entry,
     ``G_j = C(stop_j) - C(start_j)`` with ``C(start_j)`` the suffix
     sum read at ``sidx[j]``.  Mutually exclusive with ``seg``."""
-    ee = jnp.exp(jnp.minimum(eta, 30.0))
-    dd = d
-    if w is not None:
-        ee = w * ee
-        dd = w * d
-    cs = jnp.cumsum(ee)
-    if seg is None:
-        S = cs[last]                         # risk-set sums, tie-aware
-    else:
-        cs0 = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
-        S = cs0[last + 1] - cs0[seg[0]]
-    if ext is not None:
-        perm_s, b_idx, sidx = ext
-        cs_s = jnp.cumsum(ee[perm_s])        # start-descending order
-        cs_s0 = jnp.concatenate([jnp.zeros((1,), cs_s.dtype), cs_s])
-        S = S - cs_s0[b_idx]                 # drop not-yet-entered rows
-    # dd > 0 implies S >= w_i e^{eta_i} > 0; positions with dd = 0
-    # contribute nothing — the guard makes an all-zero-weight risk-set
-    # tail (weight-zero CV fold lanes) an exact 0 instead of 0/0.
-    q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
-    rc = jnp.cumsum(q[::-1])[::-1]           # suffix sum of w_k d_k/S_k
-    rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
-    if ext is not None:
-        G = rc0[first] - rc0[ext[2]]         # events in (start_j, stop_j]
-    elif seg is None:
-        G = rc[first]
-    else:
-        G = rc0[first] - rc0[seg[1] + 1]
+    ee, dd, G = _cox_risk_terms(eta, d, first, last, w, seg, ext)
     return (ee * G - dd) / n
 
 
@@ -215,30 +230,7 @@ def _cox_majorizer_inv(b, Xs, d, first, last, n, rho, w=None, off=None,
     eta = dot(Xs, b)
     if off is not None:
         eta = eta + off
-    ee = jnp.exp(jnp.minimum(eta, 30.0))
-    dd = d
-    if w is not None:
-        ee = w * ee
-        dd = w * d
-    cs = jnp.cumsum(ee)
-    if seg is None:
-        S = cs[last]
-    else:
-        cs0 = jnp.concatenate([jnp.zeros((1,), cs.dtype), cs])
-        S = cs0[last + 1] - cs0[seg[0]]
-    if ext is not None:
-        cs_s = jnp.cumsum(ee[ext[0]])
-        cs_s0 = jnp.concatenate([jnp.zeros((1,), cs_s.dtype), cs_s])
-        S = S - cs_s0[ext[1]]
-    q = jnp.where(dd > 0, dd / jnp.maximum(S, 1e-30), 0.0)
-    rc = jnp.cumsum(q[::-1])[::-1]
-    rc0 = jnp.concatenate([rc, jnp.zeros((1,), rc.dtype)])
-    if ext is not None:
-        G = rc0[first] - rc0[ext[2]]
-    elif seg is None:
-        G = rc[first]
-    else:
-        G = rc0[first] - rc0[seg[1] + 1]
+    ee, _, G = _cox_risk_terms(eta, d, first, last, w, seg, ext)
     wm = ee * G
     H = dot(Xs.T * wm[None, :], Xs) / n
     return ridge_inverse(H, rho)
@@ -680,6 +672,9 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
     full = cox_lasso_path(X, t, d, nlambda=nlambda, weights=w,
                           offset=off, strata=strata, start=start,
                           **path_kw)
+    # The full fit consumed any user grid; the fold refits get the
+    # SHARED grid explicitly (a lambdas= left in path_kw would collide).
+    path_kw.pop("lambdas", None)
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 

@@ -456,10 +456,12 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
             raise ValueError("offset= here is the gaussian response "
                              "shift; GLM CV drivers take their own "
                              "offset argument")
-        off = np.asarray(offset, np.float64).ravel()
-        if off.shape != y.shape:
+        off_g = np.asarray(offset, np.float64).ravel()
+        if off_g.shape != y.shape:
             raise ValueError("offset must have one entry per row")
-        y = y - off
+        y = y - off_g
+    else:
+        off_g = None
     w = None if weights is None else np.asarray(weights,
                                                 np.float64).ravel()
     if w is not None and w.shape != (n,):
@@ -593,6 +595,11 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     lambda_min = float(lams[i_min])
     lambda_1se = float(lams[np.flatnonzero(within)[0]])  # grid is decreasing
 
+    if keep and off_g is not None:
+        # glmnet's buildPredmat: the prevalidated predictors carry the
+        # offset (the fits ran on y - offset; scoring fit_preval
+        # against the ORIGINAL y must reproduce cvm).
+        eta_all = eta_all + off_g[:, None]
     return CVResult(lambdas=lams, cvm=cvm, cvsd=cvsd,
                     lambda_min=lambda_min, lambda_1se=lambda_1se,
                     fit=full, foldid=foldid,
@@ -878,6 +885,7 @@ def cv_multinomial_path(X, y, *, nfolds: int = 10, seed: int = 0,
     fold_mesh = path_kw.pop("fold_mesh", None)
     full = multinomial_lasso_path(X, y, nlambda=nlambda, offset=off,
                                   weights=w, **path_kw)
+    path_kw.pop("lambdas", None)   # fold refits get the shared grid
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
@@ -992,6 +1000,7 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
     fold_mesh = path_kw.pop("fold_mesh", None)
     full = multitask_lasso_path(X, Y, nlambda=nlambda, offset=off,
                                 weights=w, **path_kw)
+    path_kw.pop("lambdas", None)   # fold refits get the shared grid
     lams = np.asarray(full.lambdas, np.float64)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 

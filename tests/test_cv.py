@@ -609,3 +609,40 @@ def test_keep_matrix_and_cox():
     cvc = cv_cox_path(X, t, d, nfolds=3, nlambda=5, seed=0, keep=True)
     assert cvc.fit_preval.shape == (n, 5)
     assert np.all(np.isfinite(cvc.fit_preval))
+
+
+def test_loop_cv_accepts_user_lambdas_and_keep_offset_scale():
+    """Review fixes: (a) loop-mode CV with an explicit lambdas= grid
+    must not crash on a duplicate keyword; (b) gaussian keep=True with
+    offset= returns fit_preval on the ORIGINAL scale (reproduces cvm
+    against the unshifted y)."""
+    from admm_tpu.models.cox import cv_cox_path
+    from admm_tpu.models.cv import (cv_multinomial_path,
+                                    cv_multitask_lasso_path)
+
+    rng = np.random.default_rng(17)
+    n, p = 100, 8
+    X = rng.normal(size=(n, p))
+    t = rng.exponential(np.exp(-X[:, 0]))
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    lams = np.array([0.2, 0.08, 0.03])
+    cv = cv_cox_path(X, t, d, nfolds=3, lambdas=lams, cv_mode="loop")
+    assert cv.cvm.shape == (3,)
+    y3 = rng.integers(0, 3, n)
+    cvm_ = cv_multinomial_path(X, y3, nfolds=3, lambdas=lams,
+                               cv_mode="loop")
+    assert cvm_.cvm.shape == (3,)
+    Y = X[:, :2] @ rng.normal(size=(2, 2)) + 0.2 * rng.normal(size=(n, 2))
+    cvt = cv_multitask_lasso_path(X, Y, nfolds=3, lambdas=lams,
+                                  cv_mode="loop")
+    assert cvt.cvm.shape == (3,)
+
+    off = rng.normal(size=n)
+    y = X[:, 0] + off + 0.2 * rng.normal(size=n)
+    cvk = cv_lasso_path(X, y, offset=off, keep=True, nfolds=3,
+                        nlambda=5)
+    # fit_preval is on the ORIGINAL scale: scoring against y itself
+    # reproduces cvm.
+    np.testing.assert_allclose(
+        ((cvk.fit_preval - y[:, None]) ** 2).mean(axis=0), cvk.cvm,
+        rtol=1e-6)
