@@ -48,7 +48,7 @@ def _cox_args(y, time, event):
 
 
 def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
-           type_multinomial: str = "ungrouped",
+           type_multinomial: str = "ungrouped", relax: bool = False,
            time=None, event=None, **kw):
     """Fit a regularization path for any family (glmnet's ``glmnet()``).
 
@@ -69,6 +69,17 @@ def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
 
     if family not in _FAMILIES:
         raise ValueError(f"family must be one of {_FAMILIES}")
+    if relax:
+        # glmnet's relax=TRUE: the de-biased (lambda, gamma) blend of
+        # each path point with its support's unpenalized refit.
+        from .models.relaxed import relaxed_lasso_path
+
+        if family != "gaussian":
+            raise ValueError("relax=True is implemented for "
+                             "family='gaussian'")
+        if alpha != 1.0:
+            kw.setdefault("alpha", alpha)
+        return relaxed_lasso_path(X, y, **kw)
     if family == "gaussian":
         if alpha == 1.0:
             return lasso_path(X, y, **kw)
@@ -131,7 +142,7 @@ def big_glm(X, y=None, family: str = "gaussian", *, weights=None,
 
 def cv_glmnet(X, y=None, family: str = "gaussian", *,
               alpha: float = 1.0,
-              type_multinomial: str = "ungrouped",
+              type_multinomial: str = "ungrouped", relax: bool = False,
               time=None, event=None, **kw):
     """Cross-validate any family's path (glmnet's ``cv.glmnet()``).
 
@@ -148,6 +159,15 @@ def cv_glmnet(X, y=None, family: str = "gaussian", *,
 
     if family not in _FAMILIES:
         raise ValueError(f"family must be one of {_FAMILIES}")
+    if relax:
+        from .models.relaxed import cv_relaxed_lasso_path
+
+        if family != "gaussian":
+            raise ValueError("relax=True is implemented for "
+                             "family='gaussian'")
+        if alpha != 1.0:
+            kw.setdefault("alpha", alpha)
+        return cv_relaxed_lasso_path(X, y, **kw)
     if family == "gaussian":
         if alpha == 1.0:
             return cv_lasso_path(X, y, **kw)

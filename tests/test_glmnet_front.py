@@ -164,3 +164,22 @@ def test_big_glm_unpenalized_oracles():
     fc = admm_tpu.big_glm(X, family="cox", time=t, event=d)
     assert np.isfinite(np.asarray(fc.coef)).all()
     assert np.asarray(fc.lambdas).tolist() == [0.0]
+
+
+def test_front_door_relax():
+    """glmnet(relax=TRUE) / cv.glmnet(relax=TRUE) dispatch to the
+    relaxed drivers; non-gaussian rejected (scoped claim)."""
+    from admm_tpu import cv_glmnet, glmnet
+    from admm_tpu.models.relaxed import relaxed_lasso_path
+
+    rng = np.random.default_rng(19)
+    X = rng.normal(size=(120, 10))
+    y = X[:, 0] + 0.2 * rng.normal(size=120)
+    r = glmnet(X, y, relax=True, nlambda=8)
+    direct = relaxed_lasso_path(X, y, nlambda=8)
+    np.testing.assert_allclose(np.asarray(r.coef),
+                               np.asarray(direct.coef))
+    cv = cv_glmnet(X, y, relax=True, nfolds=3, nlambda=8)
+    assert "gamma_min" in cv and np.all(np.isfinite(cv["cvm"]))
+    with pytest.raises(ValueError, match="gaussian"):
+        glmnet(X, (y > 0).astype(float), "binomial", relax=True)
