@@ -614,28 +614,33 @@ def checkpointed_cox_path(
     t_np = np.asarray(time, np.float64).ravel()
     d_np = np.asarray(event, np.float64).ravel()
     n, p = X_np.shape
-    if start is not None and strata is not None:
-        raise NotImplementedError("strata with start-stop data is not "
-                                  "supported yet")
     seg = ext = None
     extra = []
+    if start is not None:
+        st_np = np.asarray(start, np.float64).ravel()
+        if np.any(st_np >= t_np):
+            raise ValueError("start must be < time")
     if strata is None:
         order = np.argsort(-t_np, kind="stable")
         first, last = _tie_groups(t_np[order])
         tag = "cox"
         if start is not None:
-            st_np = np.asarray(start, np.float64).ravel()
-            if np.any(st_np >= t_np):
-                raise ValueError("start must be < time")
             ext = _startstop_prep(t_np[order], st_np[order])
             extra.append(jnp.asarray(st_np[order], dtype))
             tag = "cox-startstop"
     else:
+        from ..models.cox import _startstop_prep_strata
+
         order, ss, seg_first, seg_last = _strata_prep(t_np, strata)
         first, last = _tie_groups(t_np[order], ss)
         seg = (seg_first, seg_last)
         extra.append(jnp.asarray(ss.astype(np.float64), dtype))
         tag = "cox-strata"
+        if start is not None:
+            ext = _startstop_prep_strata(t_np[order], st_np[order],
+                                         np.asarray(ss))
+            extra.append(jnp.asarray(st_np[order], dtype))
+            tag = "cox-strata-startstop"
     Xj = jnp.asarray(X_np[order], dtype)
     dj = jnp.asarray(d_np[order], dtype)
     extra.insert(0, jnp.asarray(t_np[order], dtype))

@@ -129,6 +129,37 @@ def _startstop_prep(stops_sorted, starts_sorted):
             jnp.asarray(sidx.astype(np.int32)))
 
 
+def _startstop_prep_strata(stops_sorted, starts_sorted, ss):
+    """The stratified start-stop indices (rows sorted stratum-major,
+    stop-descending; ``ss`` = sorted stratum codes): every quantity of
+    :func:`_startstop_prep` computed WITHIN each stratum block —
+    ``perm_s`` stays stratum-major (so the second cumsum can be
+    de-segmented by subtracting its value at the block start, read at
+    ``seg_first``), ``b_idx`` is block-local + block offset, and
+    ``sidx`` points past the block when no within-stratum event is at
+    or before the row's entry."""
+    n = stops_sorted.shape[0]
+    perm_s = np.empty(n, np.int64)
+    b_idx = np.empty(n, np.int64)
+    sidx = np.empty(n, np.int64)
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and ss[j + 1] == ss[i]:
+            j += 1
+        sl = slice(i, j + 1)
+        st_b, sp_b = starts_sorted[sl], stops_sorted[sl]
+        perm_s[sl] = i + np.argsort(-st_b, kind="stable")
+        asc = np.sort(st_b)
+        b_idx[sl] = i + (st_b.size
+                         - np.searchsorted(asc, sp_b, side="left"))
+        sidx[sl] = i + np.searchsorted(-sp_b, -st_b, side="left")
+        i = j + 1
+    return (jnp.asarray(perm_s.astype(np.int32)),
+            jnp.asarray(b_idx.astype(np.int32)),
+            jnp.asarray(sidx.astype(np.int32)))
+
+
 def _cox_risk_terms(eta, d, first, last, w=None, seg=None, ext=None):
     """The shared Breslow risk-set computation behind the gradient AND
     the adaptive majorizer (they must stay bit-identical for the MM
@@ -157,7 +188,12 @@ def _cox_risk_terms(eta, d, first, last, w=None, seg=None, ext=None):
     if ext is not None:
         cs_s = jnp.cumsum(ee[ext[0]])        # start-descending order
         cs_s0 = jnp.concatenate([jnp.zeros((1,), cs_s.dtype), cs_s])
-        S = S - cs_s0[ext[1]]                # drop not-yet-entered rows
+        B = cs_s0[ext[1]]                    # not-yet-entered rows
+        if seg is not None:
+            # perm_s is stratum-major, so the block-local sum is the
+            # cumsum minus its value at the block start.
+            B = B - cs_s0[seg[0]]
+        S = S - B
     q = jnp.where(dd > 0,
                   dd / jnp.maximum(S, jnp.maximum(ee, 1e-30)), 0.0)
     rc = jnp.cumsum(q[::-1])[::-1]           # suffix sum of w_k d_k/S_k
@@ -474,7 +510,8 @@ def cox_lasso_path(X, time, event, *,
     prefix sum (rows permuted start-descending) plus two
     host-precomputed static gathers; ``start=None`` (all rows at risk
     from the origin) is exactly the right-censored model (tested).
-    Not combinable with ``strata`` yet.
+    Combines with ``strata`` (per-stratum interval risk sets via
+    block-local indices — KKT-pinned).
     """
     X_np = np.asarray(X)
     t_np = np.asarray(time, np.float64).ravel()
@@ -498,24 +535,25 @@ def cox_lasso_path(X, time, event, *,
     # groups and risk sets confined to each stratum block (segmented
     # cumsums in _cox_grad_eta).
     seg = ext = None
-    if start is not None and strata is not None:
-        raise NotImplementedError("strata with start-stop data is not "
-                                  "supported yet")
+    if start is not None:
+        st_np = np.asarray(start, np.float64).ravel()
+        if st_np.shape != (n,):
+            raise ValueError("start must have one entry per row")
+        if np.any(st_np >= t_np):
+            raise ValueError("start must be < time (the interval "
+                             "(start, stop] must be nonempty)")
     if strata is None:
         order = np.argsort(-t_np, kind="stable")
         first, last = _tie_groups(t_np[order])
         if start is not None:
-            st_np = np.asarray(start, np.float64).ravel()
-            if st_np.shape != (n,):
-                raise ValueError("start must have one entry per row")
-            if np.any(st_np >= t_np):
-                raise ValueError("start must be < time (the interval "
-                                 "(start, stop] must be nonempty)")
             ext = _startstop_prep(t_np[order], st_np[order])
     else:
         order, ss, seg_first, seg_last = _strata_prep(t_np, strata)
         first, last = _tie_groups(t_np[order], ss)
         seg = (seg_first, seg_last)
+        if start is not None:
+            ext = _startstop_prep_strata(t_np[order], st_np[order],
+                                         np.asarray(ss))
     Xj = jnp.asarray(X_np[order], dtype)
     dj = jnp.asarray(d_np[order], dtype)
     wj = offj = None
@@ -585,7 +623,9 @@ def _breslow_pl(X, t, d, coefs, w=None, off=None, strata=None,
                 np.asarray(X)[m], np.asarray(t).ravel()[m],
                 np.asarray(d).ravel()[m], coefs,
                 None if w is None else np.asarray(w).ravel()[m],
-                None if off is None else np.asarray(off).ravel()[m])
+                None if off is None else np.asarray(off).ravel()[m],
+                start=(None if start is None
+                       else np.asarray(start).ravel()[m]))
         return out
     X = np.asarray(X, np.float64)
     t = np.asarray(t, np.float64).ravel()
@@ -693,6 +733,9 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
             order, ss, seg_first, seg_last = _strata_prep(t, strata)
             first, last = _tie_groups(t[order], ss)
             seg = (seg_first, seg_last)
+            if start is not None:
+                ext = _startstop_prep_strata(t[order], start[order],
+                                             np.asarray(ss))
         from .lasso import validate_pf_limits
 
         pf, limits = validate_pf_limits(
@@ -849,7 +892,7 @@ def survfit_cox(result, X, time, event, *, Xnew=None, lam=None,
                 np.asarray(time, np.float64).ravel()[m],
                 np.asarray(event, np.float64).ravel()[m],
                 Xnew=Xn_all[mn], weights=subv(weights, m),
-                offset=subv(offset, m),
+                offset=subv(offset, m), start=subv(start, m),
                 newoffset=(subv(newoffset, mn) if Xnew is not None
                            else subv(offset, m)))
         return out

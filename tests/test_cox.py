@@ -478,9 +478,36 @@ def test_startstop_cox():
     # Validation.
     with pytest.raises(ValueError, match="nonempty"):
         cox_lasso_path(X, stop, d, start=stop, nlambda=4)
-    with pytest.raises(NotImplementedError):
-        cox_lasso_path(X, stop, d, start=start,
-                       strata=np.zeros(n), nlambda=4)
+
+    # STRATIFIED start-stop (both at once): one stratum reduces to the
+    # plain start-stop fit exactly, and the combined KKT holds against
+    # explicit per-stratum interval risk-set loops.
+    r1s = cox_lasso_path(X, stop, d, start=start, strata=np.zeros(n),
+                         lambdas=np.array([lam]), standardize=False,
+                         eps_abs=1e-8, eps_rel=1e-8)
+    np.testing.assert_allclose(np.asarray(r1s.coef), np.asarray(r.coef),
+                               atol=1e-6)
+    strata2 = rng.integers(0, 2, n)
+    rc = cox_lasso_path(X, stop, d, start=start, strata=strata2,
+                        lambdas=np.array([lam]), standardize=False,
+                        eps_abs=1e-8, eps_rel=1e-8)
+    cc = np.asarray(rc.coef, np.float64)[0]
+    eec = np.exp(X @ cc)
+    gg = np.zeros(n)
+    for i in range(n):
+        G = 0.0
+        for k in range(n):
+            if (d[k] > 0 and strata2[k] == strata2[i]
+                    and start[i] < stop[k] <= stop[i]):
+                m = (strata2 == strata2[k]) & (start < stop[k]) \
+                    & (stop >= stop[k])
+                G += 1.0 / eec[m].sum()
+        gg[i] = eec[i] * G - d[i]
+    gradc = X.T @ gg / n
+    actc = np.abs(cc) > 1e-6
+    np.testing.assert_allclose(gradc[actc], -lam * np.sign(cc[actc]),
+                               atol=5e-4)
+    assert np.all(np.abs(gradc[~actc]) <= lam * (1 + 1e-3))
 
 
 def test_assess_cox_strata_start_and_survfit_plot():
