@@ -130,7 +130,7 @@ def assess(result, X, y, *, family: str = "gaussian",
             if offset is not None:
                 etam = etam + np.asarray(offset,
                                          np.float64).ravel()[None, :]
-            out["C"] = c_index(etam, t, d)
+            out["C"] = c_index(etam, t, d, weights)
         return cut(out)
 
     y = np.asarray(y, np.float64)
@@ -257,7 +257,7 @@ def confusion(result, X, y, *, lam: Optional[float] = None):
     return tab
 
 
-def c_index(eta, time, event):
+def c_index(eta, time, event, weights=None):
     """Harrell's concordance index for risk scores (glmnet's
     ``Cindex``; higher score should mean earlier event).
 
@@ -265,13 +265,19 @@ def c_index(eta, time, event):
     when ``t_i < t_j`` and subject i had an event; it is concordant
     when ``eta_i > eta_j`` (ties in eta count 1/2).  Rows with tied
     times are not comparable with each other under Breslow semantics.
+    ``weights`` (glmnet's Cindex weights): pair (i, j) carries weight
+    ``w_i * w_j``.
     """
     eta = np.asarray(eta, np.float64)
     one = eta.ndim == 1
     E = eta[None, :] if one else eta            # (L, n)
     t = np.asarray(time, np.float64).ravel()
     d = np.asarray(event, np.float64).ravel()
-    comp = (t[:, None] < t[None, :]) & (d[:, None] > 0)   # (n, n)
+    comp = ((t[:, None] < t[None, :])
+            & (d[:, None] > 0)).astype(np.float64)        # (n, n)
+    if weights is not None:
+        w = np.asarray(weights, np.float64).ravel()
+        comp = comp * np.outer(w, w)
     ncomp = float(comp.sum())
     if ncomp == 0:
         raise ValueError("no comparable pairs (need an event with a "

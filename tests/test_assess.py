@@ -233,3 +233,20 @@ def test_assess_cv_result_defaults_to_1se():
     c = assess(cv, X, y, lam="lambda.min")
     np.testing.assert_allclose(
         c["mse"], assess(cv.fit, X, y, lam=cv.lambda_min)["mse"])
+
+
+def test_c_index_weights_equal_duplication():
+    """glmnet's Cindex weights: pair weight w_i * w_j — integer
+    weights equal exact row duplication (tied duplicate times add no
+    comparable pairs under Breslow semantics)."""
+    from admm_tpu.assess import c_index
+
+    rng = np.random.default_rng(0)
+    n = 40
+    t = rng.exponential(size=n)
+    d = (rng.uniform(size=n) < 0.7).astype(float)
+    eta = rng.normal(size=n)
+    w = rng.integers(1, 3, n).astype(float)
+    idx = np.repeat(np.arange(n), w.astype(int))
+    assert abs(c_index(eta, t, d, weights=w)
+               - c_index(eta[idx], t[idx], d[idx])) < 1e-12
