@@ -15,9 +15,9 @@ fold sweep) instead of 11 — the difference matters when each solve is
 sub-millisecond and every dispatch pays a ~30 ms tunnel round-trip
 (CLAUDE.md).  ``cv_mode="loop"`` keeps the host-side fold loop (the
 fallback for path drivers without a vmappable fold solver — only the
-Dantzig and relaxed-lasso CVs remain there; gaussian, every GLM
-family, the matrix families, the (sparse-)group and generalized
-Lasso, and cox all run one-pass by default).
+Dantzig CV remains there; gaussian, every GLM family, the matrix
+families, the (sparse-)group and generalized Lasso, the relaxed
+lasso, and cox all run one-pass by default).
 
 Conventions follow glmnet's ``cv.glmnet``: the lambda grid is computed
 once on the full data; per-fold models are fit on the training split and

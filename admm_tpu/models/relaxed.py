@@ -121,24 +121,61 @@ def relaxed_lasso_path(X, y, *, gammas=(0.0, 0.25, 0.5, 0.75, 1.0),
                              refit_coef=refit_coef)
 
 
+@partial(jax.jit, static_argnames=("standardize_x", "intercept"))
+def _relaxed_fold_etas(X, y, lams, gam, masks, fid, rho, maxit,
+                       eps_abs, eps_rel, alpha, *, standardize_x,
+                       intercept):
+    """Jitted ONE-PROGRAM CV fold sweep for the relaxed lasso: per
+    fold-mask lane, the weighted lasso path AND the weighted support
+    refits run together, every gamma blended at prediction time;
+    returns the (n, G, L) own-fold linear predictors."""
+    from .lasso import _path_user
+
+    def one(wmask):
+        res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
+                         alpha, wmask, None, None,
+                         standardize_x=standardize_x,
+                         intercept=intercept, enet_scale=False,
+                         path_mode="batch", pallas_ok=False)
+        supp = (jnp.abs(res.coef) > 0).astype(X.dtype)
+        rb0, rcoef = _masked_refits(X, y, supp, wmask,
+                                    standardize_x=standardize_x,
+                                    intercept=intercept)
+        g = gam[:, None, None]
+        coef = g * res.coef[None] + (1.0 - g) * rcoef[None]
+        beta0 = (gam[:, None] * res.beta0[None]
+                 + (1.0 - gam[:, None]) * rb0[None])
+        return beta0[:, :, None] + jnp.einsum("np,glp->gln", X, coef)
+
+    etas = jax.vmap(one)(masks)                    # (F, G, L, n)
+    return etas[fid, :, :, jnp.arange(fid.shape[0])]   # (n, G, L)
+
+
 def cv_relaxed_lasso_path(X, y, *, nfolds: int = 10,
                           gammas=(0.0, 0.25, 0.5, 0.75, 1.0),
                           nlambda: int = 100, seed: int = 0,
                           foldid: Optional[np.ndarray] = None,
                           standardize: bool = True,
-                          intercept: bool = True, **lasso_kw):
+                          intercept: bool = True, cv_mode: str = "auto",
+                          **lasso_kw):
     """Cross-validate the (lambda, gamma) grid jointly (glmnet's
     ``cv.glmnet(..., relax = TRUE)``).
 
     The expensive per-fold work — the lasso path and the support refits
     — is computed ONCE per fold; every gamma is scored from the same
-    two solution sets by blending at prediction time.  Returns a dict
+    two solution sets by blending at prediction time.  ``cv_mode``:
+    "onepass" (the default via "auto" for the plain argument surface)
+    runs the whole fold sweep — weighted paths AND weighted refits —
+    as one compiled program; "loop" refits per fold on the host (the
+    fallback when extra lasso arguments are passed).  Returns a dict
     with the (G, L) ``cvm``/``cvsd`` matrices, the selected
     ``lambda_min``/``gamma_min``, and the full-data
     :class:`RelaxedPathResult`.
     """
     from .cv import _cv_foldid
 
+    if cv_mode not in ("auto", "onepass", "loop"):
+        raise ValueError("cv_mode must be 'auto', 'onepass' or 'loop'")
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64).ravel()
     n = X.shape[0]
@@ -147,21 +184,55 @@ def cv_relaxed_lasso_path(X, y, *, nfolds: int = 10,
                               intercept=intercept, nlambda=nlambda,
                               **lasso_kw)
     lams = np.asarray(full.lambdas, np.float64)
+    lasso_kw.pop("lambdas", None)   # fold refits get the shared grid
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
 
+    simple = not (set(lasso_kw)
+                  - {"alpha", "weights", "rho", "maxit", "eps_abs",
+                     "eps_rel", "lambda_min_ratio", "dtype"})
+    onepass = cv_mode != "loop" and simple
+    if cv_mode == "onepass" and not simple:
+        raise ValueError("cv_mode='onepass' supports the plain relaxed "
+                         "argument surface (alpha/weights/rho/maxit/"
+                         "eps); drop the extra arguments or use "
+                         "cv_mode='loop'")
     G, L = gam.shape[0], lams.shape[0]
     err = np.full((n, G, L), np.nan)
-    for f in range(nfolds):
-        tr = foldid != f
-        va = foldid == f
-        rf = relaxed_lasso_path(X[tr], y[tr], gammas=gam,
-                                standardize=standardize,
-                                intercept=intercept, lambdas=lams,
-                                **lasso_kw)
-        pred = (np.asarray(rf.beta0)[:, :, None]
-                + np.einsum("vp,glp->glv", X[va],
-                            np.asarray(rf.coef)))   # (G, L, n_va)
-        err[va] = ((pred - y[va][None, None, :]) ** 2).transpose(2, 0, 1)
+    if onepass:
+        dtype = lasso_kw.get("dtype", jnp.float32)
+        w = lasso_kw.get("weights")
+        masks = (foldid[None, :]
+                 != np.arange(nfolds)[:, None]).astype(np.float64)
+        if w is not None:
+            masks = masks * np.asarray(w, np.float64).ravel()[None, :]
+        eta_all = np.asarray(_relaxed_fold_etas(
+            jnp.asarray(X, dtype), jnp.asarray(y, dtype),
+            jnp.asarray(lams, dtype), jnp.asarray(gam, dtype),
+            jnp.asarray(masks, dtype),
+            jnp.asarray(np.clip(foldid, 0, None), jnp.int32),
+            lasso_kw.get("rho", -1.0), lasso_kw.get("maxit", 10000),
+            lasso_kw.get("eps_abs", 1e-5), lasso_kw.get("eps_rel", 1e-5),
+            lasso_kw.get("alpha", 1.0),
+            standardize_x=standardize, intercept=intercept),
+            np.float64)                            # (n, G, L)
+        err = (eta_all - y[:, None, None]) ** 2
+    else:
+        for f in range(nfolds):
+            tr = foldid != f
+            va = foldid == f
+            kw_f = dict(lasso_kw)
+            if kw_f.get("weights") is not None:
+                kw_f["weights"] = np.asarray(
+                    kw_f["weights"], np.float64).ravel()[tr]
+            rf = relaxed_lasso_path(X[tr], y[tr], gammas=gam,
+                                    standardize=standardize,
+                                    intercept=intercept, lambdas=lams,
+                                    **kw_f)
+            pred = (np.asarray(rf.beta0)[:, :, None]
+                    + np.einsum("vp,glp->glv", X[va],
+                                np.asarray(rf.coef)))   # (G, L, n_va)
+            err[va] = ((pred - y[va][None, None, :]) ** 2
+                       ).transpose(2, 0, 1)
 
     scored = foldid >= 0
     n_sc = int(scored.sum())

@@ -87,3 +87,30 @@ def test_relaxed_weighted_refit_matches_duplication():
                            eps_abs=1e-7, eps_rel=1e-7)
     np.testing.assert_allclose(np.asarray(a.coef), np.asarray(d.coef),
                                atol=3e-4)
+
+
+def test_cv_relaxed_onepass_matches_loop():
+    """The relaxed lasso's one-program fold sweep (weighted paths +
+    weighted refits as fold lanes) equals the host per-fold refit."""
+    from admm_tpu.models.relaxed import cv_relaxed_lasso_path
+
+    rng = np.random.default_rng(23)
+    n, p = 150, 12
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] - 0.7 * X[:, 2] + 0.3 * rng.normal(size=n)
+    w = rng.uniform(0.5, 2.0, n)
+    for kw in ({}, {"weights": w, "alpha": 0.8}):
+        a = cv_relaxed_lasso_path(X, y, nfolds=3, nlambda=8, seed=0,
+                                  cv_mode="onepass",
+                                  eps_abs=1e-7, eps_rel=1e-7, **kw)
+        b = cv_relaxed_lasso_path(X, y, nfolds=3, nlambda=8, seed=0,
+                                  cv_mode="loop",
+                                  eps_abs=1e-7, eps_rel=1e-7, **kw)
+        np.testing.assert_allclose(a["cvm"], b["cvm"], rtol=2e-3,
+                                   err_msg=str(kw))
+        assert (np.unravel_index(np.argmin(a["cvm"]), a["cvm"].shape)
+                == np.unravel_index(np.argmin(b["cvm"]),
+                                    b["cvm"].shape)), kw
+    with pytest.raises(ValueError, match="onepass"):
+        cv_relaxed_lasso_path(X, y, nlambda=4, cv_mode="onepass",
+                              exclude=[0])
