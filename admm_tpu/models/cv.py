@@ -638,12 +638,15 @@ def cv_group_lasso_path(X, y, groups, *, weights=None, nlambda: int = 100,
                                 rho=rho, obs_weights=wf,
                                 l1_ratio=l1_ratio)
 
+    fold_mesh = kw.get("fold_mesh")
+
     def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
         p = np.shape(Xf)[1]
         gj, gw = normalize_groups(groups, p, weights, dtype)
         return _group_fold_etas(
             jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype), gj, gw,
-            jnp.asarray(lams, dtype), jnp.asarray(masks, dtype),
+            jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
             jnp.asarray(fid, jnp.int32), rho, maxit, eps_abs, eps_rel,
             standardize_x=standardize, intercept=intercept,
             l1_ratio=float(l1_ratio))
@@ -778,11 +781,14 @@ def cv_gen_lasso_path(X, y, D, *, nlambda: int = 50,
                               eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
                               path_mode=path_mode, weights=wf)
 
+    fold_mesh = kw.get("fold_mesh")
+
     def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
         return _gen_fold_etas(
             jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype),
             jnp.asarray(D, dtype), jnp.asarray(lams, dtype),
-            jnp.asarray(masks, dtype), jnp.asarray(fid, jnp.int32),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            jnp.asarray(fid, jnp.int32),
             rho, maxit, eps_abs, eps_rel, intercept=intercept)
 
     return cv_lasso_path(X, y, nlambda=nlambda,

@@ -157,7 +157,7 @@ def cv_relaxed_lasso_path(X, y, *, nfolds: int = 10,
                           foldid: Optional[np.ndarray] = None,
                           standardize: bool = True,
                           intercept: bool = True, cv_mode: str = "auto",
-                          **lasso_kw):
+                          fold_mesh=None, **lasso_kw):
     """Cross-validate the (lambda, gamma) grid jointly (glmnet's
     ``cv.glmnet(..., relax = TRUE)``).
 
@@ -205,10 +205,12 @@ def cv_relaxed_lasso_path(X, y, *, nfolds: int = 10,
                  != np.arange(nfolds)[:, None]).astype(np.float64)
         if w is not None:
             masks = masks * np.asarray(w, np.float64).ravel()[None, :]
+        from .cv import _shard_folds
+
         eta_all = np.asarray(_relaxed_fold_etas(
             jnp.asarray(X, dtype), jnp.asarray(y, dtype),
             jnp.asarray(lams, dtype), jnp.asarray(gam, dtype),
-            jnp.asarray(masks, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
             jnp.asarray(np.clip(foldid, 0, None), jnp.int32),
             lasso_kw.get("rho", -1.0), lasso_kw.get("maxit", 10000),
             lasso_kw.get("eps_abs", 1e-5), lasso_kw.get("eps_rel", 1e-5),

@@ -646,3 +646,30 @@ def test_loop_cv_accepts_user_lambdas_and_keep_offset_scale():
     np.testing.assert_allclose(
         ((cvk.fit_preval - y[:, None]) ** 2).mean(axis=0), cvk.cvm,
         rtol=1e-6)
+
+
+def test_fold_mesh_group_gen_relaxed():
+    """fold_mesh shards the group / generalized / relaxed sweeps'
+    fold axis: results equal the unsharded one-pass run."""
+    from admm_tpu.models.cv import cv_gen_lasso_path, cv_group_lasso_path
+    from admm_tpu.models.genlasso import difference_matrix
+    from admm_tpu.models.relaxed import cv_relaxed_lasso_path
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    n, p = 160, 10
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] + 0.2 * rng.normal(size=n)
+    mesh = make_mesh(8)
+    a = cv_group_lasso_path(X, y, np.arange(p) % 5, nfolds=8,
+                            nlambda=5, fold_mesh=mesh)
+    b = cv_group_lasso_path(X, y, np.arange(p) % 5, nfolds=8, nlambda=5)
+    np.testing.assert_allclose(a.cvm, b.cvm, rtol=1e-5)
+    D = difference_matrix(p, 1)
+    ag = cv_gen_lasso_path(X, y, D, nfolds=8, nlambda=5, fold_mesh=mesh)
+    bg = cv_gen_lasso_path(X, y, D, nfolds=8, nlambda=5)
+    np.testing.assert_allclose(ag.cvm, bg.cvm, rtol=1e-5)
+    ar = cv_relaxed_lasso_path(X, y, nfolds=8, nlambda=5,
+                               fold_mesh=mesh)
+    br = cv_relaxed_lasso_path(X, y, nfolds=8, nlambda=5)
+    np.testing.assert_allclose(ar["cvm"], br["cvm"], rtol=1e-5)
