@@ -14,10 +14,9 @@ cvm/cvsd reduce.  A 10-fold CV is then 2 device dispatches (full fit +
 fold sweep) instead of 11 — the difference matters when each solve is
 sub-millisecond and every dispatch pays a ~30 ms tunnel round-trip
 (CLAUDE.md).  ``cv_mode="loop"`` keeps the host-side fold loop (the
-fallback for path drivers without a vmappable fold solver — only the
-Dantzig CV remains there; gaussian, every GLM family, the matrix
-families, the (sparse-)group and generalized Lasso, the relaxed
-lasso, and cox all run one-pass by default).
+fallback; EVERY family's CV — gaussian, the GLM tier, the matrix
+families, (sparse-)group/generalized Lasso, the relaxed lasso,
+Dantzig, and cox — runs one-pass by default).
 
 Conventions follow glmnet's ``cv.glmnet``: the lambda grid is computed
 once on the full data; per-fold models are fit on the training split and
@@ -301,6 +300,24 @@ def _group_fold_etas(X, y, groups, gweights, lams, masks, fid, rho,
                        maxit, eps_abs, eps_rel, mask,
                        standardize_x=standardize_x, intercept=intercept,
                        l1_ratio=l1_ratio)
+        return res.beta0[:, None] + res.coef @ X.T
+
+    etas = jax.vmap(one)(masks)
+    return etas[fid, :, jnp.arange(fid.shape[0])]
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "path_mode"))
+def _dz_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs, eps_rel,
+                  *, standardize_x, intercept, path_mode):
+    """Jitted one-program CV fold sweep for the Dantzig selector
+    (weight-zero fold lanes over the weighted engine)."""
+    from .dantzig import _dpath_user
+
+    def one(mask):
+        res = _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
+                          mask, standardize_x=standardize_x,
+                          intercept=intercept, path_mode=path_mode)
         return res.beta0[:, None] + res.coef @ X.T
 
     etas = jax.vmap(one)(masks)
@@ -740,24 +757,34 @@ def cv_dantzig_path(X, y, *, nlambda: int = 100,
                     eps_rel: float = 1e-5, rho: float = -1.0,
                     path_mode: str = "batch", **kw) -> CVResult:
     """Cross-validated Dantzig-selector path (extension; same fold
-    protocol as :func:`cv_lasso_path`, scored by held-out MSE).  Uses
-    the host fold loop (the Dantzig engine has no weighted variant to
-    vmap yet)."""
+    protocol as :func:`cv_lasso_path`, scored by held-out MSE,
+    one-pass fold sweep by default over the weighted engine)."""
     from .dantzig import dantzig_path
 
-    def path_fn(Xf, yf, lambdas, nlambda=nlambda,
+    def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
                 lambda_min_ratio=lambda_min_ratio):
         return dantzig_path(Xf, yf, lambdas=lambdas, nlambda=nlambda,
                             lambda_min_ratio=lambda_min_ratio,
                             standardize=standardize, intercept=intercept,
                             maxit=maxit, eps_abs=eps_abs,
                             eps_rel=eps_rel, rho=rho,
-                            path_mode=path_mode)
+                            path_mode=path_mode, weights=wf)
+
+    fold_mesh = kw.get("fold_mesh")
+
+    def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
+        return _dz_fold_etas(
+            jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype),
+            jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            jnp.asarray(fid, jnp.int32), rho, maxit, eps_abs, eps_rel,
+            standardize_x=standardize, intercept=intercept,
+            path_mode="batch")
 
     return cv_lasso_path(X, y, nlambda=nlambda,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,
-                         _path_fn=path_fn, **kw)
+                         _path_fn=path_fn, _fold_eta_fn=fold_eta, **kw)
 
 
 def cv_gen_lasso_path(X, y, D, *, nlambda: int = 50,

@@ -153,11 +153,11 @@ def _solve_path_dantzig_batch(Xs, ys, ilams, rho0, maxit, eps_abs,
 @partial(jax.jit, static_argnames=("standardize_x", "intercept", "nlambda",
                                    "path_mode", "trace_len"))
 def _dpath_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
-                eps_rel, *, standardize_x, intercept, path_mode,
-                trace_len=None):
+                eps_rel, weights=None, *, standardize_x, intercept,
+                path_mode, trace_len=None):
     n = X.shape[0]
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
-                                intercept=intercept)
+                                intercept=intercept, weights=weights)
     lam0 = jnp.max(jnp.abs(dot(Xs.T, ys)))
     lmax = lam0 / n * stats.scale_y
     lmin = lambda_min_ratio * lmax
@@ -168,10 +168,10 @@ def _dpath_auto(X, y, nlambda, lambda_min_ratio, rho, maxit, eps_abs,
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "path_mode", "trace_len"))
-def _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel, *,
-                standardize_x, intercept, path_mode, trace_len=None):
+def _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel, weights=None,
+                *, standardize_x, intercept, path_mode, trace_len=None):
     Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
-                                intercept=intercept)
+                                intercept=intercept, weights=weights)
     return _dpath_from(Xs, ys, stats, lams, rho, maxit, eps_abs, eps_rel,
                        standardize_x, intercept, path_mode, trace_len)
 
@@ -201,6 +201,7 @@ def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                  eps_rel: float = 1e-5, rho: float = -1.0,
                  path_mode: str = "scan",
                  trace_len: Optional[int] = None,
+                 weights: Optional[jnp.ndarray] = None,
                  data_mesh=None, dtype=jnp.float32) -> PathResult:
     """Solve the Dantzig-selector lambda path on device.
 
@@ -212,6 +213,13 @@ def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     parallelism: X/y row-sharded over the mesh so the standardization
     moments and the cached X'X / X'y builds distribute — iteration
     state works on the cached (p, p) operator and stays replicated).
+
+    ``weights`` (extension — the weighted Dantzig selector): the
+    residual-correlation constraint becomes
+    ``||X' W (y - X b)||_inf <= lambda`` via the shared sqrt(w) row
+    scaling (data/standardize.py), so an integer weight k equals
+    repeating the row k times (tested) and weight-zero rows drop out —
+    the fold-as-lane CV protocol rides it like every other family.
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
@@ -226,12 +234,13 @@ def dantzig_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
         trace_len = int(trace_len)
     if lambda_min_ratio is None:
         lambda_min_ratio = 0.01 if n < p else 1e-4
+    w = None if weights is None else jnp.asarray(weights, dtype).ravel()
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
-        return _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
+        return _dpath_user(X, y, lams, rho, maxit, eps_abs, eps_rel, w,
                            standardize_x=standardize, intercept=intercept,
                            path_mode=path_mode, trace_len=trace_len)
     return _dpath_auto(X, y, int(nlambda), lambda_min_ratio, rho, maxit,
-                       eps_abs, eps_rel, standardize_x=standardize,
+                       eps_abs, eps_rel, w, standardize_x=standardize,
                        intercept=intercept, path_mode=path_mode,
                        trace_len=trace_len)

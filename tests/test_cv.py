@@ -213,15 +213,39 @@ def test_cv_weighted():
     assert np.all(np.isfinite(a.cvm)) and a.lambda_1se >= a.lambda_min
 
 
-def test_cv_dantzig_rejects_onepass():
-    """Drivers without a vmappable fold solver must fail loudly on
-    cv_mode='onepass' (the documented fallback contract; the Dantzig
-    engine is the one family without a weighted variant)."""
+def test_cv_dantzig_onepass_matches_loop():
+    """The last family joins the one-pass protocol: the Dantzig CV's
+    weight-zero fold lanes (over the new weighted engine) equal the
+    host per-fold refit."""
     from admm_tpu.models.cv import cv_dantzig_path
 
-    X, y, _ = _problem(n=100, p=12)
-    with pytest.raises(ValueError, match="onepass"):
-        cv_dantzig_path(X, y, nlambda=4, cv_mode="onepass")
+    X, y, _ = _problem(n=120, p=12)
+    a = cv_dantzig_path(X, y, nfolds=3, nlambda=6, seed=0,
+                        cv_mode="onepass", eps_abs=1e-7, eps_rel=1e-7)
+    b = cv_dantzig_path(X, y, nfolds=3, nlambda=6, seed=0,
+                        cv_mode="loop", eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(a.cvm, b.cvm, rtol=2e-3)
+    assert np.argmin(a.cvm) == np.argmin(b.cvm)
+
+
+def test_dantzig_weights_equal_row_duplication():
+    """Weighted Dantzig selector: integer weight k == repeating the
+    row k times (the shared sqrt(w) row-scaling semantics)."""
+    from admm_tpu.models.dantzig import dantzig_path
+
+    rng = np.random.default_rng(0)
+    n, p = 80, 10
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] + 0.2 * rng.normal(size=n)
+    w = rng.integers(1, 4, n).astype(float)
+    lams = np.array([0.1, 0.04])
+    rw = dantzig_path(X, y, lambdas=lams, weights=w,
+                      eps_abs=1e-8, eps_rel=1e-8)
+    idx = np.repeat(np.arange(n), w.astype(int))
+    rd = dantzig_path(X[idx], y[idx], lambdas=lams,
+                      eps_abs=1e-8, eps_rel=1e-8)
+    np.testing.assert_allclose(np.asarray(rw.coef),
+                               np.asarray(rd.coef), atol=2e-6)
 
 
 def test_cv_dantzig_and_fused():
