@@ -223,6 +223,7 @@ def gen_lasso_path(X, y, D, *, lambdas: Optional[jnp.ndarray] = None,
                    rho: float = -1.0, path_mode: str = "batch",
                    trace_len: Optional[int] = None,
                    weights: Optional[jnp.ndarray] = None,
+                   data_mesh=None,
                    dtype=jnp.float32) -> PathResult:
     """Solve the generalized-Lasso lambda path on device.
 
@@ -237,6 +238,13 @@ def gen_lasso_path(X, y, D, *, lambdas: Optional[jnp.ndarray] = None,
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
+    if data_mesh is not None:
+        # Operator parallelism: row-shard the data; the (p, p) / D-side
+        # solve state stays replicated (lasso_path(data_mesh=) pattern).
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
+        y = put_dim_sharded(y, data_mesh, 0)
     D = jnp.asarray(D, dtype)
     if D.ndim != 2 or D.shape[1] != X.shape[1]:
         raise ValueError("D must be (m, ncol(x))")

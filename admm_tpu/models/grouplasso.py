@@ -238,7 +238,7 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
                      eps_rel: float = 1e-5, rho: float = -1.0,
                      trace_len: Optional[int] = None,
                      obs_weights: Optional[jnp.ndarray] = None,
-                     l1_ratio: float = 0.0,
+                     l1_ratio: float = 0.0, data_mesh=None,
                      dtype=jnp.float32) -> PathResult:
     """Solve the group-Lasso lambda path on device.
 
@@ -261,6 +261,14 @@ def group_lasso_path(X, y, groups, *, weights: Optional[jnp.ndarray] = None,
     """
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
+    if data_mesh is not None:
+        # Operator parallelism (the lasso_path(data_mesh=) pattern):
+        # X/y row-sharded, so the standardization moments and the
+        # tall/wide Gram builds distribute; iteration state replicated.
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
+        y = put_dim_sharded(y, data_mesh, 0)
     n, p = X.shape
     groups_j, weights = normalize_groups(groups, p, weights, dtype)
     if lambda_min_ratio is None:

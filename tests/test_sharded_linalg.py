@@ -190,3 +190,29 @@ def test_sharded_models_compile_collectives(model):
                                     path_mode="batch")
     hlo = lowered.compile().as_text()
     assert hlo.count(" all-reduce") >= 1, f"{model}: no collectives"
+
+
+def test_group_and_genlasso_data_mesh_agreement():
+    """data_mesh operator parallelism for the group and generalized
+    Lasso: sharded == replicated (the remaining serial drivers)."""
+    import numpy as np
+
+    from admm_tpu.models.genlasso import difference_matrix, gen_lasso_path
+    from admm_tpu.models.grouplasso import group_lasso_path
+    from admm_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    n, p = 320, 12
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] - 0.5 * X[:, 4] + 0.2 * rng.normal(size=n)
+    mesh = make_mesh(8)
+    a = group_lasso_path(X, y, np.arange(p) % 4, nlambda=5,
+                         data_mesh=mesh)
+    b = group_lasso_path(X, y, np.arange(p) % 4, nlambda=5)
+    np.testing.assert_allclose(np.asarray(a.coef), np.asarray(b.coef),
+                               atol=1e-5)
+    D = difference_matrix(p, 1)
+    ag = gen_lasso_path(X, y, D, nlambda=5, data_mesh=mesh)
+    bg = gen_lasso_path(X, y, D, nlambda=5)
+    np.testing.assert_allclose(np.asarray(ag.coef),
+                               np.asarray(bg.coef), atol=1e-5)
