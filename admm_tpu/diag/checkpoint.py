@@ -618,6 +618,8 @@ def checkpointed_cox_path(
     extra = []
     if start is not None:
         st_np = np.asarray(start, np.float64).ravel()
+        if st_np.shape != (n,):
+            raise ValueError("start must have one entry per row")
         if np.any(st_np >= t_np):
             raise ValueError("start must be < time")
     if strata is None:

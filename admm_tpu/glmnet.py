@@ -77,9 +77,10 @@ def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
         if family != "gaussian":
             raise ValueError("relax=True is implemented for "
                              "family='gaussian'")
-        if alpha != 1.0:
-            kw.setdefault("alpha", alpha)
-        return relaxed_lasso_path(X, y, **kw)
+        # Same lambda convention as the non-relaxed alpha dispatch
+        # (glmnet's relax=TRUE reuses the identical lambda sequence).
+        return relaxed_lasso_path(X, y, alpha=alpha,
+                                  _enet_scale=alpha != 1.0, **kw)
     if family == "gaussian":
         if alpha == 1.0:
             return lasso_path(X, y, **kw)
@@ -165,9 +166,8 @@ def cv_glmnet(X, y=None, family: str = "gaussian", *,
         if family != "gaussian":
             raise ValueError("relax=True is implemented for "
                              "family='gaussian'")
-        if alpha != 1.0:
-            kw.setdefault("alpha", alpha)
-        return cv_relaxed_lasso_path(X, y, **kw)
+        return cv_relaxed_lasso_path(X, y, alpha=alpha,
+                                     _enet_scale=alpha != 1.0, **kw)
     if family == "gaussian":
         if alpha == 1.0:
             return cv_lasso_path(X, y, **kw)

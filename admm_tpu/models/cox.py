@@ -594,6 +594,19 @@ def _breslow_pl(X, t, d, coefs, w=None, off=None, strata=None,
     per-stratum PLs at the shared coefficients.  With ``start`` the
     risk sets are the intervals ``start_j < t_i <= stop_j`` (an O(n^2)
     mask — this is the host-side CV scorer, not the solver)."""
+    if strata is not None:
+        s_np = np.asarray(strata).ravel()
+        out = 0.0
+        for sv in np.unique(s_np):
+            m = s_np == sv
+            out = out + _breslow_pl(
+                np.asarray(X)[m], np.asarray(t).ravel()[m],
+                np.asarray(d).ravel()[m], coefs,
+                None if w is None else np.asarray(w).ravel()[m],
+                None if off is None else np.asarray(off).ravel()[m],
+                start=(None if start is None
+                       else np.asarray(start).ravel()[m]))
+        return out
     if start is not None:
         X = np.asarray(X, np.float64)
         t = np.asarray(t, np.float64).ravel()
@@ -614,19 +627,6 @@ def _breslow_pl(X, t, d, coefs, w=None, off=None, strata=None,
         logS = np.log(S) + m
         return ((ws * d)[ev][None, :]
                 * (eta[:, ev] - logS)).sum(axis=1)
-    if strata is not None:
-        s_np = np.asarray(strata).ravel()
-        out = 0.0
-        for sv in np.unique(s_np):
-            m = s_np == sv
-            out = out + _breslow_pl(
-                np.asarray(X)[m], np.asarray(t).ravel()[m],
-                np.asarray(d).ravel()[m], coefs,
-                None if w is None else np.asarray(w).ravel()[m],
-                None if off is None else np.asarray(off).ravel()[m],
-                start=(None if start is None
-                       else np.asarray(start).ravel()[m]))
-        return out
     X = np.asarray(X, np.float64)
     t = np.asarray(t, np.float64).ravel()
     d = np.asarray(d, np.float64).ravel()
@@ -789,7 +789,8 @@ def cv_cox_path(X, time, event, *, nfolds: int = 10, seed: int = 0,
             if off is not None:
                 eta = eta + off[va][None, :]
             try:
-                cvraw[f] = c_index(eta, t[va], d[va])
+                cvraw[f] = c_index(eta, t[va], d[va],
+                                   weights=sub(w, va))
             except ValueError:           # no comparable pair this fold
                 fold_w[f] = 0.0
                 continue

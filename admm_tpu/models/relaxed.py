@@ -121,31 +121,33 @@ def relaxed_lasso_path(X, y, *, gammas=(0.0, 0.25, 0.5, 0.75, 1.0),
                              refit_coef=refit_coef)
 
 
-@partial(jax.jit, static_argnames=("standardize_x", "intercept"))
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "enet_scale"))
 def _relaxed_fold_etas(X, y, lams, gam, masks, fid, rho, maxit,
                        eps_abs, eps_rel, alpha, *, standardize_x,
-                       intercept):
+                       intercept, enet_scale=False):
     """Jitted ONE-PROGRAM CV fold sweep for the relaxed lasso: per
     fold-mask lane, the weighted lasso path AND the weighted support
-    refits run together, every gamma blended at prediction time;
-    returns the (n, G, L) own-fold linear predictors."""
+    refits run together; the gamma blend is AFFINE in the linear
+    predictor, so the two eta matrices are built once (two matmuls)
+    and blended — no (G, L, p) coefficient temporaries.  Returns the
+    (n, G, L) own-fold linear predictors."""
     from .lasso import _path_user
 
     def one(wmask):
         res = _path_user(X, y, lams, rho, maxit, eps_abs, eps_rel,
                          alpha, wmask, None, None,
                          standardize_x=standardize_x,
-                         intercept=intercept, enet_scale=False,
+                         intercept=intercept, enet_scale=enet_scale,
                          path_mode="batch", pallas_ok=False)
         supp = (jnp.abs(res.coef) > 0).astype(X.dtype)
         rb0, rcoef = _masked_refits(X, y, supp, wmask,
                                     standardize_x=standardize_x,
                                     intercept=intercept)
+        eta_l = res.beta0[:, None] + res.coef @ X.T        # (L, n)
+        eta_r = rb0[:, None] + rcoef @ X.T                 # (L, n)
         g = gam[:, None, None]
-        coef = g * res.coef[None] + (1.0 - g) * rcoef[None]
-        beta0 = (gam[:, None] * res.beta0[None]
-                 + (1.0 - gam[:, None]) * rb0[None])
-        return beta0[:, :, None] + jnp.einsum("np,glp->gln", X, coef)
+        return g * eta_l[None] + (1.0 - g) * eta_r[None]   # (G, L, n)
 
     etas = jax.vmap(one)(masks)                    # (F, G, L, n)
     return etas[fid, :, :, jnp.arange(fid.shape[0])]   # (n, G, L)
@@ -189,7 +191,8 @@ def cv_relaxed_lasso_path(X, y, *, nfolds: int = 10,
 
     simple = not (set(lasso_kw)
                   - {"alpha", "weights", "rho", "maxit", "eps_abs",
-                     "eps_rel", "lambda_min_ratio", "dtype"})
+                     "eps_rel", "lambda_min_ratio", "dtype",
+                     "_enet_scale"})
     onepass = cv_mode != "loop" and simple
     if cv_mode == "onepass" and not simple:
         raise ValueError("cv_mode='onepass' supports the plain relaxed "
@@ -215,7 +218,8 @@ def cv_relaxed_lasso_path(X, y, *, nfolds: int = 10,
             lasso_kw.get("rho", -1.0), lasso_kw.get("maxit", 10000),
             lasso_kw.get("eps_abs", 1e-5), lasso_kw.get("eps_rel", 1e-5),
             lasso_kw.get("alpha", 1.0),
-            standardize_x=standardize, intercept=intercept),
+            standardize_x=standardize, intercept=intercept,
+            enet_scale=bool(lasso_kw.get("_enet_scale", False))),
             np.float64)                            # (n, G, L)
         err = (eta_all - y[:, None, None]) ** 2
     else:
@@ -238,8 +242,18 @@ def cv_relaxed_lasso_path(X, y, *, nfolds: int = 10,
 
     scored = foldid >= 0
     n_sc = int(scored.sum())
-    cvm = err[scored].mean(axis=0)                   # (G, L)
-    cvsd = np.sqrt(((err[scored] - cvm) ** 2).mean(axis=0) / (n_sc - 1))
+    w_all = lasso_kw.get("weights")
+    if w_all is None:
+        cvm = err[scored].mean(axis=0)               # (G, L)
+        cvsd = np.sqrt(((err[scored] - cvm) ** 2).mean(axis=0)
+                       / (n_sc - 1))
+    else:
+        # glmnet's weighted cvm/cvsd (cv.py::_cv_curve convention).
+        ws = np.asarray(w_all, np.float64).ravel()[scored]
+        cvm = ((ws[:, None, None] * err[scored]).sum(axis=0)
+               / ws.sum())
+        cvsd = np.sqrt((ws[:, None, None] * (err[scored] - cvm) ** 2)
+                       .sum(axis=0) / ws.sum() / (n_sc - 1))
     gi, li = np.unravel_index(int(np.argmin(cvm)), cvm.shape)
     return dict(lambdas=lams, gammas=gam, cvm=cvm, cvsd=cvsd,
                 lambda_min=float(lams[li]), gamma_min=float(gam[gi]),

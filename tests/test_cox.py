@@ -567,3 +567,51 @@ def test_startstop_weights_equal_row_duplication():
                         eps_abs=1e-8, eps_rel=1e-8)
     np.testing.assert_allclose(np.asarray(rw.coef),
                                np.asarray(rd.coef), atol=2e-6)
+
+
+def test_stratified_startstop_cv_scoring_per_stratum():
+    """Review fix: the combined strata+start CV must score with
+    PER-STRATUM interval risk sets (the strata recursion runs before
+    the start branch in _breslow_pl)."""
+    from admm_tpu.models.cox import _breslow_pl
+
+    rng = np.random.default_rng(61)
+    n, p = 80, 5
+    X = rng.normal(size=(n, p))
+    stop = rng.exponential(np.exp(-X[:, 0])) + 0.05
+    d = (rng.uniform(size=n) < 0.8).astype(float)
+    start = stop * rng.uniform(0, 0.6, n)
+    strata = rng.integers(0, 2, n)
+    beta = np.zeros((1, p)); beta[0, 0] = 0.5
+    both = _breslow_pl(X, stop, d, beta, None, None, strata, start)
+    by_hand = sum(
+        _breslow_pl(X[strata == sv], stop[strata == sv],
+                    d[strata == sv], beta, None, None, None,
+                    start[strata == sv])
+        for sv in (0, 1))
+    np.testing.assert_allclose(both, by_hand, rtol=1e-12)
+    pooled = _breslow_pl(X, stop, d, beta, None, None, None, start)
+    assert abs(float(both[0] - pooled[0])) > 1e-6   # truly per-stratum
+
+
+def test_cv_cox_weighted_C():
+    """Review fix: type_measure='C' folds score the WEIGHTED Harrell
+    C (glmnet's Cindex(pred, y, weights)) — integer weights equal row
+    duplication."""
+    from admm_tpu.models.cox import cv_cox_path
+
+    rng = np.random.default_rng(62)
+    n, p = 120, 6
+    X = rng.normal(size=(n, p))
+    t = rng.exponential(np.exp(-X[:, 0]))
+    d = (rng.uniform(size=n) < 0.8).astype(float)
+    w = rng.integers(1, 3, n).astype(float)
+    lams = np.array([0.15, 0.05, 0.02])
+    foldid = np.arange(n) % 3
+    a = cv_cox_path(X, t, d, foldid=foldid, lambdas=lams, weights=w,
+                    type_measure="C", eps_abs=1e-7, eps_rel=1e-7)
+    idx = np.repeat(np.arange(n), w.astype(int))
+    b = cv_cox_path(X[idx], t[idx], d[idx], foldid=foldid[idx],
+                    lambdas=lams, type_measure="C",
+                    eps_abs=1e-7, eps_rel=1e-7)
+    np.testing.assert_allclose(a.cvm, b.cvm, atol=2e-3)

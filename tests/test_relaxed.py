@@ -114,3 +114,34 @@ def test_cv_relaxed_onepass_matches_loop():
     with pytest.raises(ValueError, match="onepass"):
         cv_relaxed_lasso_path(X, y, nlambda=4, cv_mode="onepass",
                               exclude=[0])
+
+
+def test_relax_front_door_enet_grid_and_weighted_cvm():
+    """Review fixes: relax=True at alpha<1 keeps the enet lambda
+    convention (same auto grid as relax=False), and weighted relaxed
+    CV aggregates with glmnet's weighted cvm."""
+    import admm_tpu
+    from admm_tpu.models.relaxed import cv_relaxed_lasso_path
+
+    rng = np.random.default_rng(29)
+    n, p = 130, 10
+    X = rng.normal(size=(n, p))
+    y = X[:, 0] - 0.6 * X[:, 3] + 0.2 * rng.normal(size=n)
+    fit_r = admm_tpu.glmnet(X, y, alpha=0.5, relax=True, nlambda=8)
+    fit_e = admm_tpu.glmnet(X, y, alpha=0.5, nlambda=8)
+    np.testing.assert_allclose(np.asarray(fit_r.lambdas),
+                               np.asarray(fit_e.lambdas), rtol=1e-6)
+    # gamma = 1 slice reproduces the enet fit on the same grid.
+    np.testing.assert_allclose(np.asarray(fit_r.coef)[-1],
+                               np.asarray(fit_e.coef), atol=2e-5)
+
+    w = rng.uniform(0.5, 2.0, n)
+    cv = cv_relaxed_lasso_path(X, y, nfolds=3, nlambda=6, seed=0,
+                               weights=w, cv_mode="onepass")
+    cl = cv_relaxed_lasso_path(X, y, nfolds=3, nlambda=6, seed=0,
+                               weights=w, cv_mode="loop")
+    np.testing.assert_allclose(cv["cvm"], cl["cvm"], rtol=2e-3)
+    # Hand-check the weighted aggregation on the loop mode's errors.
+    cu = cv_relaxed_lasso_path(X, y, nfolds=3, nlambda=6, seed=0,
+                               cv_mode="loop")
+    assert not np.allclose(cl["cvm"], cu["cvm"])   # weights matter
