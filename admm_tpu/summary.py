@@ -73,6 +73,35 @@ def path_table(result, X, y, *, family="gaussian",
     ``weights``: observation weights (the same vector passed to the
     path fit); deviances become weighted sums.
     """
+    from .models.cox import CoxPathResult
+
+    if isinstance(result, CoxPathResult):
+        # glmnet's print for family='cox': deviance = -2 log partial
+        # likelihood, nulldev at beta = 0 (strata/start via y columns).
+        from .models.cox import _breslow_pl
+
+        yz = np.asarray(y, np.float64)
+        if yz.ndim == 2 and yz.shape[1] == 3:
+            start, t, d = yz[:, 0], yz[:, 1], yz[:, 2]
+        elif yz.ndim == 2 and yz.shape[1] == 2:
+            (t, d), start = (yz[:, 0], yz[:, 1]), None
+        else:
+            raise ValueError("cox path_table needs y as an (n, 2) "
+                             "[time, event] or (n, 3) [start, stop, "
+                             "event] array")
+        coef = np.asarray(result.coef, np.float64)
+        lams = np.asarray(result.lambdas, np.float64)
+        dev = -2.0 * _breslow_pl(X, t, d, coef, weights, None, None,
+                                 start)
+        nulldev = float(-2.0 * _breslow_pl(
+            X, t, d, np.zeros((1, coef.shape[1])), weights, None, None,
+            start)[0])
+        dev_ratio = ((nulldev - dev) / nulldev if nulldev > 0
+                     else np.zeros_like(dev))
+        return PathTable(df=np.count_nonzero(coef, axis=1),
+                         dev_ratio=dev_ratio, lambdas=lams,
+                         nulldev=nulldev)
+
     fam = _resolve_family(family)
     X = np.asarray(X, np.float64)
     y = np.asarray(y, np.float64)

@@ -99,3 +99,27 @@ def test_deviance_accessor():
     rss = ((eta - y[None, :]) ** 2).sum(axis=1)
     np.testing.assert_allclose(dev, rss, rtol=1e-4)
     assert dev[0] >= dev[-1]          # deviance decreases along the path
+
+
+def test_path_table_cox():
+    """glmnet's print for family='cox': Df / %Dev from the Breslow
+    partial-likelihood deviance; %Dev = 0 at the null top of the grid
+    and increases along the path."""
+    import admm_tpu
+    from admm_tpu.models.cox import _breslow_pl, cox_lasso_path
+
+    rng = np.random.default_rng(16)
+    n, p = 150, 8
+    X = rng.normal(size=(n, p))
+    t_ = rng.exponential(np.exp(-X[:, 0]))
+    d = (rng.uniform(size=n) < 0.8).astype(float)
+    r = cox_lasso_path(X, t_, d, nlambda=6)
+    tab = admm_tpu.path_table(r, X, np.c_[t_, d])
+    assert tab.df[0] == 0 and abs(tab.dev_ratio[0]) < 1e-4
+    assert tab.dev_ratio[-1] > tab.dev_ratio[0]
+    # deviance() accessor consistency.
+    dev = admm_tpu.deviance(r, X, np.c_[t_, d])
+    np.testing.assert_allclose(
+        dev, -2.0 * _breslow_pl(X, t_, d, np.asarray(r.coef)),
+        rtol=1e-8)
+    admm_tpu.format_path_table(tab)   # renders
