@@ -37,8 +37,10 @@ from .models.cv import (cv_dantzig_path, cv_enet_path,
                         cv_glm_path, cv_group_lasso_path,
                         cv_lasso_path, cv_logistic_path,
                         cv_multinomial_path, cv_multitask_lasso_path)
-from .models.glm import (glm_lasso_path, huber_lasso_path,
-                         poisson_lasso_path)
+from .models.glm import (GLMFamily, binomial, binomial_cloglog,
+                         binomial_probit, gamma_log, glm_lasso_path,
+                         huber, huber_lasso_path, negative_binomial,
+                         poisson, poisson_lasso_path)
 from .models.genlasso import (difference_matrix, fused_lasso_path,
                               gen_lasso_path)
 from .models.grouplasso import group_lasso_path
@@ -77,6 +79,8 @@ __all__ = [
     "parallel_logistic_lasso_path", "parallel_glm_lasso_path",
     "parallel_huber_lasso_path", "parallel_poisson_lasso_path",
     "glm_lasso_path", "huber_lasso_path", "poisson_lasso_path",
+    "GLMFamily", "binomial", "huber", "poisson", "binomial_probit",
+    "binomial_cloglog", "gamma_log", "negative_binomial",
     "cv_glm_path", "quantile_fit", "cv_dantzig_path",
     "cv_gen_lasso_path", "cv_fused_lasso_path",
     "multitask_lasso_path", "multinomial_lasso_path", "predict",

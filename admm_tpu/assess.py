@@ -158,7 +158,25 @@ def assess(result, X, y, *, family: str = "gaussian",
     lams = (np.asarray(result.lambdas) if result is not None
             else np.arange(etam.shape[0]))
 
-    if family == "gaussian":
+    fam_obj = None
+    if not isinstance(family, str):
+        from .glmnet import _family_object
+
+        fam_obj = _family_object(family)
+    if fam_obj is not None:
+        # glmnet 4.x family objects: deviance = the family's own
+        # cv_loss; mse/mae on the mean scale via its inverse link;
+        # class/auc for binomial-link families.
+        mu = (etam if fam_obj.mean_eta is None
+              else fam_obj.mean_eta(etam))
+        out = {"deviance": agg(fam_obj.cv_loss(etam, y)),
+               "mse": agg((mu - y[None, :]) ** 2),
+               "mae": agg(np.abs(mu - y[None, :]))}
+        if fam_obj.name.startswith("binomial"):
+            out["class"] = agg(((mu > 0.5) != (y[None, :] > 0.5))
+                               .astype(np.float64))
+            out["auc"] = _auc_rows(etam, y, w)
+    elif family == "gaussian":
         se = (etam - y[None, :]) ** 2
         out = {"deviance": agg(se), "mse": agg(se),
                "mae": agg(np.abs(etam - y[None, :]))}

@@ -28,6 +28,26 @@ _FAMILIES = ("gaussian", "binomial", "poisson", "multinomial",
              "mgaussian", "cox", "huber")
 
 
+def _family_object(family):
+    """glmnet 4.x family-object dispatch: return the GLMFamily instance
+    when ``family`` is one (or a zero-arg factory producing one, e.g.
+    ``admm_tpu.models.glm.binomial_probit``), else None (string
+    dispatch).  reference analog: glmnet's ``family=`` accepting any
+    stats::family object since 4.0 — here any :class:`GLMFamily`
+    (shipped: probit/cloglog binomial links, gamma_log,
+    negative_binomial(theta)) reaches the same engine."""
+    from .models.glm import GLMFamily
+
+    if isinstance(family, GLMFamily):
+        return family
+    if callable(family):
+        fam = family()
+        if not isinstance(fam, GLMFamily):
+            raise ValueError("family factory must return a GLMFamily")
+        return fam
+    return None
+
+
 def _cox_args(y, time, event):
     """Resolve (time, event, start) from glmnet's Surv-style ``y``
     — an (n, 2) ``[time, status]`` or an (n, 3) ``[start, stop,
@@ -67,8 +87,20 @@ def glmnet(X, y=None, family: str = "gaussian", *, alpha: float = 1.0,
     from .models.multinomial import multinomial_lasso_path
     from .models.multitask import multitask_lasso_path
 
+    fam_obj = _family_object(family)
+    if fam_obj is not None:
+        # glmnet 4.x family objects (``glmnet(x, y, family =
+        # binomial(link = "probit"))`` etc.): a GLMFamily instance (or
+        # zero-arg factory) rides the generic smooth-loss engine.
+        if relax:
+            raise ValueError("relax=True is implemented for "
+                             "family='gaussian'")
+        from .models.glm import glm_lasso_path
+
+        return glm_lasso_path(X, y, fam_obj, alpha=alpha, **kw)
     if family not in _FAMILIES:
-        raise ValueError(f"family must be one of {_FAMILIES}")
+        raise ValueError(f"family must be one of {_FAMILIES} or a "
+                         "GLMFamily instance (admm_tpu.models.glm)")
     if relax:
         # glmnet's relax=TRUE: the de-biased (lambda, gamma) blend of
         # each path point with its support's unpenalized refit.
@@ -122,11 +154,13 @@ def big_glm(X, y=None, family: str = "gaussian", *, weights=None,
     pinned to 1 there — any positive rho converges to the same
     unpenalized optimum.
     """
+    is_glm_obj = _family_object(family) is not None
     if family in ("gaussian", "mgaussian") and "rho" not in kw:
         kw["rho"] = 1.0
     if offset is not None:
         kw["offset"] = offset
-    if family in ("gaussian", "binomial", "poisson", "huber", "cox"):
+    if is_glm_obj or family in ("gaussian", "binomial", "poisson",
+                                "huber", "cox"):
         kw["lower_limits"] = lower_limits
         kw["upper_limits"] = upper_limits
     elif lower_limits is not None or upper_limits is not None:
@@ -158,8 +192,15 @@ def cv_glmnet(X, y=None, family: str = "gaussian", *,
                             cv_multinomial_path,
                             cv_multitask_lasso_path)
 
+    fam_obj = _family_object(family)
+    if fam_obj is not None:
+        if relax:
+            raise ValueError("relax=True is implemented for "
+                             "family='gaussian'")
+        return cv_glm_path(X, y, fam_obj, alpha=alpha, **kw)
     if family not in _FAMILIES:
-        raise ValueError(f"family must be one of {_FAMILIES}")
+        raise ValueError(f"family must be one of {_FAMILIES} or a "
+                         "GLMFamily instance (admm_tpu.models.glm)")
     if relax:
         from .models.relaxed import cv_relaxed_lasso_path
 

@@ -82,6 +82,10 @@ def _resolve_measure(type_measure, fam, default_loss):
         else "gaussian"
 
     def response(eta):
+        # Family objects carry their own inverse link (mean_eta) —
+        # probit/cloglog/gamma/negbin score mse/mae on the mean scale.
+        if fam is not None and getattr(fam, "mean_eta", None) is not None:
+            return fam.mean_eta(eta)
         if name == "binomial":
             return 1.0 / (1.0 + np.exp(-eta))
         if name == "poisson":
@@ -98,14 +102,18 @@ def _resolve_measure(type_measure, fam, default_loss):
         return (lambda eta, y:
                 np.abs(response(eta) - y[None, :])), "min"
     if type_measure == "class":
-        if name != "binomial":
+        if not name.startswith("binomial"):
             raise ValueError("type_measure='class' needs a binomial "
                              "family (or cv_multinomial_path)")
+        # Misclassification at mean = 1/2 — every binomial link's
+        # inverse is monotone increasing through mean(eta*) = 1/2, so
+        # thresholding the RESPONSE keeps the rule link-correct
+        # (logit/probit: eta > 0; cloglog: eta > log log 2).
         return (lambda eta, y:
-                ((eta > 0.0).astype(float) != y[None, :])
+                ((response(eta) > 0.5).astype(float) != y[None, :])
                 .astype(float)), "min"
     if type_measure == "auc":
-        if name != "binomial":
+        if not name.startswith("binomial"):
             raise ValueError(
                 "type_measure='auc' needs a binomial family")
         return "auc", "max"

@@ -89,6 +89,10 @@ class GLMFamily(NamedTuple):
     # Scalar family parameter (huber's M), exposed so non-closure
     # consumers (the Pallas kernel) can rebuild the gradient.
     param: float = 0.0
+    # Inverse link mu(eta) in NUMPY (host-side, like cv_loss): feeds
+    # predict(type="response")/assess mse/mae for family objects.
+    # None = identity (gaussian-style location families, e.g. huber).
+    mean_eta: Optional[Callable] = None
 
 
 @lru_cache(maxsize=None)
@@ -104,6 +108,7 @@ def binomial() -> GLMFamily:
         cv_loss=lambda eta, y: 2.0 * (np.logaddexp(0.0, eta)
                                       - y[None, :] * eta),
         curvature_bound=0.25,  # p(1-p) <= 1/4
+        mean_eta=lambda eta: 1.0 / (1.0 + np.exp(-eta)),
     )
 
 
@@ -168,6 +173,181 @@ def poisson() -> GLMFamily:
         null_resid=lambda y, intercept, w=None: y - (
             _wmean(y, w) if intercept else 1.0),
         cv_loss=_poisson_deviance,
+        mean_eta=lambda eta: np.exp(np.minimum(eta, 30.0)),
+    )
+
+
+def _mills(eta):
+    """Inverse Mills ratio phi(eta)/Phi(eta), stable for any eta via
+    the log-cdf (never forms the catastrophic phi/Phi quotient)."""
+    from jax.scipy.stats import norm
+
+    return jnp.exp(norm.logpdf(eta) - norm.logcdf(eta))
+
+
+def _probit_mean(eta):
+    from scipy.special import ndtr
+
+    return ndtr(eta)
+
+
+@lru_cache(maxsize=None)
+def binomial_probit() -> GLMFamily:
+    """Binomial with the PROBIT link (glmnet 4.x's
+    ``family = binomial(link = "probit")`` family-object path):
+    loss(eta; y) = -[y log Phi(eta) + (1-y) log Phi(-eta)].
+
+    With r1 = phi/Phi(eta) and r0 = phi/Phi(-eta) (inverse Mills
+    ratios, computed in log space), dloss/deta = (1-y) r0 - y r1 and
+    d2loss/deta2 = y r1 (r1 + eta) + (1-y) r0 (r0 - eta) — both terms
+    lie in (0, 1), so the curvature bound 1 drives the same
+    fixed-majorizer protocol as the logit link."""
+    def cv_loss(eta, y):
+        from scipy.special import log_ndtr
+
+        return -2.0 * (y[None, :] * log_ndtr(eta)
+                       + (1.0 - y[None, :]) * log_ndtr(-eta))
+
+    def null_resid(y, intercept, w=None):
+        from jax.scipy.special import ndtri
+
+        pbar = _wmean(y, w) if intercept else jnp.asarray(0.5, y.dtype)
+        eta0 = ndtri(jnp.clip(pbar, 1e-6, 1.0 - 1e-6)).astype(y.dtype)
+        r1, r0 = _mills(eta0), _mills(-eta0)
+        return y * r1 - (1.0 - y) * r0
+
+    return GLMFamily(
+        name="binomial_probit",
+        grad_eta=lambda eta, y: ((1.0 - y) * _mills(-eta)
+                                 - y * _mills(eta)),
+        weight_eta=lambda eta, y: (
+            y * (lambda r: r * (r + eta))(_mills(eta))
+            + (1.0 - y) * (lambda r: r * (r - eta))(_mills(-eta))),
+        null_resid=null_resid,
+        cv_loss=cv_loss,
+        curvature_bound=1.0,  # r(r +/- eta) < 1 for every eta
+        mean_eta=_probit_mean,
+    )
+
+
+@lru_cache(maxsize=None)
+def binomial_cloglog() -> GLMFamily:
+    """Binomial with the COMPLEMENTARY LOG-LOG link (glmnet 4.x's
+    ``binomial(link = "cloglog")``): p = 1 - exp(-e^eta),
+    loss(eta; y) = -[y log p + (1-y) log(1-p)] with log(1-p) = -e^eta.
+
+    With t = e^eta and s = t e^{-t} / (1 - e^{-t}) (-> 1 as t -> 0),
+    dloss/deta = (1-y) t - y s; the y=0 curvature is t itself —
+    UNBOUNDED, so the family runs the adaptive per-lambda majorizer
+    like poisson."""
+    def _s(t):
+        # t e^{-t} / (1 - e^{-t}), series-guarded at t -> 0.
+        p = -jnp.expm1(-t)
+        return jnp.where(t < 1e-6, 1.0 - 0.5 * t,
+                         t * jnp.exp(-t) / jnp.maximum(p, 1e-30))
+
+    def grad_eta(eta, y):
+        t = jnp.exp(jnp.minimum(eta, 30.0))
+        return (1.0 - y) * t - y * _s(t)
+
+    def weight_eta(eta, y):
+        t = jnp.exp(jnp.minimum(eta, 30.0))
+        p = jnp.maximum(-jnp.expm1(-t), 1e-30)
+        # d(-s)/deta = t e^{-t} (t - p) / p^2  (-> t/2 as t -> 0).
+        w1 = jnp.where(t < 1e-6, 0.5 * t,
+                       t * jnp.exp(-t) * (t - p) / (p * p))
+        return y * w1 + (1.0 - y) * t
+
+    def null_resid(y, intercept, w=None):
+        pbar = _wmean(y, w) if intercept else jnp.asarray(
+            -jnp.expm1(-1.0), y.dtype)
+        pbar = jnp.clip(pbar, 1e-6, 1.0 - 1e-6)
+        eta0 = jnp.log(-jnp.log1p(-pbar)) if intercept else 0.0
+        return -grad_eta(jnp.full_like(y, eta0), y)
+
+    def cv_loss(eta, y):
+        t = np.exp(np.minimum(eta, 30.0))
+        logp = np.log(np.maximum(-np.expm1(-t), 1e-300))
+        return -2.0 * (y[None, :] * logp - (1.0 - y[None, :]) * t)
+
+    return GLMFamily(
+        name="binomial_cloglog",
+        grad_eta=grad_eta,
+        weight_eta=weight_eta,
+        null_resid=null_resid,
+        cv_loss=cv_loss,
+        mean_eta=lambda eta: -np.expm1(-np.exp(np.minimum(eta, 30.0))),
+    )
+
+
+@lru_cache(maxsize=None)
+def gamma_log() -> GLMFamily:
+    """Gamma regression with the log link (glmnet 4.x's
+    ``family = Gamma(link = "log")``), y > 0: the unit-shape negative
+    log-likelihood loss(eta; y) = y e^{-eta} + eta (the shape parameter
+    scales the objective uniformly, so the path is shape-free, exactly
+    as glmnet's IRLS is).  Curvature y e^{-eta} is unbounded -> the
+    adaptive per-lambda majorizer (the poisson protocol)."""
+    def cv_loss(eta, y):
+        # Gamma deviance: 2 [ (y - mu)/mu - log(y/mu) ], mu = e^eta.
+        mu = np.exp(np.clip(eta, -30.0, 30.0))
+        r = y[None, :] / mu
+        return 2.0 * (r - 1.0 - np.log(np.maximum(r, 1e-300)))
+
+    return GLMFamily(
+        name="gamma_log",
+        grad_eta=lambda eta, y: 1.0 - y * jnp.exp(
+            jnp.minimum(-eta, 30.0)),
+        weight_eta=lambda eta, y: y * jnp.exp(jnp.minimum(-eta, 30.0)),
+        null_resid=lambda y, intercept, w=None: (
+            y / _wmean(y, w) - 1.0 if intercept else y - 1.0),
+        cv_loss=cv_loss,
+        mean_eta=lambda eta: np.exp(np.clip(eta, -30.0, 30.0)),
+    )
+
+
+@lru_cache(maxsize=None)
+def negative_binomial(theta: float = 1.0) -> GLMFamily:
+    """Negative-binomial (NB2) regression with the log link and FIXED
+    dispersion ``theta`` (the MASS::glm.nb likelihood at known theta —
+    the overdispersed-count companion glmnet users reach through the
+    4.x family-object path): loss(eta; y) = (y + theta) log(theta +
+    e^eta) - y eta.  theta -> inf recovers poisson.  Curvature
+    theta (y+theta) mu / (mu+theta)^2 <= (y+theta)/4 is data-dependent
+    -> the adaptive per-lambda majorizer."""
+    th = float(theta)
+    if th <= 0:
+        raise ValueError("theta must be positive")
+
+    def grad_eta(eta, y):
+        mu = jnp.exp(jnp.minimum(eta, 30.0))
+        return (y + th) * mu / (mu + th) - y
+
+    def weight_eta(eta, y):
+        mu = jnp.exp(jnp.minimum(eta, 30.0))
+        return th * (y + th) * mu / jnp.square(mu + th)
+
+    def cv_loss(eta, y):
+        # NB2 deviance at fixed theta: 2 [ y log(y/mu)
+        #   - (y+theta) log((y+theta)/(mu+theta)) ], xlogy at y = 0.
+        mu = np.exp(np.clip(eta, -30.0, 30.0))
+        yb = y[None, :]
+        ylogy = np.where(yb > 0,
+                         yb * np.log(np.maximum(yb, 1e-300) / mu), 0.0)
+        return 2.0 * (ylogy - (yb + th) * np.log((yb + th) / (mu + th)))
+
+    def null_resid(y, intercept, w=None):
+        mu0 = _wmean(y, w) if intercept else 1.0
+        return y - (y + th) * mu0 / (mu0 + th)
+
+    return GLMFamily(
+        name="negative_binomial",
+        grad_eta=grad_eta,
+        weight_eta=weight_eta,
+        null_resid=null_resid,
+        cv_loss=cv_loss,
+        param=th,
+        mean_eta=lambda eta: np.exp(np.clip(eta, -30.0, 30.0)),
     )
 
 

@@ -15,7 +15,9 @@ Works for every path-result type in the package:
 * ``PathResult`` (gaussian / GLM / group / genlasso paths):
   (nlambda, m) linear predictors; ``type="response"`` applies the
   inverse link named by ``family`` ("binomial" -> sigmoid,
-  "poisson" -> exp; gaussian is the identity).
+  "poisson" -> exp; gaussian is the identity).  ``family`` may also
+  be a :class:`GLMFamily` instance (glmnet 4.x family objects —
+  probit/cloglog/gamma/negbin links apply their own ``mean_eta``).
 * ``MTPathResult`` (multi-task): (nlambda, m, K).
 * ``MNPathResult`` (multinomial): (nlambda, m, C) linear predictors;
   ``type="response"`` -> softmax probabilities, ``type="class"`` ->
@@ -148,8 +150,18 @@ def predict(result, X, *, lam=None,
         elif type != "link":
             raise ValueError("multi-task predictions are 'link' only")
     else:
-        if type == "class" and family != "binomial":
-            raise ValueError("type='class' needs family='binomial' "
+        # glmnet 4.x family objects: a GLMFamily instance (or factory)
+        # carries its own inverse link (mean_eta); "class" applies to
+        # any binomial-link family via the mean > 1/2 rule.
+        fam_obj = None
+        if not isinstance(family, str):
+            from .glmnet import _family_object
+
+            fam_obj = _family_object(family)
+        is_binom = (family == "binomial" if fam_obj is None
+                    else fam_obj.name.startswith("binomial"))
+        if type == "class" and not is_binom:
+            raise ValueError("type='class' needs a binomial family "
                              "(or a multinomial result)")
         eta = beta0[:, None] + coef @ X.T            # (L, m)
         if offset is not None:
@@ -157,7 +169,12 @@ def predict(result, X, *, lam=None,
             # prediction time too.
             eta = eta + np.asarray(offset, np.float64)[None, :]
         if type in ("response", "class"):
-            if family == "binomial":
+            if fam_obj is not None:
+                if fam_obj.mean_eta is not None:
+                    eta = fam_obj.mean_eta(eta)
+                if type == "class":
+                    eta = (eta > 0.5).astype(np.int64)
+            elif family == "binomial":
                 eta = 1.0 / (1.0 + np.exp(-eta))
                 if type == "class":
                     eta = (eta > 0.5).astype(np.int64)
