@@ -362,7 +362,10 @@ def checkpointed_glm_path(
     fp = _fingerprint(
         Xa, y, lams, alpha, maxit, eps_abs, eps_rel, rho,
         standardize, intercept, False,
-        model=f"glm-{fam.name}-{hessian}-ns{int(newton_steps)}",
+        # fam.param distinguishes parametrized likelihoods — huber(M),
+        # negative_binomial(theta) — whose name alone would collide.
+        model=(f"glm-{fam.name}-p{float(fam.param)!r}-{hessian}"
+               f"-ns{int(newton_steps)}"),
         extra_arrays=(() if w is None else (w,)))
     segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
         st, solve, report, il, m, ea, er)[:3])

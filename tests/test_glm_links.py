@@ -243,6 +243,59 @@ def test_predict_assess_cv_measures_with_family_objects():
                                rtol=1e-6)
 
 
+def test_consensus_family_objects_match_serial():
+    """The distributed consensus GLM engine is family-generic: probit
+    (bounded curvature -> fixed-majorizer workers) and gamma (unbounded
+    -> exact-Newton workers) both converge to their serial solvers."""
+    from admm_tpu.parallel.consensus import parallel_glm_lasso_path
+
+    X, _, eta = _design(n=256, p=8)
+    lams = np.array([0.05, 0.02])
+    yb = (RNG.uniform(size=X.shape[0]) < ndtr(eta)).astype(float)
+    par = parallel_glm_lasso_path(X, yb, binomial_probit(), nworkers=4,
+                                  lambdas=lams, eps_abs=1e-6,
+                                  eps_rel=1e-6)
+    ser = glm_lasso_path(X, yb, binomial_probit(), lambdas=lams,
+                         eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(par.coef),
+                               np.asarray(ser.coef), atol=2e-3)
+    yg = RNG.gamma(2.0, np.exp(eta) / 2.0) + 1e-6
+    parg = parallel_glm_lasso_path(X, yg, gamma_log(), nworkers=4,
+                                   lambdas=lams, eps_abs=1e-6,
+                                   eps_rel=1e-6)
+    serg = glm_lasso_path(X, yg, gamma_log(), lambdas=lams,
+                          eps_abs=1e-6, eps_rel=1e-6)
+    np.testing.assert_allclose(np.asarray(parg.coef),
+                               np.asarray(serg.coef), atol=2e-3)
+
+
+def test_checkpoint_family_objects_and_param_fingerprint(tmp_path):
+    """checkpointed_glm_path works for the new families, and the
+    fingerprint distinguishes PARAMETRIZED likelihoods: a checkpoint
+    written under negative_binomial(2.0) must refuse to resume under
+    negative_binomial(3.0) (fam.param enters the model tag)."""
+    from admm_tpu.diag.checkpoint import checkpointed_glm_path
+
+    X, _, eta = _design(n=200, p=6)
+    y = RNG.poisson(np.exp(eta)).astype(float)
+    lams = np.geomspace(0.2, 0.01, 8)
+    ck = str(tmp_path / "nb.npz")
+    out = checkpointed_glm_path(X, y, negative_binomial(2.0),
+                                lambdas=lams, checkpoint=ck,
+                                chunk_size=3, _stop_after_chunks=1)
+    assert out is None
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_glm_path(X, y, negative_binomial(3.0),
+                              lambdas=lams, checkpoint=ck, chunk_size=3)
+    res = checkpointed_glm_path(X, y, negative_binomial(2.0),
+                                lambdas=lams, checkpoint=ck,
+                                chunk_size=3)
+    full = glm_lasso_path(X, y, negative_binomial(2.0), lambdas=lams,
+                          hessian="exact", path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(full.coef), atol=2e-5)
+
+
 def test_big_glm_accepts_family_object():
     from admm_tpu import big_glm
 
