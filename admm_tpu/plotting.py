@@ -38,6 +38,61 @@ def plot_solution_path(lambdas, beta, ax=None):
     return ax
 
 
+def plot_path(result, xvar: str = "norm", label: bool = False, ax=None,
+              X=None, y=None, family="gaussian", weights=None):
+    """glmnet's ``plot.glmnet``: coefficient profiles against the
+    chosen horizontal axis, with the nonzero count (Df) on a top axis.
+
+    ``xvar``: 'norm' (default — the L1 norm of the coefficients, as in
+    glmnet), 'lambda' (log lambda) or 'dev' (fraction of null deviance
+    explained — pass the training ``X``/``y`` (+ ``family``/
+    ``weights``) so the deviance column can be computed, exactly the
+    inputs glmnet bakes into its fit object).  ``label=True`` annotates
+    each curve with its variable index at the right edge.  ``result``
+    is any vector-coefficient path result (gaussian, GLM, cox).
+    """
+    coef = np.asarray(result.coef)
+    if coef.ndim != 2:
+        raise ValueError("plot_path needs a vector-coefficient path "
+                         "(matrix families: plot per response/class)")
+    lambdas = np.asarray(result.lambdas)
+    if xvar == "norm":
+        xs = np.abs(coef).sum(axis=1)
+        xlabel = "L1 Norm"
+    elif xvar == "lambda":
+        xs = np.log(lambdas)
+        xlabel = r"$\log(\lambda)$"
+    elif xvar == "dev":
+        if X is None or y is None:
+            raise ValueError("xvar='dev' needs X= and y= (the training "
+                             "data) to compute the deviance column")
+        from .summary import path_table
+
+        xs = np.asarray(path_table(result, X, y, family=family,
+                                   weights=weights).dev_ratio)
+        xlabel = "Fraction Deviance Explained"
+    else:
+        raise ValueError("xvar must be 'norm', 'lambda' or 'dev'")
+    ax = _get_ax(ax)
+    keep = np.flatnonzero(np.any(coef != 0, axis=0))
+    for j in keep:
+        ax.plot(xs, coef[:, j], lw=1)
+        if label:
+            ax.annotate(str(j), (xs[-1], coef[-1, j]), fontsize=8,
+                        xytext=(3, 0), textcoords="offset points")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("Coefficients")
+    # glmnet's top axis: Df at a handful of x positions.
+    df = (coef != 0).sum(axis=1)
+    top = ax.secondary_xaxis("top")
+    ticks = np.linspace(0, xs.size - 1, min(6, xs.size)).astype(int)
+    order = np.argsort(xs[ticks])
+    top.set_xticks(xs[ticks][order])
+    top.set_xticklabels(df[ticks][order].astype(int))
+    top.set_xlabel("Df")
+    return ax
+
+
 def plot_stem(coef, ax=None):
     """Stem plot of Basis-Pursuit coefficients."""
     coef = np.asarray(coef).ravel()

@@ -78,3 +78,21 @@ w = np.where(np.arange(n2) < 100, 5.0, 1.0)   # upweight the first block
 yw = X @ b + 0.5 * rng.normal(size=n2)
 fitw = lasso_path(X, yw, nlambda=10, weights=w)
 print(f"weighted lasso path: niter = {np.asarray(fitw.niter).tolist()}")
+
+# --- GLM family OBJECTS (glmnet 4.x's family= path) ---------------------
+# Alternative links / extra likelihoods plug into the same engine:
+# probit and cloglog binomial links, Gamma(log), negative binomial --
+# or roll your own GLMFamily from grad/IRLS hooks.
+from scipy.special import ndtr  # noqa: E402
+
+yp = (rng.uniform(size=n2) < ndtr(0.3 + X @ b)).astype(float)
+fitp = admm_tpu.glmnet(X, yp, family=admm_tpu.binomial_probit(),
+                       nlambda=12)
+prob = admm_tpu.predict(fitp, X[:4], lam=float(fitp.lambdas[-1]),
+                        type="response", family=admm_tpu.binomial_probit())
+print(f"probit link: P(y=1|x) for 4 rows = {np.round(prob, 3).tolist()}")
+
+yg = rng.gamma(2.0, np.exp(0.2 + 0.5 * X[:, 0]) / 2.0) + 1e-6
+cvg = admm_tpu.cv_glmnet(X, yg, family=admm_tpu.gamma_log(),
+                         nfolds=4, nlambda=12, seed=0)
+print(f"gamma(log) CV: lambda_min = {cvg.lambda_min:.4f}")

@@ -123,3 +123,22 @@ def test_path_table_cox():
         dev, -2.0 * _breslow_pl(X, t_, d, np.asarray(r.coef)),
         rtol=1e-8)
     admm_tpu.format_path_table(tab)   # renders
+
+
+def test_plot_path_renders_all_xvars(gauss):
+    """glmnet's plot.glmnet: coefficient profiles vs L1 norm (default),
+    log lambda, or fraction deviance explained, Df on the top axis."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from admm_tpu.plotting import plot_path
+
+    X, y = gauss
+    res = lasso_path(X, y, nlambda=20)
+    for xvar in ("norm", "lambda", "dev"):
+        ax = plot_path(res, xvar=xvar, label=True, X=X, y=y)
+        assert len(ax.lines) > 0
+        assert ax.get_xlabel() != ""
+    with pytest.raises(ValueError, match="xvar"):
+        plot_path(res, xvar="nope")
+    with pytest.raises(ValueError, match="needs X="):
+        plot_path(res, xvar="dev")
