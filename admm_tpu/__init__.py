@@ -54,7 +54,7 @@ from .models.logistic import logistic_lasso_path
 from .models.glasso import (cv_glasso_path, empirical_covariance,
                             glasso_path)
 from .models.svm import cv_svm_path, svm_fit, svm_path
-from .models.rpca import rpca
+from .models.rpca import matrix_complete, rpca
 from .data.makex import make_x
 from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
@@ -94,7 +94,7 @@ __all__ = [
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "survfit_cox",
     "glasso_path", "cv_glasso_path", "empirical_covariance",
-    "svm_fit", "svm_path", "cv_svm_path", "rpca",
+    "svm_fit", "svm_path", "cv_svm_path", "rpca", "matrix_complete",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",

@@ -593,6 +593,95 @@ def checkpointed_multinomial_path(
                         niter=niter)
 
 
+def checkpointed_glasso_path(
+        X=None, *, cov=None, lambdas, checkpoint: str,
+        chunk_size: int = 5, weights=None,
+        penalize_diagonal: bool = False, assume_centered: bool = False,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """Graphical-lasso lambda path in resumable chunks — the warm-started
+    scan over the (p, p) matrix state (models/glasso.py); the covariance
+    matrix and penalty convention enter the fingerprint.  The adaptive
+    rho rides the saved state, so a resumed run continues the same
+    ladder bit-exactly."""
+    from ..models.glasso import (GlassoResult, _glasso_engine,
+                                 empirical_covariance)
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    if (X is None) == (cov is None):
+        raise ValueError("pass exactly one of X or cov")
+    if cov is not None:
+        S = jnp.asarray(cov, dtype)
+    else:
+        S = empirical_covariance(X, weights, dtype=dtype,
+                                 assume_centered=assume_centered)
+    p = S.shape[-1]
+    eye = jnp.eye(p, dtype=dtype)
+    pen_mask = (jnp.ones((p, p), dtype) if penalize_diagonal
+                else 1.0 - eye)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+
+    st0, solve, report = _glasso_engine(S, pen_mask, lams[0], rho)
+    fp = _fingerprint(S, jnp.zeros((1,), dtype), lams, 1.0, maxit,
+                      eps_abs, eps_rel, rho, False, False,
+                      penalize_diagonal, model="glasso")
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, lams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    precs, niter = out
+    return GlassoResult(lambdas=lams, precision=precs, cov=S,
+                        niter=niter)
+
+
+def checkpointed_svm_path(
+        X, y, *, Cs, checkpoint: str, chunk_size: int = 5,
+        loss: str = "squared_hinge", intercept: bool = True,
+        weights=None, maxit: int = 20000, eps_abs: float = 1e-5,
+        eps_rel: float = 1e-5, rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """Linear-SVM C path in resumable chunks (the warm-started scan
+    protocol of models/svm.py).  The loss, intercept flag, labels and
+    per-row weights enter the fingerprint; auto-rho is derived from the
+    FULL C grid (as in the one-shot path), so chunking never changes
+    the shared factorization."""
+    from ..models.svm import SVMResult, _as_sign, _svm_engine
+
+    chunk_size, Cs_np = _validate_chunking(chunk_size, Cs)
+    ysign, _ = _as_sign(y)
+    X = jnp.asarray(X, dtype)
+    n, p = X.shape
+    obs_w = (jnp.ones((n,), dtype) if weights is None
+             else jnp.asarray(weights, dtype).ravel())
+    Cs_d = jnp.sort(jnp.asarray(Cs_np, dtype))[::-1]
+    ysign_d = jnp.asarray(ysign, dtype)
+
+    st0, solve, report = _svm_engine(X, ysign_d, Cs_d, obs_w, loss,
+                                     bool(intercept), rho)
+    fp = _fingerprint(X, ysign_d, Cs_d, 1.0, maxit, eps_abs, eps_rel,
+                      rho, False, intercept, False,
+                      model=f"svm-{loss}", extra_arrays=(obs_w,))
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, Cs_d, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    vs, niter = out
+    if intercept:
+        coefs, b = vs[:, :p], vs[:, p]
+    else:
+        coefs, b = vs, jnp.zeros((Cs_d.shape[0],), dtype)
+    return SVMResult(Cs=Cs_d, coef=coefs, intercept=b, niter=niter)
+
+
 def checkpointed_cox_path(
         X, time, event, *, lambdas, checkpoint: str, chunk_size: int = 10,
         alpha: float = 1.0, standardize: bool = True,

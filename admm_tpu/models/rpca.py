@@ -98,6 +98,71 @@ def _rpca_dev(M, lam, rho0, maxit, eps_abs, eps_rel, trace_len=None):
                       niter=st.it, trace=None)
 
 
+def _mc_ops(M, mask, m, n) -> ProblemOps:
+    def next_x(st):
+        # L-update: nuclear prox of the constraint-feasible iterate.
+        return svt(st.z - st.y / st.rho, 1.0 / st.rho)
+
+    def next_z(st, x_new):
+        v = x_new + st.y / st.rho
+        # Projection onto {Z : Z_ij = M_ij on observed entries}.
+        return jnp.where(mask, M, v), None
+
+    return ProblemOps(
+        next_x=next_x,
+        next_z=next_z,
+        primal_residual=lambda st, x, z, aux: x - z,
+        eps_primal_scale=lambda st: jnp.maximum(l2norm(st.x),
+                                                l2norm(st.z)),
+        eps_dual_scale=lambda st: l2norm(st.y),
+        dual_residual=lambda st, z_new: st.rho * l2norm(z_new - st.z),
+        combined_extra=None,
+        dim_main=m * n, dim_dual=m * n,
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def _mc_dev(M, mask, rho0, maxit, eps_abs, eps_rel):
+    m, n = M.shape
+    dtype = M.dtype
+    ops = _mc_ops(M, mask, m, n)
+    solve = make_admm_solver(ops, adapt_rho=True)
+    nobs = jnp.sum(mask)
+    # Same balance heuristic as rpca, on the observed entries only.
+    rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
+                    nobs / (4.0 * jnp.sum(jnp.abs(M) * mask) + 1e-30))
+    Z0 = M * mask
+    st0 = make_state(Z0, Z0, jnp.zeros((m, n), dtype), rho, 0.0,
+                     dtype=dtype)
+    st = solve(st0, maxit, eps_abs, eps_rel)
+    return st.x, st.it
+
+
+def matrix_complete(M, observed=None, *, rho: float = -1.0,
+                    maxit: int = 5000, eps_abs: float = 1e-7,
+                    eps_rel: float = 1e-6, dtype=jnp.float32):
+    """Exact NUCLEAR-NORM MATRIX COMPLETION (Candes & Recht 2009):
+
+        minimize ||L||_*   s.t.  L_ij = M_ij  on observed entries
+
+    by the same SVT/projection ADMM as :func:`rpca`.  ``observed`` is a
+    boolean mask (default: the nonzero entries of ``M``).  Returns
+    ``(L, niter)``.  Oracle: exact completion of planted incoherent
+    low-rank matrices at sufficient sampling (tests/test_rpca.py)."""
+    M = jnp.asarray(M, dtype)
+    if M.ndim != 2:
+        raise ValueError("M must be a 2-D matrix")
+    if observed is None:
+        mask = M != 0
+    else:
+        mask = jnp.asarray(observed, bool)
+        if mask.shape != M.shape:
+            raise ValueError("observed mask must match M's shape")
+    L, niter = _mc_dev(M, mask, jnp.asarray(rho, dtype), maxit,
+                       eps_abs, eps_rel)
+    return L, niter
+
+
 def rpca(M, *, lam: Optional[float] = None, rho: float = -1.0,
          maxit: int = 5000, eps_abs: float = 1e-7, eps_rel: float = 1e-6,
          trace_len: Optional[int] = None,

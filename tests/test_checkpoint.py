@@ -487,3 +487,74 @@ def test_cox_crash_and_resume_identical(tmp_path):
     with pytest.raises(ValueError, match="different"):
         checkpointed_cox_path(X, t2, d, lambdas=lams, checkpoint=ck,
                               chunk_size=3)
+
+
+def test_glasso_crash_and_resume_identical(tmp_path):
+    """Graphical-lasso checkpoint: crash-resume bit-exactness (the
+    adaptive rho rides the saved state), agreement with the plain scan
+    path, and penalty-convention fingerprinting."""
+    from admm_tpu.diag.checkpoint import checkpointed_glasso_path
+    from admm_tpu.models.glasso import glasso_path
+
+    rng = np.random.default_rng(31)
+    A = rng.normal(size=(200, 10))
+    S = A.T @ A / 200 + np.eye(10)
+    lams = np.geomspace(0.5, 0.02, 8)
+    ck = str(tmp_path / "gl.npz")
+    out = checkpointed_glasso_path(cov=S, lambdas=lams, checkpoint=ck,
+                                   chunk_size=3, _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_glasso_path(cov=S, lambdas=lams, checkpoint=ck,
+                                   chunk_size=3)
+    full = checkpointed_glasso_path(cov=S, lambdas=lams,
+                                    checkpoint=str(tmp_path / "gl2.npz"),
+                                    chunk_size=3)
+    np.testing.assert_array_equal(np.asarray(res.precision),
+                                  np.asarray(full.precision))
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(full.niter))
+    plain = glasso_path(cov=S, lambdas=lams, path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.precision),
+                               np.asarray(plain.precision), atol=2e-5)
+    # The penalty convention is part of the problem identity.
+    ck3 = str(tmp_path / "gl3.npz")
+    checkpointed_glasso_path(cov=S, lambdas=lams, checkpoint=ck3,
+                             chunk_size=3, _stop_after_chunks=1)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_glasso_path(cov=S, lambdas=lams, checkpoint=ck3,
+                                 chunk_size=3, penalize_diagonal=True)
+
+
+def test_svm_crash_and_resume_identical(tmp_path):
+    """SVM checkpoint: crash-resume bit-exactness and agreement with
+    the one-shot scan path; the loss tag is fingerprinted."""
+    from admm_tpu.diag.checkpoint import checkpointed_svm_path
+    from admm_tpu.models.svm import svm_path
+
+    rng = np.random.default_rng(32)
+    X = rng.normal(size=(150, 12))
+    y = (X @ rng.normal(size=12) > 0).astype(int)
+    Cs = np.geomspace(2.0, 0.02, 9)
+    ck = str(tmp_path / "svm.npz")
+    out = checkpointed_svm_path(X, y, Cs=Cs, checkpoint=ck,
+                                chunk_size=4, _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_svm_path(X, y, Cs=Cs, checkpoint=ck, chunk_size=4)
+    full = checkpointed_svm_path(X, y, Cs=Cs,
+                                 checkpoint=str(tmp_path / "svm2.npz"),
+                                 chunk_size=4)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    np.testing.assert_array_equal(np.asarray(res.intercept),
+                                  np.asarray(full.intercept))
+    plain = svm_path(X, y, Cs=Cs, path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.intercept),
+                               np.asarray(plain.intercept), atol=1e-5)
+    ck3 = str(tmp_path / "svm3.npz")
+    checkpointed_svm_path(X, y, Cs=Cs, checkpoint=ck3, chunk_size=4,
+                          _stop_after_chunks=1)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_svm_path(X, y, Cs=Cs, checkpoint=ck3, chunk_size=4,
+                              loss="hinge")

@@ -82,3 +82,23 @@ def test_trace_and_validation():
     assert res.trace.shape == (30, 5)
     with pytest.raises(ValueError, match="2-D"):
         rpca(np.ones(5))
+
+
+def test_matrix_completion_exact():
+    """Nuclear-norm completion recovers a planted incoherent low-rank
+    matrix exactly at sufficient sampling (Candes & Recht)."""
+    from admm_tpu.models.rpca import matrix_complete
+
+    rng = np.random.default_rng(5)
+    m, n, r = 60, 50, 2
+    L0 = rng.normal(size=(m, r)) @ rng.normal(size=(r, n))
+    mask = rng.uniform(size=(m, n)) < 0.5
+    M = np.where(mask, L0, 0.0)
+    L, niter = matrix_complete(M, mask, dtype=jnp.float64,
+                               eps_abs=1e-10, eps_rel=1e-9)
+    L = np.asarray(L)
+    assert np.abs(L - L0).max() / np.abs(L0).max() < 1e-5
+    # Observed entries are honored exactly at convergence.
+    assert np.abs((L - L0)[mask]).max() < 1e-6
+    with pytest.raises(ValueError, match="shape"):
+        matrix_complete(M, mask[:, :10])
