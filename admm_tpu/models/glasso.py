@@ -27,9 +27,13 @@ ADMM splitting with ``A = I``, ``B = -I`` (Theta - Z = 0):
 * z-update: masked ``soft_threshold(Theta + y/rho, lambda P / rho)`` —
   exact zeros live in Z, positive-definiteness lives in Theta.
 
-The lambda path runs as MXU lanes (batched eigh over the lane axis,
-``path_mode="batch"``) or as the warm-started ``lax.scan`` protocol,
-sharing the engines, tracing and stopping rules of every other family.
+The lambda path defaults to the warm-started ``lax.scan`` protocol —
+MEASURED 2.4x faster than batched lanes here on both the chip and CPU
+(chip, p=200, 20 lambdas: scan 150 ms vs batch 364 ms), the opposite of
+the regression families: each iteration is eigh-dominated (not a thin
+matvec), so lanes add FLOPs without adding arithmetic intensity, while
+warm starts cut the iteration count ~3x.  ``path_mode="batch"`` stays
+available (DESIGN.md "Graphical-lasso protocol").
 
 Oracle: ``sklearn.covariance.graphical_lasso`` (coordinate-descent on
 the dual) plus direct KKT certificates — tests/test_glasso.py.
@@ -46,6 +50,7 @@ import numpy as np
 from ..core.engine import (ADMMState, ProblemOps, make_admm_solver,
                            make_batched_solver, make_state)
 from ..core.prox import l2norm, soft_threshold
+from ..linalg import dot
 from .lasso import _scan_path
 
 
@@ -72,9 +77,11 @@ def empirical_covariance(X, weights=None, *, assume_centered=False,
     if assume_centered:
         Xc = X
     else:
-        mu = (w @ X) / sw
+        mu = dot(w, X) / sw
         Xc = X - mu[None, :]
-    return (Xc * w[:, None]).T @ Xc / sw
+    # HIGHEST precision: S feeds a convergence test downstream
+    # (CLAUDE.md: TPU matmuls default to bf16 accumulation otherwise).
+    return dot((Xc * w[:, None]).T, Xc) / sw
 
 
 def _glasso_ops(S, pen_mask, p) -> ProblemOps:
@@ -83,7 +90,10 @@ def _glasso_ops(S, pen_mask, p) -> ProblemOps:
         G = 0.5 * (G + G.T)
         w, Q = jnp.linalg.eigh(G)
         theta = (w + jnp.sqrt(w * w + 4.0 * st.rho)) / (2.0 * st.rho)
-        xn = (Q * theta[None, :]) @ Q.T
+        # HIGHEST-precision reconstruction: at default (bf16) precision
+        # the Boyd residuals floor at ~1e-2 on TPU and the solve never
+        # converges (CLAUDE.md Pallas/solve-path rule).
+        xn = dot(Q * theta[None, :], Q.T)
         return 0.5 * (xn + xn.T)
 
     def next_z(st, x_new):
@@ -181,7 +191,7 @@ def glasso_path(X=None, *, cov=None, weights=None,
                 penalize_diagonal: bool = False,
                 assume_centered: bool = False, maxit: int = 10000,
                 eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-                rho: float = -1.0, path_mode: str = "batch",
+                rho: float = -1.0, path_mode: str = "scan",
                 trace_len: Optional[int] = None,
                 dtype=jnp.float32) -> GlassoResult:
     """Solve the graphical-lasso lambda path on device.
@@ -236,9 +246,9 @@ class CVGlassoResult(NamedTuple):
 def _fold_cov(X, w):
     """Weighted empirical covariance and mean for one fold lane."""
     sw = jnp.sum(w)
-    mu = (w @ X) / sw
+    mu = dot(w, X) / sw
     Xc = X - mu[None, :]
-    return (Xc * w[:, None]).T @ Xc / sw, mu
+    return dot((Xc * w[:, None]).T, Xc) / sw, mu
 
 
 @partial(jax.jit, static_argnames=("penalize_diagonal",))
@@ -262,8 +272,10 @@ def _cv_glasso_core(X, masks, w, lams, rho0, maxit, eps_abs, eps_rel,
 
     def fold_fit(mask):
         S_f, mu_f = _fold_cov(X, w * mask)
+        # Scan protocol inside the fold vmap (the measured glasso
+        # default): folds advance their warm-started paths in lockstep.
         precs, _, _ = _solve_glasso(S_f, pen_mask, lams, rho0, maxit,
-                                    eps_abs, eps_rel, "batch")
+                                    eps_abs, eps_rel, "scan")
         return precs, mu_f
 
     precs, mus = jax.vmap(fold_fit)(masks)      # (F, L, p, p), (F, p)
@@ -271,7 +283,8 @@ def _cv_glasso_core(X, masks, w, lams, rho0, maxit, eps_abs, eps_rel,
     def fold_score(prec_f, mu_f, mask):
         Xc = X - mu_f[None, :]
         # (L, n) per-row quadratic form under every path point.
-        quad = jnp.einsum("np,lpq,nq->ln", Xc, prec_f, Xc)
+        quad = jnp.einsum("np,lpq,nq->ln", Xc, prec_f, Xc,
+                          precision=jax.lax.Precision.HIGHEST)
         # Select this fold's own held-out rows on device.
         return quad * (1.0 - mask)[None, :]
 

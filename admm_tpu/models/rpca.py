@@ -35,6 +35,7 @@ import numpy as np
 
 from ..core.engine import ProblemOps, make_admm_solver, make_state
 from ..core.prox import l2norm, soft_threshold
+from ..linalg import dot
 
 
 class RPCAResult(NamedTuple):
@@ -47,9 +48,13 @@ class RPCAResult(NamedTuple):
 
 
 def svt(A, tau):
-    """Singular-value thresholding: the prox of ``tau * ||.||_*``."""
+    """Singular-value thresholding: the prox of ``tau * ||.||_*``.
+
+    HIGHEST-precision reconstruction: the product feeds the Boyd
+    residuals, which floor above tolerance at the TPU's default bf16
+    matmul accumulation (CLAUDE.md solve-path rule)."""
     U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
-    return (U * jnp.maximum(s - tau, 0.0)[None, :]) @ Vt
+    return dot(U * jnp.maximum(s - tau, 0.0)[None, :], Vt)
 
 
 def _rpca_ops(M, m, n) -> ProblemOps:

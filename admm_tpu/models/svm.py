@@ -268,7 +268,9 @@ def _cv_svm_core(X, ysign, masks, w, Cs, rho0, maxit, eps_abs, eps_rel,
     coefs, bs = jax.vmap(fold_fit)(masks)   # (F, k, p), (F, k)
 
     def fold_eta(coef_f, b_f, mask):
-        eta = X @ coef_f.T + b_f[None, :]   # (n, k)
+        from ..linalg import dot
+
+        eta = dot(X, coef_f.T) + b_f[None, :]   # (n, k)
         return eta * (1.0 - mask)[:, None]
 
     etas = jax.vmap(fold_eta)(coefs, bs, masks)

@@ -474,6 +474,82 @@ def bench_cv(fast):
     return out
 
 
+def bench_round4(fast):
+    """Round-4 extension rows: graphical lasso, linear SVM, robust PCA
+    (no reference analog — the reference is a regression package)."""
+    import jax.numpy as jnp
+    from admm_tpu.models.glasso import _glasso_path_dev, empirical_covariance
+    from admm_tpu.models.rpca import _rpca_dev
+    from admm_tpu.models.svm import _svm_path_dev
+
+    out = {}
+    rng = np.random.default_rng(123)
+
+    # Graphical lasso: p=200 precision path, 20 lambdas.
+    A = rng.normal(size=(2000, 200)).astype(np.float32)
+    S = empirical_covariance(jnp.asarray(A))
+
+    def one_gl(i, S, mode="batch"):
+        Sp = S * (1.0 + 1e-6 * (i + 1).astype(S.dtype))
+        res = _glasso_path_dev(Sp, 20, 1e-2, None, jnp.float32(-1.0),
+                               10000, 1e-5, 1e-5,
+                               penalize_diagonal=False, path_mode=mode)
+        return jnp.sum(res.precision) + jnp.sum(res.niter)
+
+    ks = (1, 5) if fast else (2, 10)
+    out["glasso_path_p200_20lambdas_ms"] = dict(
+        value=amortized_ms(one_gl, *ks, args=(S,)), baseline_ms=None,
+        note="20-lambda sparse-precision path, p=200 (batched eigh "
+             "lanes); extension (reference is regression-only)")
+    out["glasso_path_p200_20lambdas_scan_ms"] = dict(
+        value=amortized_ms(partial(one_gl, mode="scan"), *ks, args=(S,)),
+        baseline_ms=None,
+        note="warm-started sequential protocol for the same path")
+
+    # Linear SVM: n=2000, p=100, 20-C path (shared factorization).
+    Xs = rng.normal(size=(2000, 100)).astype(np.float32)
+    ys = np.sign(Xs @ rng.normal(size=100) + 0.3 * rng.normal(size=2000))
+    Xj = jnp.asarray(Xs)
+    ysj = jnp.asarray(ys, jnp.float32)
+    Cs = jnp.asarray(np.geomspace(1.0, 1e-3, 20), jnp.float32)
+    ow = jnp.ones((2000,), jnp.float32)
+
+    def one_svm(i, Xj, ysj):
+        Xp = Xj * (1.0 + 1e-6 * (i + 1).astype(Xj.dtype))
+        res = _svm_path_dev(Xp, ysj, Cs, ow, jnp.float32(-1.0), 20000,
+                            1e-5, 1e-5, loss="squared_hinge",
+                            intercept=True, path_mode="batch")
+        return jnp.sum(res.coef) + jnp.sum(res.niter)
+
+    out["svm_path_2000x100_20C_ms"] = dict(
+        value=amortized_ms(one_svm, *ks, args=(Xj, ysj)),
+        baseline_ms=None,
+        note="20-C squared-hinge path as MXU lanes against one cached "
+             "factorization; extension")
+
+    # Robust PCA: 500x500 low-rank + sparse separation.
+    L0 = (rng.normal(size=(500, 5)) @ rng.normal(size=(5, 500))
+          ).astype(np.float32)
+    Sp0 = np.zeros((500, 500), np.float32)
+    m = rng.uniform(size=Sp0.shape) < 0.05
+    Sp0[m] = 10 * rng.choice([-1.0, 1.0], size=m.sum())
+    M = jnp.asarray(L0 + Sp0)
+
+    def one_rpca(i, M):
+        Mp = M * (1.0 + 1e-6 * (i + 1).astype(M.dtype))
+        res = _rpca_dev(Mp, jnp.float32(1.0 / np.sqrt(500)),
+                        jnp.float32(-1.0), 2000, 1e-6, 1e-5)
+        return jnp.sum(res.low_rank) + res.niter.astype(jnp.float32)
+
+    out["rpca_500x500_ms"] = dict(
+        value=amortized_ms(one_rpca, *((1, 4) if fast else (2, 8)),
+                           args=(M,)),
+        baseline_ms=None,
+        note="exact low-rank + sparse separation (SVD per iteration); "
+             "extension")
+    return out
+
+
 def bench_consensus_scaling(fast):
     """On-chip batched-worker scaling (the measurable half of the
     BASELINE north star): W = 1..16 consensus workers on ONE chip, all
@@ -603,6 +679,7 @@ def main():
                      ("lad", bench_lad), ("bp", bench_bp),
                      ("glm", bench_glm), ("multi", bench_multi),
                      ("scale", bench_scale), ("cv", bench_cv),
+                     ("round4", bench_round4),
                      ("consensus_scaling", bench_consensus_scaling)]:
         t0 = time.time()
         results.update(fn(args.fast))
