@@ -192,7 +192,7 @@ def glasso_path(X=None, *, cov=None, weights=None,
                 assume_centered: bool = False, maxit: int = 10000,
                 eps_abs: float = 1e-5, eps_rel: float = 1e-5,
                 rho: float = -1.0, path_mode: str = "scan",
-                trace_len: Optional[int] = None,
+                trace_len: Optional[int] = None, data_mesh=None,
                 dtype=jnp.float32) -> GlassoResult:
     """Solve the graphical-lasso lambda path on device.
 
@@ -213,6 +213,17 @@ def glasso_path(X=None, *, cov=None, weights=None,
         if weights is not None:
             raise ValueError("weights apply to X, not a precomputed cov")
     else:
+        if data_mesh is not None:
+            # Operator parallelism for the covariance build (the only
+            # n-bound step; iterations are (p, p)-bound): row-shard X,
+            # XLA turns the moment products into per-shard partials +
+            # all-reduce (lasso_path(data_mesh=) pattern).
+            from ..parallel.mesh import put_dim_sharded
+
+            X = put_dim_sharded(jnp.asarray(X, dtype), data_mesh, 0)
+            if weights is not None:
+                weights = put_dim_sharded(
+                    jnp.asarray(weights, dtype).ravel(), data_mesh, 0)
         S = empirical_covariance(X, weights, dtype=dtype,
                                  assume_centered=assume_centered)
     if path_mode not in ("batch", "scan"):
@@ -300,7 +311,7 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
                    nlambda: int = 20, lambda_min_ratio: float = 1e-2,
                    penalize_diagonal: bool = False, maxit: int = 10000,
                    eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-                   rho: float = -1.0, seed: int = 0,
+                   rho: float = -1.0, seed: int = 0, fold_mesh=None,
                    dtype=jnp.float32) -> CVGlassoResult:
     """K-fold CV for the graphical lasso (sklearn's ``GraphicalLassoCV``
     analog), scored by the held-out Gaussian negative log-likelihood
@@ -337,6 +348,13 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
 
     masks = jnp.asarray(
         foldid[None, :] != np.arange(nfolds)[:, None], dtype)
+    if fold_mesh is not None:
+        # Folds are independent: shard the fold-mask axis over the mesh
+        # and the vmapped sweep partitions one fold path per device
+        # (the cv.py fold_mesh pattern).
+        from ..models.cv import _shard_folds
+
+        masks = _shard_folds(masks, fold_mesh)
     quad, logdet = _cv_glasso_core(
         Xd, masks, w, lams, jnp.asarray(rho, dtype), maxit, eps_abs,
         eps_rel, penalize_diagonal=bool(penalize_diagonal))

@@ -58,6 +58,9 @@ class SVMResult(NamedTuple):
     intercept: jnp.ndarray  # (k,) biases (0 when intercept=False)
     niter: jnp.ndarray      # (k,) int32 ADMM iteration counts
     trace: Optional[jnp.ndarray] = None
+    # The original class labels (negative, positive) — attached outside
+    # the jitted driver; predict(type="class") maps back through them.
+    classes: Optional[tuple] = None
 
 
 def hinge_prox(v, scale):
@@ -193,7 +196,7 @@ def svm_path(X, y, *, Cs=None, nC: int = 20, C_min_ratio: float = 1e-3,
              weights=None, maxit: int = 20000, eps_abs: float = 1e-5,
              eps_rel: float = 1e-5, rho: float = -1.0,
              path_mode: str = "batch",
-             trace_len: Optional[int] = None,
+             trace_len: Optional[int] = None, data_mesh=None,
              dtype=jnp.float32) -> SVMResult:
     """Solve the linear-SVM C path on device.
 
@@ -207,8 +210,16 @@ def svm_path(X, y, *, Cs=None, nC: int = 20, C_min_ratio: float = 1e-3,
     ``[C_min_ratio, 1] * nC`` geometrically times ``1/mean|corr|`` —
     pass explicit ``Cs`` for production sweeps.
     """
-    ysign, _ = _as_sign(y)
+    ysign, classes = _as_sign(y)
     X = jnp.asarray(X, dtype)
+    if data_mesh is not None:
+        # Operator parallelism: row-shard the data; the gram(A) build
+        # becomes per-shard partials + all-reduce and the per-iteration
+        # margin products partition over rows (lasso_path(data_mesh=)
+        # pattern).
+        from ..parallel.mesh import put_dim_sharded
+
+        X = put_dim_sharded(X, data_mesh, 0)
     n, p = X.shape
     if ysign.shape[0] != n:
         raise ValueError("x and y must have the same number of rows")
@@ -224,10 +235,11 @@ def svm_path(X, y, *, Cs=None, nC: int = 20, C_min_ratio: float = 1e-3,
     if Cs is None:
         Cs = np.geomspace(1.0, C_min_ratio, int(nC))
     Cs = jnp.sort(jnp.atleast_1d(jnp.asarray(Cs, dtype)))[::-1]
-    return _svm_path_dev(X, jnp.asarray(ysign, dtype), Cs, obs_w, rho,
-                         maxit, eps_abs, eps_rel, loss=loss,
-                         intercept=bool(intercept),
-                         path_mode=path_mode, trace_len=trace_len)
+    res = _svm_path_dev(X, jnp.asarray(ysign, dtype), Cs, obs_w, rho,
+                        maxit, eps_abs, eps_rel, loss=loss,
+                        intercept=bool(intercept),
+                        path_mode=path_mode, trace_len=trace_len)
+    return res._replace(classes=classes)
 
 
 def svm_fit(X, y, *, C: float = 1.0, **kw) -> SVMResult:
@@ -282,7 +294,7 @@ def cv_svm_path(X, y, *, nfolds: int = 10, foldid=None, weights=None,
                 loss: str = "squared_hinge", intercept: bool = True,
                 type_measure: str = "class", maxit: int = 20000,
                 eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-                rho: float = -1.0, seed: int = 0,
+                rho: float = -1.0, seed: int = 0, fold_mesh=None,
                 dtype=jnp.float32) -> CVSVMResult:
     """K-fold CV over the SVM C grid, scored by held-out
     misclassification (``type_measure="class"``) or the hinge /
@@ -317,6 +329,10 @@ def cv_svm_path(X, y, *, nfolds: int = 10, foldid=None, weights=None,
 
     masks = jnp.asarray(foldid[None, :] != np.arange(nfolds)[:, None],
                         dtype)
+    if fold_mesh is not None:
+        from ..models.cv import _shard_folds
+
+        masks = _shard_folds(masks, fold_mesh)
     eta = np.asarray(_cv_svm_core(
         Xd, jnp.asarray(ysign, dtype), masks, w, Cs_d,
         jnp.asarray(rho, dtype), maxit, eps_abs, eps_rel, loss=loss,

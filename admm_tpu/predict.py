@@ -44,7 +44,8 @@ def _at_lam(result, lam):
     bracketing grid points on the lambda scale, clamped to the grid
     range; an ``s`` on the grid is exact.  Returns a single-point
     result of the same type (leading lambda axis length 1)."""
-    lams = np.asarray(result.lambdas, np.float64)   # decreasing
+    grid_attr = "lambdas" if hasattr(result, "lambdas") else "Cs"
+    lams = np.asarray(getattr(result, grid_attr), np.float64)  # decr.
     s = float(np.clip(float(lam), lams.min(), lams.max()))
     right = int(np.searchsorted(-lams, -s))   # first i with lams[i]<=s
     left = max(right - 1, 0)
@@ -56,9 +57,11 @@ def _at_lam(result, lam):
         a = np.asarray(a, np.float64)
         return ((1.0 - frac) * a[left] + frac * a[right])[None]
 
-    kw = {"lambdas": np.array([s]), "coef": mix(result.coef)}
+    kw = {grid_attr: np.array([s]), "coef": mix(result.coef)}
     if hasattr(result, "beta0"):
         kw["beta0"] = mix(result.beta0)
+    if hasattr(result, "intercept"):
+        kw["intercept"] = mix(result.intercept)
     return result._replace(**kw)
 
 
@@ -67,6 +70,18 @@ def _resolve_cv(result, lam):
     predicts through its full-data fit at ``s = "lambda.1se"`` by
     DEFAULT (glmnet's choice), ``"lambda.min"``, or a numeric lambda.
     Returns (fit, lam) unchanged for plain path results."""
+    if hasattr(result, "fit") and hasattr(result, "C_1se"):
+        # SVM CV results: select on the C grid (1-SE points at smaller
+        # C = stronger regularization, the glmnet convention mirrored).
+        if lam is None:
+            lam = "C_1se"
+        if isinstance(lam, str):
+            key = lam.replace(".", "_").replace("lambda", "C")
+            if key not in ("C_1se", "C_min"):
+                raise ValueError("lam must be numeric, 'C_min' or "
+                                 "'C_1se' for SVM CV results")
+            lam = getattr(result, key)
+        return result.fit, float(lam)
     if not (hasattr(result, "fit") and hasattr(result, "lambda_1se")):
         if isinstance(lam, str):
             raise ValueError("string lam selectors need a CV result")
@@ -96,6 +111,7 @@ def predict(result, X, *, lam=None,
     from .models.cox import CoxPathResult
     from .models.multinomial import MNPathResult
     from .models.multitask import MTPathResult
+    from .models.svm import SVMResult
 
     result, lam = _resolve_cv(result, lam)
     squeeze = lam is not None
@@ -106,6 +122,19 @@ def predict(result, X, *, lam=None,
                     "nonzero"):
         raise ValueError("type must be 'link', 'response', 'class', "
                          "'coefficients' or 'nonzero'")
+    if isinstance(result, SVMResult) and type not in ("coefficients",
+                                                      "nonzero"):
+        # 'link' = decision values; 'class' maps back through the
+        # original labels (no probability scale for the hinge losses).
+        if type == "response":
+            raise ValueError("SVM predictions are 'link' (decision "
+                             "values) or 'class'")
+        eta = (np.asarray(result.intercept)[:, None]
+               + np.asarray(result.coef) @ np.asarray(X, np.float64).T)
+        if type == "class":
+            cls = result.classes or (-1, 1)
+            eta = np.where(eta > 0, cls[1], cls[0])
+        return eta[0] if squeeze else eta
     if type in ("coefficients", "nonzero"):
         # glmnet's predict(type="coefficients"/"nonzero"): X is unused.
         coef = np.asarray(result.coef)
@@ -120,7 +149,9 @@ def predict(result, X, *, lam=None,
         if isinstance(result, CoxPathResult):
             out = coef                                   # no intercept
         else:
-            beta0 = np.asarray(result.beta0)
+            beta0 = np.asarray(result.intercept
+                               if isinstance(result, SVMResult)
+                               else result.beta0)
             out = (np.concatenate([beta0[:, None], coef], axis=1)
                    if coef.ndim == 2 else
                    np.concatenate([beta0[:, None, :], coef], axis=1))

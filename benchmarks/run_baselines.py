@@ -498,13 +498,15 @@ def bench_round4(fast):
 
     ks = (1, 5) if fast else (2, 10)
     out["glasso_path_p200_20lambdas_ms"] = dict(
-        value=amortized_ms(one_gl, *ks, args=(S,)), baseline_ms=None,
-        note="20-lambda sparse-precision path, p=200 (batched eigh "
-             "lanes); extension (reference is regression-only)")
-    out["glasso_path_p200_20lambdas_scan_ms"] = dict(
         value=amortized_ms(partial(one_gl, mode="scan"), *ks, args=(S,)),
         baseline_ms=None,
-        note="warm-started sequential protocol for the same path")
+        note="20-lambda sparse-precision path, p=200, warm-started scan "
+             "(the measured default — DESIGN.md); extension (reference "
+             "is regression-only)")
+    out["glasso_path_p200_20lambdas_batch_ms"] = dict(
+        value=amortized_ms(one_gl, *ks, args=(S,)), baseline_ms=None,
+        note="batched eigh lanes for the same path (loses 2.4x: "
+             "eigh-dominated iterations don't amortize across lanes)")
 
     # Linear SVM: n=2000, p=100, 20-C path (shared factorization).
     Xs = rng.normal(size=(2000, 100)).astype(np.float32)

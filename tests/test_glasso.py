@@ -185,3 +185,27 @@ def test_cv_recovers_support_signal():
     res = cv_glasso_path(X, nfolds=5, nlambda=10, seed=1)
     # cvm at the empty-graph end exceeds the minimum.
     assert res.cvm[0] > res.cvm.min()
+
+
+def test_data_mesh_and_fold_mesh_match_single_device():
+    """Row-sharded covariance build (data_mesh) and fold-sharded CV
+    (fold_mesh) agree with the single-device programs on the 8-virtual-
+    device mesh."""
+    from admm_tpu.parallel.mesh import make_mesh
+
+    X, _ = _problem(p=8, n=160, seed=9)
+    mesh = make_mesh(8)
+    rep = glasso_path(X, nlambda=5)
+    shd = glasso_path(X, nlambda=5, data_mesh=mesh)
+    # f32 tolerance, not equality: the sharded covariance build reduces
+    # in a different order.
+    assert np.abs(np.asarray(rep.precision)
+                  - np.asarray(shd.precision)).max() < 1e-4
+
+    # The fold axis shards over the mesh: nfolds must be divisible by
+    # the device count (as in tests/test_cv.py).
+    cv0 = cv_glasso_path(X, nfolds=8, nlambda=5, seed=2)
+    cv1 = cv_glasso_path(X, nfolds=8, nlambda=5, seed=2,
+                         fold_mesh=mesh)
+    assert cv0.cvm == pytest.approx(cv1.cvm, rel=1e-5, abs=1e-7)
+    assert cv0.lambda_min == cv1.lambda_min

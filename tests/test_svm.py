@@ -155,3 +155,53 @@ def test_separable_margin_sanity():
     eta = X @ np.asarray(r.coef[0]) + float(r.intercept[0])
     ysign = np.where(y == 1, 1.0, -1.0)
     assert np.all(ysign * eta > 0.99)
+
+
+def test_data_mesh_and_fold_mesh_match_single_device():
+    from admm_tpu.parallel.mesh import make_mesh
+
+    X, y = _problem(n=160, p=10, seed=9)
+    mesh = make_mesh(8)
+    Cs = np.geomspace(1.0, 0.05, 5)
+    rep = svm_path(X, y, Cs=Cs)
+    shd = svm_path(X, y, Cs=Cs, data_mesh=mesh)
+    assert np.abs(np.asarray(rep.coef) - np.asarray(shd.coef)).max() < 1e-5
+
+    cv0 = cv_svm_path(X, y, nfolds=8, Cs=Cs, seed=3)
+    cv1 = cv_svm_path(X, y, nfolds=8, Cs=Cs, seed=3, fold_mesh=mesh)
+    assert cv0.cvm == pytest.approx(cv1.cvm, abs=1e-10)
+
+
+def test_predict_svm_results():
+    """predict()/coef() work on SVM path and CV results: decision
+    values, class labels mapped back to the original labels, C-grid
+    interpolation, and the CV C_1se default."""
+    from admm_tpu.predict import coef, predict
+
+    X, y = _problem(n=150, p=8, seed=10)
+    ylab = np.where(y == 1, 5, 2)          # arbitrary labels
+    Cs = np.geomspace(2.0, 0.05, 6)
+    fit = svm_path(X, ylab, Cs=Cs, dtype=jnp.float64)
+    eta = predict(fit, X)
+    assert eta.shape == (6, 150)
+    lab = predict(fit, X, type="class", lam=float(Cs[2]))
+    assert set(np.unique(lab)) <= {2, 5}
+    # On-grid lam is exact.
+    assert eta[2] == pytest.approx(predict(fit, X, lam=float(Cs[2])))
+    # Off-grid interpolates between brackets.
+    mid = predict(fit, X, lam=float(np.sqrt(Cs[2] * Cs[3])))
+    lo = np.minimum(eta[2], eta[3]) - 1e-9
+    hi = np.maximum(eta[2], eta[3]) + 1e-9
+    assert np.all((mid >= lo) & (mid <= hi))
+    cm = coef(fit, lam=float(Cs[1]))
+    assert cm.shape == (9,)  # intercept + 8 slopes
+    assert cm[0] == pytest.approx(float(fit.intercept[1]))
+    with pytest.raises(ValueError, match="decision"):
+        predict(fit, X, type="response")
+
+    cv = cv_svm_path(X, ylab, nfolds=4, Cs=Cs, dtype=jnp.float64)
+    eta_cv = predict(cv, X)                # C_1se default
+    assert eta_cv.shape == (150,)
+    eta_min = predict(cv, X, lam="C_min")
+    assert eta_min == pytest.approx(
+        predict(cv.fit, X, lam=cv.C_min))
