@@ -55,6 +55,7 @@ from .models.glasso import (cv_glasso_path, empirical_covariance,
                             glasso_path)
 from .models.svm import cv_svm_path, svm_fit, svm_path
 from .models.rpca import matrix_complete, rpca
+from .models.slope import bh_sequence, slope_path
 from .data.makex import make_x
 from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
@@ -95,6 +96,7 @@ __all__ = [
     "survfit_cox",
     "glasso_path", "cv_glasso_path", "empirical_covariance",
     "svm_fit", "svm_path", "cv_svm_path", "rpca", "matrix_complete",
+    "slope_path", "bh_sequence",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",
