@@ -36,7 +36,8 @@ from .models.cv import (cv_dantzig_path, cv_enet_path,
                         cv_fused_lasso_path, cv_gen_lasso_path,
                         cv_glm_path, cv_group_lasso_path,
                         cv_lasso_path, cv_logistic_path,
-                        cv_multinomial_path, cv_multitask_lasso_path)
+                        cv_multinomial_path, cv_multitask_lasso_path,
+                        cv_slope_path)
 from .models.glm import (GLMFamily, binomial, binomial_cloglog,
                          binomial_probit, gamma_log, glm_lasso_path,
                          huber, huber_lasso_path, negative_binomial,
@@ -96,7 +97,7 @@ __all__ = [
     "survfit_cox",
     "glasso_path", "cv_glasso_path", "empirical_covariance",
     "svm_fit", "svm_path", "cv_svm_path", "rpca", "matrix_complete",
-    "slope_path", "bh_sequence",
+    "slope_path", "bh_sequence", "cv_slope_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",

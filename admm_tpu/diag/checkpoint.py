@@ -593,6 +593,48 @@ def checkpointed_multinomial_path(
                         niter=niter)
 
 
+def checkpointed_slope_path(
+        X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        lam_seq=None, q: float = 0.1, standardize_x: bool = True,
+        intercept: bool = True, maxit: int = 10000,
+        eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
+        dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """SLOPE scale-path (``lambdas`` = the t values) in resumable
+    chunks.  The sorted penalty sequence enters the fingerprint (a
+    different sequence must refuse to resume)."""
+    from ..models.slope import _slope_engine, bh_sequence
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    n, p = X.shape
+    if lam_seq is None:
+        lam_seq = bh_sequence(p, q)
+    lam_j = jnp.asarray(np.asarray(lam_seq, np.float64).ravel(), dtype)
+    Xs, ys, stats = standardize(X, y, standardize_x=standardize_x,
+                                intercept=intercept)
+    ts = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    its = ts * n / stats.scale_y
+
+    st0, solve, report, _ = _slope_engine(Xs, ys, lam_j, its[0], rho)
+    fp = _fingerprint(Xs, ys, its, 1.0, maxit, eps_abs, eps_rel, rho,
+                      standardize_x, intercept, False, model="slope",
+                      extra_arrays=(lam_j,))
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, its, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    beta0, coef = recover(stats, coefs, standardize_x=standardize_x,
+                          intercept=intercept)
+    return PathResult(lambdas=ts, beta0=beta0, coef=coef, niter=niter)
+
+
 def checkpointed_glasso_path(
         X=None, *, cov=None, lambdas, checkpoint: str,
         chunk_size: int = 5, weights=None,

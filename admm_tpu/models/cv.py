@@ -1105,3 +1105,47 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
                     lambda_1se=float(lams[np.flatnonzero(within)[0]]),
                     fit=full, foldid=foldid,
                     fit_preval=eta_all if keep else None)
+
+
+def cv_slope_path(X, y, *, lam_seq=None, q: float = 0.1,
+                  nlambda: int = 30, lambda_min_ratio: float = 1e-2,
+                  standardize: bool = True, intercept: bool = True,
+                  maxit: int = 10000, eps_abs: float = 1e-5,
+                  eps_rel: float = 1e-5, rho: float = -1.0,
+                  **kw) -> CVResult:
+    """Cross-validated SLOPE path over the sequence SCALE t (extension;
+    admm_tpu/models/slope.py): the sorted-l1 sequence (BH at level
+    ``q`` by default) is fixed, the CV selects its multiplier — the
+    glmnet protocol with t in the lambda role.  One-pass fold sweep by
+    default (fold-as-lane weights), weighted CV and ``fold_mesh``
+    supported."""
+    from .slope import _slope_fold_etas, bh_sequence, slope_path
+
+    p = np.shape(X)[1]
+    if lam_seq is None:
+        lam_seq = bh_sequence(p, q)
+    lam_np = np.asarray(lam_seq, np.float64).ravel()
+
+    def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
+                lambda_min_ratio=lambda_min_ratio):
+        return slope_path(Xf, yf, lam_seq=lam_np, lambdas=lambdas,
+                          nlambda=nlambda,
+                          lambda_min_ratio=lambda_min_ratio,
+                          standardize=standardize, intercept=intercept,
+                          weights=wf, maxit=maxit, eps_abs=eps_abs,
+                          eps_rel=eps_rel, rho=rho)
+
+    fold_mesh = kw.get("fold_mesh")
+
+    def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
+        return _slope_fold_etas(
+            jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype),
+            jnp.asarray(lam_np, dtype), jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            jnp.asarray(fid, jnp.int32), rho, maxit, eps_abs, eps_rel,
+            standardize_x=standardize, intercept=intercept)
+
+    return cv_lasso_path(X, y, nlambda=nlambda,
+                         lambda_min_ratio=lambda_min_ratio,
+                         standardize=standardize, intercept=intercept,
+                         _path_fn=path_fn, _fold_eta_fn=fold_eta, **kw)

@@ -258,3 +258,22 @@ def slope_path(X, y, *, lam_seq=None, q: float = 0.1,
                            standardize_x=standardize,
                            intercept=intercept, path_mode=path_mode,
                            trace_len=trace_len)
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept"))
+def _slope_fold_etas(X, y, lam_seq, lams, masks, fid, rho, maxit,
+                     eps_abs, eps_rel, *, standardize_x, intercept):
+    """Jitted core of the SLOPE one-pass fold sweep (the
+    cv.py::_gaussian_fold_etas pattern): fold f = the weighted path
+    with weight 0 on held-out rows, vmapped over the fold-mask axis;
+    returns the (n, nlambda) own-fold linear predictors selected on
+    device."""
+    def one(mask):
+        res = _slope_path_dev(X, y, lam_seq, 2, 1e-2, lams, rho, maxit,
+                              eps_abs, eps_rel, mask,
+                              standardize_x=standardize_x,
+                              intercept=intercept, path_mode="batch")
+        return res.beta0[:, None] + dot(res.coef, X.T)
+
+    etas = jax.vmap(one)(masks)                # (nfolds, nlambda, n)
+    return etas[fid, :, jnp.arange(fid.shape[0])]

@@ -558,3 +558,36 @@ def test_svm_crash_and_resume_identical(tmp_path):
     with pytest.raises(ValueError, match="different"):
         checkpointed_svm_path(X, y, Cs=Cs, checkpoint=ck3, chunk_size=4,
                               loss="hinge")
+
+
+def test_slope_crash_and_resume_identical(tmp_path):
+    """SLOPE checkpoint: crash-resume bit-exactness, one-shot scan
+    agreement, and the penalty-sequence fingerprint."""
+    from admm_tpu.diag.checkpoint import checkpointed_slope_path
+    from admm_tpu.models.slope import bh_sequence, slope_path
+
+    rng = np.random.default_rng(41)
+    X = rng.normal(size=(150, 12))
+    y = X[:, :3] @ np.array([2.0, -1.0, 1.0]) + 0.3 * rng.normal(size=150)
+    ts = np.geomspace(0.3, 0.01, 9)
+    ck = str(tmp_path / "sl.npz")
+    out = checkpointed_slope_path(X, y, lambdas=ts, checkpoint=ck,
+                                  chunk_size=4, _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_slope_path(X, y, lambdas=ts, checkpoint=ck,
+                                  chunk_size=4)
+    full = checkpointed_slope_path(X, y, lambdas=ts,
+                                   checkpoint=str(tmp_path / "sl2.npz"),
+                                   chunk_size=4)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    plain = slope_path(X, y, lambdas=ts, path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-5)
+    ck3 = str(tmp_path / "sl3.npz")
+    checkpointed_slope_path(X, y, lambdas=ts, checkpoint=ck3,
+                            chunk_size=4, _stop_after_chunks=1)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_slope_path(X, y, lambdas=ts, checkpoint=ck3,
+                                chunk_size=4,
+                                lam_seq=bh_sequence(12, 0.3))

@@ -133,3 +133,18 @@ def test_validation():
         slope_path(X, y, lam_seq=np.zeros(6))
     with pytest.raises(ValueError, match="path_mode"):
         slope_path(X, y, path_mode="nope")
+
+
+def test_cv_slope_onepass_matches_loop():
+    from admm_tpu.models.cv import cv_slope_path
+
+    X, y = _problem(n=120, p=12, seed=6)
+    kw = dict(nfolds=4, nlambda=6, seed=5, eps_abs=1e-7, eps_rel=1e-7)
+    one = cv_slope_path(X, y, cv_mode="onepass", **kw)
+    loop = cv_slope_path(X, y, cv_mode="loop", **kw)
+    assert one.cvm == pytest.approx(loop.cvm, rel=1e-4, abs=1e-7)
+    assert one.lambda_min == loop.lambda_min
+    # Weighted CV runs (one-pass only, as for the gaussian driver).
+    w = np.ones(120); w[:10] = 2.0
+    cw = cv_slope_path(X, y, weights=w, **kw)
+    assert np.all(np.isfinite(cw.cvm))
