@@ -40,6 +40,24 @@ w = np.asarray(cvs.fit.coef[j]); b = float(cvs.fit.intercept[j])
 acc = (((Xc @ w + b) > 0).astype(int) == yc).mean()
 print(f"train accuracy at C_min: {acc:.3f}")
 
+# --- SLOPE: FDR-controlled adaptive thresholds
+print("\n== SLOPE ==")
+Xs = rng.normal(size=(300, 40))
+bs = np.zeros(40); bs[:4] = [3, -2, 1.5, 1]
+ys = Xs @ bs + rng.normal(size=300)
+cvsl = admm_tpu.cv_slope_path(Xs, ys, nfolds=5, nlambda=10, q=0.1)
+i = int(np.argmin(np.abs(cvsl.lambdas - cvsl.lambda_min)))
+sel = np.flatnonzero(np.asarray(cvsl.fit.coef[i]))
+print(f"selected support at lambda_min: {sel.tolist()} (truth: [0,1,2,3])")
+
+# --- Matrix completion: fill in a low-rank matrix from 50% of entries
+print("\n== matrix completion ==")
+Lmc = rng.normal(size=(60, 3)) @ rng.normal(size=(3, 50))
+obs = rng.uniform(size=Lmc.shape) < 0.5
+Lhat, ni = admm_tpu.matrix_complete(np.where(obs, Lmc, 0.0), obs)
+print(f"completion max err: {np.abs(np.asarray(Lhat) - Lmc).max():.2e} "
+      f"from {obs.mean():.0%} of entries  niter={int(ni)}")
+
 # --- Robust PCA: separate a corrupted low-rank matrix exactly
 print("\n== robust PCA ==")
 L0 = rng.normal(size=(80, 3)) @ rng.normal(size=(3, 60))
