@@ -71,7 +71,8 @@ from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
                                  parallel_logistic_lasso_path,
                                  parallel_multinomial_lasso_path,
                                  parallel_multitask_lasso_path,
-                                 parallel_poisson_lasso_path)
+                                 parallel_poisson_lasso_path,
+                                 parallel_slope_path)
 
 __version__ = "0.1.0"
 
@@ -104,5 +105,6 @@ __all__ = [
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",
     "parallel_group_lasso_path", "parallel_bp_fit",
+    "parallel_slope_path",
     "__version__",
 ]

@@ -535,7 +535,9 @@ def _consensus_lasso_shard(Xi, yi, x0, y0, z0, ilams, rho0, maxit,
     """Lasso/Enet/group-Lasso instantiation of the generic consensus
     engine (same worker ridge solves; the master prox selects the
     penalty)."""
-    if group_prox is not None:
+    if callable(group_prox):
+        master = group_prox(nworkers)
+    elif group_prox is not None:
         master = _group_master_prox(nworkers, *group_prox)
     elif alpha >= 1.0:
         master = _lasso_master_prox(nworkers)
@@ -723,7 +725,14 @@ def parallel_lasso_path(X, y, *, nworkers: Optional[int] = None,
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
-        if _master_prox_override is not None:
+        if callable(_master_prox_override):
+            # Generic master-prox plug-in (e.g. the consensus SLOPE):
+            # an optional ``lambda0`` attribute supplies the penalty's
+            # own null threshold.
+            lam0_fn = getattr(_master_prox_override, "lambda0", None)
+            lam0 = (lam0_fn(Xs, ys) if lam0_fn is not None
+                    else jnp.max(jnp.abs(dot(Xs.T, ys))))
+        elif _master_prox_override is not None:
             # group-Lasso KKT boundary (admm_tpu/models/grouplasso.py).
             from ..models.grouplasso import _gl_lambda0
 
@@ -774,6 +783,37 @@ def parallel_group_lasso_path(X, y, groups, *,
     return parallel_lasso_path(
         X, y, _master_prox_override=(groups_j, weights_j,
                                      float(l1_ratio)), **kw)
+
+
+def parallel_slope_path(X, y, *, lam_seq=None, q: float = 0.1,
+                        **kw) -> PathResult:
+    """Consensus SLOPE path (extension): the Lasso consensus scheme
+    with the master prox swapped for the SORTED-l1 prox (the sequence
+    scale t plays the lambda role) — the same one-fused-psum iteration.
+    ``lam_seq``/``q`` as in :func:`admm_tpu.models.slope.slope_path`."""
+    from ..models.slope import _slope_t0, bh_sequence, prox_sorted_l1
+
+    p = np.asarray(X).shape[1]
+    dtype = kw.get("dtype", jnp.float32)
+    if lam_seq is None:
+        lam_seq = bh_sequence(p, q)
+    lam_np = np.asarray(lam_seq, np.float64).ravel()
+    if lam_np.shape != (p,):
+        raise ValueError("lam_seq must have one entry per column of x")
+    if np.any(np.diff(lam_np) > 1e-12) or not lam_np[0] > 0:
+        raise ValueError("lam_seq must be nonincreasing with a "
+                         "positive largest entry")
+    lam_j = jnp.asarray(lam_np, dtype)
+
+    def make_master(W):
+        def prox(zbar, lam, rho):
+            return prox_sorted_l1(zbar, (lam / (rho * W)) * lam_j)
+        return prox
+
+    make_master.lambda0 = lambda Xs, ys: (_slope_t0(Xs, ys, lam_j)
+                                          * (1.0 + 1e-4))
+    return parallel_lasso_path(X, y, _master_prox_override=make_master,
+                               **kw)
 
 
 def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:

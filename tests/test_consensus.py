@@ -129,7 +129,7 @@ def _allreduce_shapes(hlo):
 
 @pytest.mark.parametrize("variant", ["lasso", "bp", "group", "logistic",
                                      "huber", "poisson", "multinomial",
-                                     "multitask"])
+                                     "multitask", "slope"])
 def test_exactly_one_psum_per_iteration(variant):
     """THE central distributed invariant (consensus.py module docstring):
     the whole compiled consensus program contains exactly ONE all-reduce,
@@ -186,6 +186,25 @@ def test_exactly_one_psum_per_iteration(variant):
                                   n_total=160, newton_steps=2),
             master_prox=C._mn_master_prox(8, 1.0, mask, q, nc, False),
             auto_rho=lambda lam: 0.25)
+    elif variant == "slope":
+        # Callable master-prox plug-in: the sorted-l1 prox (consensus
+        # SLOPE) — same packed (p+3) psum, same single collective.
+        from admm_tpu.models.slope import prox_sorted_l1
+
+        X, y = _problem(n=160, p=16)
+        p = 16
+        Xb = jnp.asarray(X, jnp.float32).reshape(8, 20, p)
+        yb = jnp.asarray(y, jnp.float32).reshape(8, 20)
+        lam_j = jnp.asarray(np.linspace(2.0, 1.0, p), jnp.float32)
+
+        def mk(W):
+            def prox(zbar, lam, rho):
+                return prox_sorted_l1(zbar, (lam / (rho * W)) * lam_j)
+            return prox
+
+        factory = lambda ax: partial(C._consensus_lasso_shard, axis=ax,
+                                     nworkers=8, tall_block=True,
+                                     group_prox=mk)
     elif variant == "multitask":
         pdim, K = 16, 3
         p = pdim * K

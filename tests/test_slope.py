@@ -148,3 +148,24 @@ def test_cv_slope_onepass_matches_loop():
     w = np.ones(120); w[:10] = 2.0
     cw = cv_slope_path(X, y, weights=w, **kw)
     assert np.all(np.isfinite(cw.cvm))
+
+
+def test_parallel_slope_matches_serial():
+    """Consensus SLOPE (master sorted-l1 prox on the generic consensus
+    engine) agrees with the serial solver on the 8-device mesh."""
+    from admm_tpu.parallel.consensus import parallel_slope_path
+
+    X, y = _problem(n=160, p=12, seed=8)
+    lamseq = bh_sequence(12, 0.1)
+    ts = np.array([0.2, 0.08])
+    par = parallel_slope_path(X, y, lam_seq=lamseq, lambdas=ts,
+                              nworkers=8, eps_abs=1e-7, eps_rel=1e-7)
+    ser = slope_path(X, y, lam_seq=lamseq, lambdas=ts, eps_abs=1e-7,
+                     eps_rel=1e-7)
+    gap = np.abs(np.asarray(par.coef) - np.asarray(ser.coef)).max()
+    assert gap < 2e-3, gap
+    # Auto grid: the consensus driver's slope-aware lambda0 nulls the
+    # top of the path.
+    auto = parallel_slope_path(X, y, lam_seq=lamseq, nworkers=4,
+                               nlambda=4)
+    assert np.abs(np.asarray(auto.coef[0])).max() < 1e-4
