@@ -221,7 +221,7 @@ def slope_path(X, y, *, lam_seq=None, q: float = 0.1,
                standardize: bool = True, intercept: bool = True,
                weights=None, maxit: int = 10000, eps_abs: float = 1e-5,
                eps_rel: float = 1e-5, rho: float = -1.0,
-               path_mode: str = "batch",
+               path_mode: str = "auto",
                trace_len: Optional[int] = None,
                dtype=jnp.float32) -> PathResult:
     """Solve the SLOPE path on device.
@@ -244,8 +244,14 @@ def slope_path(X, y, *, lam_seq=None, q: float = 0.1,
         raise ValueError("lam_seq must be nonincreasing and >= 0")
     if not lam_np[0] > 0:
         raise ValueError("lam_seq must have a positive largest entry")
-    if path_mode not in ("batch", "scan"):
-        raise ValueError("path_mode must be 'batch' or 'scan'")
+    if path_mode not in ("auto", "batch", "scan"):
+        raise ValueError("path_mode must be 'auto', 'batch' or 'scan'")
+    if path_mode == "auto":
+        # Measured crossover (chip, DESIGN.md "SLOPE protocol"): the
+        # O(p^2) isotonic prox runs per LANE, so batch lanes stop
+        # amortizing once the prox dominates the matvec — batch wins
+        # 3.4x at p=50, scan wins 2-5x at p>=150.
+        path_mode = "batch" if p < 100 else "scan"
     if trace_len is not None:
         path_mode = "scan"
         trace_len = int(trace_len)

@@ -529,6 +529,49 @@ def bench_round4(fast):
         note="20-C squared-hinge path as MXU lanes against one cached "
              "factorization; extension")
 
+    # SLOPE: 10000x500 30-scale path (the sorted-l1 prox is the per-
+    # iteration cost: argsort + two (p, p) cumulative reductions).
+    Xsl = rng.normal(size=(10000, 500)).astype(np.float32)
+    bsl = np.zeros(500, np.float32)
+    bsl[:10] = rng.normal(size=10)
+    ysl = (Xsl @ bsl + rng.normal(size=10000)).astype(np.float32)
+    Xslj, yslj = jnp.asarray(Xsl), jnp.asarray(ysl)
+
+    def one_slope(i, Xj, yj):
+        from admm_tpu.models.slope import _slope_path_dev, bh_sequence
+
+        yy = yj * (1.0 + 1e-6 * (i + 1).astype(yj.dtype))
+        res = _slope_path_dev(
+            Xj, yy, jnp.asarray(bh_sequence(500, 0.1), jnp.float32),
+            30, 1e-2, None, jnp.float32(-1.0), 10000, 1e-5, 1e-5,
+            standardize_x=True, intercept=True, path_mode="scan")
+        return jnp.sum(res.coef) + jnp.sum(res.niter)
+
+    out["slope_path_10000x500_30lambdas_ms"] = dict(
+        value=amortized_ms(one_slope, *ks, args=(Xslj, yslj)),
+        baseline_ms=None,
+        note="30-scale sorted-l1 (BH q=0.1) path, warm-started scan "
+             "(the auto default at p >= 100 — the O(p^2) prox doesn't "
+             "amortize across lanes, DESIGN.md); extension")
+
+    # Constrained (zero-sum) lasso: 10000x500, 30 lambdas.
+    def one_con(i, Xj, yj):
+        from admm_tpu.models.conlasso import _conlasso_path_dev
+
+        yy = yj * (1.0 + 1e-6 * (i + 1).astype(yj.dtype))
+        C = jnp.ones((1, 500), jnp.float32)
+        d = jnp.zeros((1,), jnp.float32)
+        res = _conlasso_path_dev(Xj, yy, C, d, 30, 1e-3, None,
+                                 jnp.float32(-1.0), 10000, 1e-5, 1e-5,
+                                 intercept=True, path_mode="batch")
+        return jnp.sum(res.coef) + jnp.sum(res.niter)
+
+    out["zerosum_lasso_path_10000x500_30lambdas_ms"] = dict(
+        value=amortized_ms(one_con, *ks, args=(Xslj, yslj)),
+        baseline_ms=None,
+        note="30-lambda equality-constrained (zero-sum) path, "
+             "KKT-eliminated x-update; extension")
+
     # Robust PCA: 500x500 low-rank + sparse separation.
     L0 = (rng.normal(size=(500, 5)) @ rng.normal(size=(5, 500))
           ).astype(np.float32)
