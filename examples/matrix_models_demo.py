@@ -3,9 +3,15 @@ robust PCA.
 
 Run: python examples/matrix_models_demo.py   (CPU or TPU)
 """
+import os
+import sys
+
 import numpy as np
 
-import admm_tpu
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import admm_tpu  # noqa: E402
 
 rng = np.random.default_rng(0)
 
@@ -46,9 +52,10 @@ Xs = rng.normal(size=(300, 40))
 bs = np.zeros(40); bs[:4] = [3, -2, 1.5, 1]
 ys = Xs @ bs + rng.normal(size=300)
 cvsl = admm_tpu.cv_slope_path(Xs, ys, nfolds=5, nlambda=10, q=0.1)
-i = int(np.argmin(np.abs(cvsl.lambdas - cvsl.lambda_min)))
+i = int(np.argmin(np.abs(cvsl.lambdas - cvsl.lambda_1se)))
 sel = np.flatnonzero(np.asarray(cvsl.fit.coef[i]))
-print(f"selected support at lambda_min: {sel.tolist()} (truth: [0,1,2,3])")
+print(f"selected support at lambda_1se: {sel.tolist()} "
+      f"(truth: [0, 1, 2, 3])")
 
 # --- Matrix completion: fill in a low-rank matrix from 50% of entries
 print("\n== matrix completion ==")
