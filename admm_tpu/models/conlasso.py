@@ -114,27 +114,12 @@ def _conlasso_path_dev(X, y, C, d, nlambda, lambda_min_ratio, user_lams,
                        intercept, path_mode, trace_len=None):
     n, p = X.shape
     dtype = X.dtype
-    w = None
-    if weights is not None:
-        w = jnp.asarray(weights, dtype).ravel()
-        w = w * (n / jnp.sum(w))
-    wmean = (jnp.mean if w is None
-             else lambda v, axis=None: (
-                 jnp.sum((w if v.ndim == 1 else w[:, None]) * v,
-                         axis=axis) / n))
-    if intercept:
-        mean_x = wmean(X, axis=0)
-        mean_y = wmean(y)
-        Xs = X - mean_x[None, :]
-        ys = y - mean_y
-    else:
-        Xs, ys = X, y
-        mean_x = jnp.zeros((p,), dtype)
-        mean_y = jnp.asarray(0.0, dtype)
-    if w is not None:
-        sw = jnp.sqrt(w)
-        Xs = Xs * sw[:, None]
-        ys = ys * sw
+    # Shared with the generalized Lasso: constraints/penalties live in
+    # ORIGINAL coordinates, so center (meaning-preserving) but never
+    # rescale columns (models/genlasso.py::center_weight).
+    from .genlasso import center_weight
+
+    Xs, ys, mean_x, mean_y = center_weight(X, y, weights, intercept)
 
     if user_lams is None:
         # Grid top: b = 0 is optimal (when d = 0 makes it feasible) iff

@@ -57,6 +57,41 @@ def difference_matrix(p: int, order: int = 1) -> np.ndarray:
     return D
 
 
+def center_weight(X, y, weights, intercept):
+    """Weighted mean-centering + sqrt(w) row scaling for the
+    original-coordinate families (generalized/constrained Lasso):
+    their penalty/constraint matrices encode structure in the ORIGINAL
+    coordinates, so columns are centered (meaning-preserving) but never
+    rescaled.  Returns ``(Xs, ys, mean_x, mean_y)`` with weights
+    normalized to sum n (glmnet convention) and folded into the rows —
+    downstream unweighted quadratic machinery becomes the weighted
+    loss."""
+    n, p = X.shape
+    dtype = X.dtype
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))
+    wmean = (jnp.mean if w is None
+             else lambda v, axis=None: (
+                 jnp.sum((w if v.ndim == 1 else w[:, None]) * v,
+                         axis=axis) / n))
+    if intercept:
+        mean_x = wmean(X, axis=0)
+        mean_y = wmean(y)
+        Xs = X - mean_x[None, :]
+        ys = y - mean_y
+    else:
+        Xs, ys = X, y
+        mean_x = jnp.zeros((p,), dtype)
+        mean_y = jnp.asarray(0.0, dtype)
+    if w is not None:
+        sw = jnp.sqrt(w)
+        Xs = Xs * sw[:, None]
+        ys = ys * sw
+    return Xs, ys, mean_x, mean_y
+
+
 def _genlasso_ops(D, Minv, Xty):
     m, p = D.shape
 
@@ -154,30 +189,7 @@ def _gen_path(X, y, D, nlambda, lambda_min_ratio, user_lams, rho, maxit,
               trace_len=None):
     n, p = X.shape
     dtype = X.dtype
-    w = None
-    if weights is not None:
-        w = jnp.asarray(weights, dtype).ravel()
-        w = w * (n / jnp.sum(w))  # glmnet: weights sum to n
-    wmean = (jnp.mean if w is None
-             else lambda v, axis=None: (
-                 jnp.sum((w if v.ndim == 1 else w[:, None]) * v,
-                         axis=axis) / n))
-    if intercept:
-        mean_x = wmean(X, axis=0)
-        mean_y = wmean(y)
-        Xs = X - mean_x[None, :]
-        ys = y - mean_y
-    else:
-        Xs, ys = X, y
-        mean_x = jnp.zeros((p,), dtype)
-        mean_y = jnp.asarray(0.0, dtype)
-    if w is not None:
-        # sqrt(w) row scaling turns the downstream unweighted quadratic
-        # machinery into the weighted loss (as data/standardize.py does
-        # for the gaussian paths); D-penalty coordinates are untouched.
-        sw = jnp.sqrt(w)
-        Xs = Xs * sw[:, None]
-        ys = ys * sw
+    Xs, ys, mean_x, mean_y = center_weight(X, y, weights, intercept)
 
     if user_lams is None:
         # Grid top: beta = 0 is optimal iff X'y = D'v for some

@@ -172,8 +172,14 @@ def _glasso_path_dev(S, nlambda, lambda_min_ratio, user_lams, rho0,
         # Grid top: for lambda >= max|offdiag(S)| the KKT system is
         # satisfied by a DIAGONAL precision (soft-thresholding kills
         # every off-diagonal of S), so the path starts exactly at the
-        # empty graph — the glasso analog of ||X'y||_inf / n.
+        # empty graph — the glasso analog of ||X'y||_inf / n.  A
+        # DIAGONAL S makes that threshold 0 (log(0) would NaN the whole
+        # grid): fall back to the diagonal scale — the path is constant
+        # there, but finite (the conlasso/genlasso guard pattern).
         lam0 = jnp.max(jnp.abs(S * (1.0 - eye)))
+        lam0_fb = jnp.maximum(jnp.max(jnp.abs(S)),
+                              jnp.asarray(1.0, dtype))
+        lam0 = jnp.where(jnp.isfinite(lam0) & (lam0 > 0), lam0, lam0_fb)
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
     else:
@@ -328,6 +334,11 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
         if foldid.shape != (n,):
             raise ValueError("foldid must have one entry per row")
         nfolds = int(foldid.max()) + 1
+        counts = np.bincount(foldid[foldid >= 0], minlength=nfolds)
+        if nfolds < 2 or np.any(counts == 0):
+            raise ValueError(
+                "foldid must assign at least one row to each of >= 2 "
+                f"folds (got counts {counts.tolist()})")
     else:
         nfolds = int(nfolds)
         if not 2 <= nfolds <= n:
@@ -362,10 +373,16 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
     logdet = np.asarray(logdet)      # (F, L)
 
     # Per-observation negative log-likelihood (constants dropped).
-    cvraw = quad - logdet[foldid]    # (n, L)
-    ws = np.asarray(w) / np.asarray(w).sum()
+    # foldid < 0 rows (the cv.py 'train-always' convention) are never
+    # held out: exclude them from scoring — numpy's logdet[-1] would
+    # otherwise wrap to the LAST fold and add a garbage row to cvm.
+    scored = foldid >= 0
+    cvraw = (quad - logdet[np.clip(foldid, 0, None)])[scored]
+    ws = np.asarray(w)[scored]
+    ws = ws / ws.sum()
+    nsc = int(scored.sum())
     cvm = ws @ cvraw
-    cvsd = np.sqrt((ws @ (cvraw - cvm) ** 2) / max(n - 1, 1))
+    cvsd = np.sqrt((ws @ (cvraw - cvm) ** 2) / max(nsc - 1, 1))
     imin = int(np.argmin(cvm))
     lam_np = np.asarray(lams)
     ok = cvm <= cvm[imin] + cvsd[imin]

@@ -44,11 +44,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.engine import (ADMMState, ProblemOps, make_batched_solver,
+from ..core.engine import (ProblemOps, make_batched_solver,
                            make_fadmm_solver, make_state)
 from ..core.prox import l2norm, sqnorm
 from ..linalg import chol_inverse, dot, gram
-from .lasso import _scan_path
+from .lasso import _batched_cold_states, _scan_path
 
 
 class SVMResult(NamedTuple):
@@ -155,17 +155,9 @@ def _svm_path_dev(X, ysign, Cs, obs_w, rho0, maxit, eps_abs, eps_rel, *,
         solve = make_batched_solver(make_fadmm_solver(ops,
                                                       adapt_rho=False))
         k = Cs.shape[0]
-        zeros_d = jnp.zeros((k, d), dtype)
+        st = _batched_cold_states(k, d, rho, Cs, dtype, aux_dim=n)
         zn = jnp.zeros((k, n), dtype)
-        ones = jnp.ones((k,), dtype)
-        st = ADMMState(
-            x=zeros_d, z=zn, y=zn, adj_z=zn, adj_y=zn, aux=zn,
-            adj_a=ones, adj_c=9999.0 * ones,
-            rho=rho * ones, lam=jnp.asarray(Cs, dtype),
-            eps_pri=0.0 * ones, eps_dua=0.0 * ones,
-            r_pri=9999.0 * ones, r_dua=9999.0 * ones,
-            it=jnp.zeros((k,), jnp.int32),
-            done=jnp.zeros((k,), bool))
+        st = st._replace(z=zn, y=zn, adj_z=zn, adj_y=zn)
         st = solve(st, maxit, eps_abs, eps_rel)
         vs, niter, traces = st.x, st.it, None
     else:
@@ -206,9 +198,10 @@ def svm_path(X, y, *, Cs=None, nC: int = 20, C_min_ratio: float = 1e-3,
     All ``Cs`` solve as MXU lanes against ONE cached factorization
     (``path_mode="batch"``); ``"scan"`` warm-starts sequentially.
     ``weights`` scale each row's misclassification penalty ``C w_i``
-    (class weights; fold-as-lane CV).  The auto grid spans
-    ``[C_min_ratio, 1] * nC`` geometrically times ``1/mean|corr|`` —
-    pass explicit ``Cs`` for production sweeps.
+    (class weights; fold-as-lane CV).  The auto grid is a fixed
+    geometric ``[C_min_ratio, 1]`` sweep of ``nC`` points — C has no
+    data-derived null threshold (every C > 0 fits a nontrivial SVM);
+    pass explicit ``Cs`` to relocate it.
     """
     ysign, classes = _as_sign(y)
     X = jnp.asarray(X, dtype)
@@ -234,7 +227,12 @@ def svm_path(X, y, *, Cs=None, nC: int = 20, C_min_ratio: float = 1e-3,
              else jnp.asarray(weights, dtype).ravel())
     if Cs is None:
         Cs = np.geomspace(1.0, C_min_ratio, int(nC))
-    Cs = jnp.sort(jnp.atleast_1d(jnp.asarray(Cs, dtype)))[::-1]
+    Cs_np = np.atleast_1d(np.asarray(Cs, np.float64))
+    if np.any(Cs_np <= 0) or not np.all(np.isfinite(Cs_np)):
+        # C <= 0 silently NaNs the whole solve (auto-rho hits 0 and
+        # the prox divides by it); refuse up front.
+        raise ValueError("Cs must be positive and finite")
+    Cs = jnp.sort(jnp.asarray(Cs_np, dtype))[::-1]
     res = _svm_path_dev(X, jnp.asarray(ysign, dtype), Cs, obs_w, rho,
                         maxit, eps_abs, eps_rel, loss=loss,
                         intercept=bool(intercept),
@@ -280,8 +278,6 @@ def _cv_svm_core(X, ysign, masks, w, Cs, rho0, maxit, eps_abs, eps_rel,
     coefs, bs = jax.vmap(fold_fit)(masks)   # (F, k, p), (F, k)
 
     def fold_eta(coef_f, b_f, mask):
-        from ..linalg import dot
-
         eta = dot(X, coef_f.T) + b_f[None, :]   # (n, k)
         return eta * (1.0 - mask)[:, None]
 
@@ -311,6 +307,11 @@ def cv_svm_path(X, y, *, nfolds: int = 10, foldid=None, weights=None,
         if foldid.shape != (n,):
             raise ValueError("foldid must have one entry per row")
         nfolds = int(foldid.max()) + 1
+        counts = np.bincount(foldid[foldid >= 0], minlength=nfolds)
+        if nfolds < 2 or np.any(counts == 0):
+            raise ValueError(
+                "foldid must assign at least one row to each of >= 2 "
+                f"folds (got counts {counts.tolist()})")
     else:
         nfolds = int(nfolds)
         if not 2 <= nfolds <= n:
@@ -338,15 +339,21 @@ def cv_svm_path(X, y, *, nfolds: int = 10, foldid=None, weights=None,
         jnp.asarray(rho, dtype), maxit, eps_abs, eps_rel, loss=loss,
         intercept=bool(intercept)))                      # (n, k)
 
-    margin = ysign[:, None] * eta
+    # foldid < 0 rows train in every fold but are never held out
+    # (cv.py's convention): exclude them from scoring — their eta is 0
+    # by construction and would count as a misclassification.
+    scored = foldid >= 0
+    margin = (ysign[:, None] * eta)[scored]
     if type_measure == "class":
         cvraw = (margin <= 0).astype(float)
     else:
         h = np.maximum(0.0, 1.0 - margin)
         cvraw = h if loss == "hinge" else h * h
-    ws = np.asarray(w) / np.asarray(w).sum()
+    ws = np.asarray(w)[scored]
+    ws = ws / ws.sum()
+    nsc = int(scored.sum())
     cvm = ws @ cvraw
-    cvsd = np.sqrt((ws @ (cvraw - cvm) ** 2) / max(n - 1, 1))
+    cvsd = np.sqrt((ws @ (cvraw - cvm) ** 2) / max(nsc - 1, 1))
     imin = int(np.argmin(cvm))
     Cs_np = np.asarray(Cs_d)
     ok = np.flatnonzero(cvm <= cvm[imin] + cvsd[imin])

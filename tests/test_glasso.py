@@ -209,3 +209,36 @@ def test_data_mesh_and_fold_mesh_match_single_device():
                          fold_mesh=mesh)
     assert cv0.cvm == pytest.approx(cv1.cvm, rel=1e-5, abs=1e-7)
     assert cv0.lambda_min == cv1.lambda_min
+
+
+def test_cv_excludes_negative_foldid_and_diagonal_guard():
+    """Review fixes: foldid = -1 rows are excluded from scoring (not
+    wrapped to the last fold's logdet), degenerate foldid raises, and
+    a diagonal covariance gets a finite fallback grid instead of NaN."""
+    X, _ = _problem(p=6, n=90, seed=11)
+    foldid = np.tile(np.arange(3), 30)
+    foldid[:12] = -1
+    res = cv_glasso_path(X, foldid=foldid, nlambda=4, dtype=jnp.float64,
+                         eps_abs=1e-8, eps_rel=1e-8)
+    lams = res.lambdas
+    cvraw = []
+    for f in range(3):
+        tr = foldid != f
+        va = foldid == f
+        mu = X[tr].mean(axis=0)
+        S_tr = (X[tr] - mu).T @ (X[tr] - mu) / tr.sum()
+        fit = glasso_path(cov=S_tr, lambdas=lams, dtype=jnp.float64,
+                          eps_abs=1e-8, eps_rel=1e-8)
+        prec = np.asarray(fit.precision)
+        Xc = X[va] - mu
+        quad = np.einsum("np,lpq,nq->nl", Xc, prec, Xc)
+        _, logdet = np.linalg.slogdet(prec)
+        cvraw.append(quad - logdet[None, :])
+    cvm = np.concatenate(cvraw).mean(axis=0)
+    assert res.cvm == pytest.approx(cvm, rel=1e-5, abs=1e-6)
+    with pytest.raises(ValueError, match="at least one row"):
+        cv_glasso_path(X, foldid=np.zeros(90, int))
+    # Diagonal covariance: finite grid, diagonal solution.
+    r = glasso_path(cov=np.diag([2.0, 1.0, 0.5]), nlambda=3)
+    assert np.all(np.isfinite(np.asarray(r.lambdas)))
+    assert np.all(np.isfinite(np.asarray(r.precision)))

@@ -205,3 +205,30 @@ def test_predict_svm_results():
     eta_min = predict(cv, X, lam="C_min")
     assert eta_min == pytest.approx(
         predict(cv.fit, X, lam=cv.C_min))
+
+
+def test_cv_excludes_negative_foldid_rows():
+    """foldid = -1 rows train in every fold but are never scored (the
+    cv.py convention) — review fix: they previously counted as
+    misclassifications at every C."""
+    X, y = _problem(n=120, p=8, seed=12)
+    Cs = np.geomspace(1.0, 0.05, 4)
+    foldid = np.tile(np.arange(3), 40)
+    foldid[:20] = -1
+    res = cv_svm_path(X, y, foldid=foldid, Cs=Cs, dtype=jnp.float64)
+    # Manual loop over the scored rows only.
+    ysign = np.where(y == 1, 1.0, -1.0)
+    cvraw = []
+    for f in range(3):
+        tr = foldid != f
+        va = foldid == f
+        fit = svm_path(X[tr], y[tr], Cs=Cs, dtype=jnp.float64)
+        eta = X[va] @ np.asarray(fit.coef).T \
+            + np.asarray(fit.intercept)[None, :]
+        cvraw.append((ysign[va, None] * eta <= 0).astype(float))
+    cvm = np.concatenate(cvraw).mean(axis=0)
+    assert res.cvm == pytest.approx(cvm, abs=1e-12)
+    with pytest.raises(ValueError, match="at least one row"):
+        cv_svm_path(X, y, foldid=np.zeros(120, int), Cs=Cs)
+    with pytest.raises(ValueError, match="positive"):
+        svm_path(X, y, Cs=[1.0, 0.0])
