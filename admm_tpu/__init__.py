@@ -29,7 +29,8 @@ from __future__ import annotations
 from .api import (ADMMBP, ADMMLAD, ADMMDantzig, ADMMEnet, ADMMLasso,
                   admm_bp, admm_dantzig, admm_enet, admm_lad, admm_lasso)
 from .models.bp import bp_fit, bp_fit_batch
-from .models.lasso import enet_path, lasso_path
+from .models.lasso import (adaptive_lasso_path, enet_path,
+                           lasso_path)
 from .models.lad import lad_fit
 from .models.dantzig import dantzig_path
 from .models.cv import (cv_dantzig_path, cv_enet_path,
@@ -53,7 +54,7 @@ from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
 from .models.logistic import logistic_lasso_path
 from .models.glasso import (cv_glasso_path, empirical_covariance,
-                            glasso_path)
+                            glasso_path, partial_correlations)
 from .models.svm import cv_svm_path, svm_fit, svm_path
 from .models.rpca import matrix_complete, rpca
 from .models.slope import bh_sequence, slope_path
@@ -80,7 +81,8 @@ __all__ = [
     "admm_lasso", "admm_enet", "admm_lad", "admm_bp", "admm_dantzig",
     "ADMMLasso", "ADMMEnet", "ADMMLAD", "ADMMBP", "ADMMDantzig",
     "cv_lasso_path", "cv_enet_path", "bp_fit", "bp_fit_batch",
-    "lasso_path", "enet_path", "lad_fit", "dantzig_path",
+    "lasso_path", "enet_path", "adaptive_lasso_path",
+    "lad_fit", "dantzig_path",
     "group_lasso_path", "cv_group_lasso_path",
     "gen_lasso_path", "fused_lasso_path", "difference_matrix",
     "logistic_lasso_path", "cv_logistic_path",
@@ -98,6 +100,7 @@ __all__ = [
     "relaxed_lasso_path", "cv_relaxed_lasso_path", "cox_lasso_path", "cv_cox_path",
     "survfit_cox",
     "glasso_path", "cv_glasso_path", "empirical_covariance",
+    "partial_correlations",
     "svm_fit", "svm_path", "cv_svm_path", "rpca", "matrix_complete",
     "slope_path", "bh_sequence", "cv_slope_path",
     "constrained_lasso_path", "zerosum_lasso_path",

@@ -391,3 +391,15 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
     return CVGlassoResult(lambdas=lam_np, cvm=cvm, cvsd=cvsd,
                           lambda_min=lambda_min, lambda_1se=lambda_1se,
                           fit=fit, foldid=foldid)
+
+
+def partial_correlations(precision):
+    """Partial-correlation matrix from a precision matrix (or a
+    (k, p, p) path of them): ``P_ij = -Theta_ij / sqrt(Theta_ii
+    Theta_jj)`` with unit diagonal — the scale-free edge weights of
+    the Gaussian graphical model."""
+    T = jnp.asarray(precision)
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(T, axis1=-2, axis2=-1)))
+    P = -T / (d[..., :, None] * d[..., None, :])
+    eye = jnp.eye(T.shape[-1], dtype=T.dtype)
+    return P * (1.0 - eye) + eye

@@ -242,3 +242,18 @@ def test_cv_excludes_negative_foldid_and_diagonal_guard():
     r = glasso_path(cov=np.diag([2.0, 1.0, 0.5]), nlambda=3)
     assert np.all(np.isfinite(np.asarray(r.lambdas)))
     assert np.all(np.isfinite(np.asarray(r.precision)))
+
+
+def test_partial_correlations():
+    from admm_tpu.models.glasso import partial_correlations
+
+    _, S = _problem(p=8)
+    res = glasso_path(cov=S, nlambda=3, dtype=jnp.float64)
+    P = np.asarray(partial_correlations(res.precision))
+    assert P.shape == (3, 8, 8)
+    assert np.abs(np.diagonal(P, axis1=1, axis2=2) - 1.0).max() < 1e-12
+    assert np.abs(P - np.transpose(P, (0, 2, 1))).max() < 1e-10
+    assert np.abs(P).max() <= 1.0 + 1e-8
+    # Zero precision entries give zero partial correlations.
+    T = np.asarray(res.precision[0])
+    assert np.all(P[0][T == 0] == 0)

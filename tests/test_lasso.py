@@ -494,3 +494,40 @@ def test_gaussian_offset_equals_response_shift(tall_problem):
                                atol=1e-3)
     with pytest.raises(ValueError, match="one entry per row"):
         lasso_path(X, y, offset=off[:-1], nlambda=4)
+
+
+def test_adaptive_lasso():
+    """Adaptive lasso (Zou 2006): equals the manual two-stage via
+    penalty_factor, and recovers the exact support on a strong-signal
+    problem where it holds the oracle property."""
+    import jax.numpy as jnp
+
+    from admm_tpu.models.lasso import adaptive_lasso_path, lasso_path
+
+    rng = np.random.default_rng(17)
+    n, p = 300, 12
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:3] = [3.0, -2.0, 1.5]
+    y = X @ b + 0.5 * rng.normal(size=n)
+
+    res = adaptive_lasso_path(X, y, nlambda=20, dtype=jnp.float64)
+    # Manual two-stage with the same OLS init (n > p).
+    Xc = X - X.mean(0)
+    yc = y - y.mean()
+    b0 = np.linalg.lstsq(Xc, yc, rcond=None)[0]
+    man = lasso_path(X, y, penalty_factor=1.0 / np.abs(b0), nlambda=20,
+                     dtype=jnp.float64)
+    assert np.abs(np.asarray(res.coef) - np.asarray(man.coef)).max() < 1e-8
+    # Oracle property: some path point selects EXACTLY the truth.
+    supports = [tuple(np.flatnonzero(np.asarray(c)))
+                for c in res.coef]
+    assert (0, 1, 2) in supports
+    # Explicit init vector and validation paths.
+    r2 = adaptive_lasso_path(X, y, init=b0, nlambda=5,
+                             dtype=jnp.float64)
+    assert np.all(np.isfinite(np.asarray(r2.coef)))
+    with pytest.raises(ValueError, match="one entry"):
+        adaptive_lasso_path(X, y, init=np.ones(5))
+    with pytest.raises(ValueError, match="n > p"):
+        adaptive_lasso_path(X[:8], y[:8], init="ols")
