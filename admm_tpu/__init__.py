@@ -59,6 +59,7 @@ from .models.svm import cv_svm_path, svm_fit, svm_path
 from .models.rpca import matrix_complete, rpca
 from .models.slope import bh_sequence, slope_path
 from .models.conlasso import constrained_lasso_path, zerosum_lasso_path
+from .models.sqrtlasso import sqrt_lasso_path
 from .data.makex import make_x
 from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
@@ -103,7 +104,7 @@ __all__ = [
     "partial_correlations",
     "svm_fit", "svm_path", "cv_svm_path", "rpca", "matrix_complete",
     "slope_path", "bh_sequence", "cv_slope_path",
-    "constrained_lasso_path", "zerosum_lasso_path",
+    "constrained_lasso_path", "zerosum_lasso_path", "sqrt_lasso_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",
