@@ -104,11 +104,21 @@ def _sqrt_ops(Xs, ys, Minv, n, p) -> ProblemOps:
     )
 
 
+def _sqrt_auto_rho(ys, n, dtype):
+    """Auto-rho = sqrt(n)/||ys|| = 1/sigma_hat(y): the iterate path is
+    then EQUIVARIANT under y-scaling (the solution itself is — module
+    docstring — so any fixed rho breaks iteration-count invariance),
+    and a 4-shape chip sweep puts the optimum at c * sqrt(n)/||ys||
+    with c in [0.3, 1.7] (DESIGN.md "sqrt-lasso rho"); c = 1."""
+    return (jnp.sqrt(jnp.asarray(float(n), dtype))
+            / jnp.maximum(l2norm(ys), 1e-30))
+
+
 def _sqrt_engine(Xs, ys, lam_first, rho0):
     n, p = Xs.shape
     dtype = Xs.dtype
     rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                    jnp.asarray(1.0, dtype))
+                    _sqrt_auto_rho(ys, n, dtype))
     Minv = chol_inverse(gram(Xs) + jnp.eye(p, dtype=dtype),
                         jitter=1e-7 if dtype == jnp.float32 else 0.0)
     ops = _sqrt_ops(Xs, ys, Minv, n, p)
@@ -161,7 +171,7 @@ def _sqrt_path_dev(X, y, nlambda, lambda_min_ratio, user_lams, rho0,
 
     if path_mode == "batch":
         rho = jnp.where(rho0 > 0, jnp.asarray(rho0, dtype),
-                        jnp.asarray(1.0, dtype))
+                        _sqrt_auto_rho(ys, n, dtype))
         Minv = chol_inverse(
             gram(Xs) + jnp.eye(p, dtype=dtype),
             jitter=1e-7 if dtype == jnp.float32 else 0.0)

@@ -554,6 +554,22 @@ def bench_round4(fast):
              "(the auto default at p >= 100 — the O(p^2) prox doesn't "
              "amortize across lanes, DESIGN.md); extension")
 
+    # Square-root lasso: same 10000x500 design, 30 lambdas.
+    def one_sqrt(i, Xj, yj):
+        from admm_tpu.models.sqrtlasso import _sqrt_path_dev
+
+        yy = yj * (1.0 + 1e-6 * (i + 1).astype(yj.dtype))
+        res = _sqrt_path_dev(Xj, yy, 30, 1e-2, None, jnp.float32(-1.0),
+                             10000, 1e-6, 1e-6, standardize_x=True,
+                             intercept=True, path_mode="batch")
+        return jnp.sum(res.coef) + jnp.sum(res.niter)
+
+    out["sqrt_lasso_path_10000x500_30lambdas_ms"] = dict(
+        value=amortized_ms(one_sqrt, *ks, args=(Xslj, yslj)),
+        baseline_ms=None,
+        note="30-lambda pivotal (square-root) lasso path as batched "
+             "lanes; extension")
+
     # Constrained (zero-sum) lasso: 10000x500, 30 lambdas.
     def one_con(i, Xj, yj):
         from admm_tpu.models.conlasso import _conlasso_path_dev
