@@ -356,6 +356,8 @@ def checkpointed_glm_path(
         raise ValueError("checkpointed GLM paths support hessian="
                          "'fixed' or 'exact' (the adaptive majorizer's "
                          "aux does not cross chunk boundaries)")
+    if hessian not in ("fixed", "exact"):
+        raise ValueError(f"unknown hessian mode {hessian!r}")
     st0, solve, report, _refresh = _glm_engine(
         Xa, y, fam, lams[0], rho, pen_mask, alpha, int(newton_steps),
         obs_w=w, hessian=hessian)
@@ -695,7 +697,7 @@ def checkpointed_svm_path(
     from ..models.svm import SVMResult, _as_sign, _svm_engine
 
     chunk_size, Cs_np = _validate_chunking(chunk_size, Cs)
-    ysign, _ = _as_sign(y)
+    ysign, classes = _as_sign(y)
     X = jnp.asarray(X, dtype)
     n, p = X.shape
     obs_w = (jnp.ones((n,), dtype) if weights is None
@@ -721,7 +723,8 @@ def checkpointed_svm_path(
         coefs, b = vs[:, :p], vs[:, p]
     else:
         coefs, b = vs, jnp.zeros((Cs_d.shape[0],), dtype)
-    return SVMResult(Cs=Cs_d, coef=coefs, intercept=b, niter=niter)
+    return SVMResult(Cs=Cs_d, coef=coefs, intercept=b, niter=niter,
+                     classes=classes)
 
 
 def checkpointed_cox_path(

@@ -102,9 +102,12 @@ def _conlasso_engine(Xs, ys, C, d, lam_first, rho0):
     solve = make_fadmm_solver(ops, adapt_rho=False)
     zp = jnp.zeros((p,), dtype)
     st0 = make_state(zp, zp, zp, rho, lam_first, dtype=dtype)
-    # Report x: the constraint holds EXACTLY on the x iterate (z is the
-    # sparse twin but only feasible to solver tolerance).
-    return st0, solve, (lambda st: st.x)
+    # Report the SUPPORT of z (exact zeros — the package-wide sparsity
+    # contract that Df/nonzero accessors rely on) with VALUES from x
+    # (the constraint-feasible iterate): the zeroed entries are
+    # O(solver tolerance), so C b = d holds to tolerance at finite eps
+    # and exactly in the eps -> 0 limit.
+    return st0, solve, (lambda st: jnp.where(st.z != 0, st.x, 0.0))
 
 
 @partial(jax.jit, static_argnames=("nlambda", "intercept", "path_mode",
@@ -147,7 +150,8 @@ def _conlasso_path_dev(X, y, C, d, nlambda, lambda_min_ratio, user_lams,
                                                       adapt_rho=False))
         st = _batched_cold_states(ilams.shape[0], p, rho, ilams, dtype)
         st = solve(st, maxit, eps_abs, eps_rel)
-        coefs, niter, traces = st.x, st.it, None
+        coefs = jnp.where(st.z != 0, st.x, 0.0)
+        niter, traces = st.it, None
     else:
         st0, solve, report = _conlasso_engine(Xs, ys, C, d, ilams[0],
                                               rho0)
@@ -172,9 +176,11 @@ def constrained_lasso_path(X, y, C, d=None, *,
     """Solve the equality-constrained Lasso path on device.
 
     ``C`` is the (m, p) constraint matrix (full row rank), ``d`` the
-    (m,) right-hand side (default 0).  The returned coefficients
-    satisfy ``C b = d`` exactly (to factorization precision) at every
-    path point.  ``weights``/`path_mode``/``trace_len`` as in the
+    (m,) right-hand side (default 0).  The returned coefficients carry
+    EXACT zeros (the prox iterate's support, as every family here) with
+    the constraint-feasible x values on the support, so ``C b = d``
+    holds to solver tolerance at every path point (exactly as
+    eps -> 0; tighten ``eps_abs``/``eps_rel`` to tighten it).  ``weights``/`path_mode``/``trace_len`` as in the
     generalized Lasso; ``intercept`` mean-centers (constraints keep
     their meaning on the slopes)."""
     X = jnp.asarray(X, dtype)

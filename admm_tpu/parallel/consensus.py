@@ -572,7 +572,7 @@ def _resolve_mesh(nworkers: Optional[int], mesh: Optional[Mesh]):
         # Auto mesh: the largest device count that divides W, so any
         # worker count the reference accepts (any nthread < ncol/5,
         # reference: R/30_admm_lasso.R:99-112) works here too — e.g.
-        # W=12 on 8 devices runs as D=4 with 3 workers per device.
+        # W=12 on 8 devices runs as D=6 with 2 workers per device.
         ndev = len(jax.devices())
         D = max(d for d in range(1, min(nworkers, ndev) + 1)
                 if nworkers % d == 0)
@@ -631,6 +631,12 @@ def _partition_rows(Xs, ys, W):
             ys.reshape((W, rows_w) + ys.shape[1:]), rows_w)
 
 
+# jitted-program memo for _run_consensus (keyed by solver identity;
+# the stored solver reference both pins the id and guards against
+# id reuse after garbage collection).
+_RUN_CACHE: dict = {}
+
+
 def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
                    mesh, axis, D, solver, traced=False, init=None):
     """jit (+ shard_map over the mesh when D > 1) and run one solver.
@@ -652,26 +658,42 @@ def _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel, *,
                 jnp.zeros((p,), dtype))
     x0, y0, z0 = (jnp.asarray(a, dtype) for a in init)
     state_specs = (P(axis), P(axis), P())
-    if D > 1:
-        fn = shard_map(
-            partial(solver, axis=axis),
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)) + state_specs
-            + (P(), P(), P(), P(), P()),
-            out_specs=((P(), P(), state_specs + (P(),), P()) if traced
-                       else (P(), P(), state_specs + (P(),))),
-            # The while_loop carry mixes device-varying (x, y, r2_local)
-            # and psum-replicated values; disable the static varying-axes
-            # check (the psum-derived outputs are replicated by
-            # construction).
-            check_vma=False,
-        )
-        g_row = partial(_to_global, mesh, P(axis))
-        g_rep = partial(_to_global, mesh, P())
+    # Memoize the jitted program by SOLVER IDENTITY: a fresh jax.jit of
+    # a fresh shard_map closure has an empty trace cache, so a caller
+    # that reuses one solver object across calls — the checkpointed
+    # consensus driver advances chunk by chunk — would otherwise pay a
+    # full retrace + XLA compile PER CHUNK (the CLAUDE.md module-level-
+    # jit rule).  Bounded LRU: distinct solver objects (normal one-shot
+    # drivers) each get one slot and age out.
+    key = (id(solver), mesh, axis, D, traced)
+    cached = _RUN_CACHE.get(key)
+    if cached is not None and cached[0] is solver:
+        run, g_row, g_rep = cached[1]
     else:
-        fn = partial(solver, axis=None)
-        g_row = g_rep = lambda a: a
-    run = jax.jit(fn)
+        if D > 1:
+            fn = shard_map(
+                partial(solver, axis=axis),
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)) + state_specs
+                + (P(), P(), P(), P(), P()),
+                out_specs=((P(), P(), state_specs + (P(),), P())
+                           if traced
+                           else (P(), P(), state_specs + (P(),))),
+                # The while_loop carry mixes device-varying
+                # (x, y, r2_local) and psum-replicated values; disable
+                # the static varying-axes check (the psum-derived
+                # outputs are replicated by construction).
+                check_vma=False,
+            )
+            g_row = partial(_to_global, mesh, P(axis))
+            g_rep = partial(_to_global, mesh, P())
+        else:
+            fn = partial(solver, axis=None)
+            g_row = g_rep = lambda a: a
+        run = jax.jit(fn)
+        _RUN_CACHE[key] = (solver, (run, g_row, g_rep))
+        while len(_RUN_CACHE) > 32:
+            _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
     return run(g_row(Xb), g_row(yb), g_row(x0), g_row(y0), g_rep(z0),
                g_rep(ilams),
                g_rep(jnp.asarray(rho, dtype)),

@@ -160,6 +160,10 @@ def predict(result, X, *, lam=None,
     if isinstance(result, CoxPathResult):
         # No intercept (baseline hazard); 'response' = relative risk.
         eta = np.asarray(result.coef) @ X.T          # (L, m)
+        if offset is not None:
+            # glmnet's newoffset: fits made with an offset need it at
+            # prediction time too (applies BEFORE exp for 'response').
+            eta = eta + np.asarray(offset, np.float64)[None, :]
         if type == "response":
             eta = np.exp(eta)
         elif type == "class":
@@ -172,6 +176,12 @@ def predict(result, X, *, lam=None,
     if isinstance(result, (MNPathResult, MTPathResult)):
         # (L, m, C/K) = beta0 (L, C) + X (m, p) @ coef (L, p, C)
         eta = beta0[:, None, :] + np.einsum("mp,lpc->lmc", X, coef)
+        if offset is not None:
+            # (m,) broadcasts across classes; (m, C) applies per class
+            # (glmnet's multinomial newoffset shape).
+            off = np.asarray(offset, np.float64)
+            eta = eta + (off[None, :, None] if off.ndim == 1
+                         else off[None, :, :])
         if isinstance(result, MNPathResult):
             if type == "response":
                 e = np.exp(eta - eta.max(axis=2, keepdims=True))

@@ -591,3 +591,19 @@ def test_slope_crash_and_resume_identical(tmp_path):
         checkpointed_slope_path(X, y, lambdas=ts, checkpoint=ck3,
                                 chunk_size=4,
                                 lam_seq=bh_sequence(12, 0.3))
+
+
+def test_checkpointed_svm_carries_class_labels(tmp_path):
+    """Review fix: predict(type='class') on a checkpointed SVM fit must
+    map back to the ORIGINAL labels (it silently returned -1/+1)."""
+    from admm_tpu.diag.checkpoint import checkpointed_svm_path
+    from admm_tpu.predict import predict
+
+    rng = np.random.default_rng(33)
+    X = rng.normal(size=(80, 6))
+    y = np.where(X @ rng.normal(size=6) > 0, 7, 2)
+    res = checkpointed_svm_path(X, y, Cs=[1.0, 0.1],
+                                checkpoint=str(tmp_path / "s.npz"),
+                                chunk_size=1)
+    lab = predict(res, X, type="class", lam=1.0)
+    assert set(np.unique(lab)) <= {2, 7}

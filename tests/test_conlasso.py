@@ -18,12 +18,17 @@ def _problem(n=200, p=20, seed=0):
     return X, y
 
 
-def test_constraint_holds_exactly_along_path():
+def test_constraint_holds_to_tolerance_with_exact_support():
     X, y = _problem()
     res = zerosum_lasso_path(X, y, nlambda=8, dtype=jnp.float64,
                              eps_abs=1e-9, eps_rel=1e-9)
+    # Support entries come from the constraint-feasible x iterate; the
+    # dropped (exactly zero) entries are O(eps), so the constraint
+    # holds to solver tolerance and tightens with eps.
     sums = np.asarray(res.coef).sum(axis=1)
-    assert np.abs(sums).max() < 1e-10
+    assert np.abs(sums).max() < 1e-7
+    nnz = [(np.asarray(c) != 0).sum() for c in res.coef]
+    assert nnz[0] < nnz[-1]      # exact zeros: support grows
 
 
 def test_kkt_certificate_zero_sum():
@@ -95,9 +100,10 @@ def test_nonzero_rhs_and_grid():
     C = np.ones((1, 10))
     d = np.array([2.0])
     res = constrained_lasso_path(X, y, C, d, nlambda=6,
-                                 dtype=jnp.float64)
+                                 dtype=jnp.float64, eps_abs=1e-9,
+                                 eps_rel=1e-9)
     sums = np.asarray(res.coef).sum(axis=1)
-    assert np.abs(sums - 2.0).max() < 1e-8
+    assert np.abs(sums - 2.0).max() < 1e-6
     # Auto grid top nulls the solution when d = 0 (the reported iterate
     # is x — feasible exactly, zero to solver tolerance).
     r0 = zerosum_lasso_path(X, y, nlambda=5, dtype=jnp.float64,

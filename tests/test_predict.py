@@ -143,3 +143,36 @@ def test_predict_lambda_interpolation():
     # Clamped outside the grid.
     np.testing.assert_allclose(coef(r, lam=lams[0] * 10.0), full[0])
     np.testing.assert_allclose(coef(r, lam=lams[-1] / 10.0), full[-1])
+
+
+def test_predict_offset_reaches_cox_and_matrix_families():
+    """Review fix: predict() silently dropped offset= for cox and the
+    matrix families (only the scalar GLM branch applied it)."""
+    import jax.numpy as jnp
+
+    from admm_tpu.models.cox import cox_lasso_path
+    from admm_tpu.models.multinomial import multinomial_lasso_path
+
+    predict = admm_tpu.predict
+    rng = np.random.default_rng(5)
+    n, p = 120, 6
+    X = rng.normal(size=(n, p))
+    t = rng.exponential(np.exp(-X[:, 0]))
+    d = (rng.uniform(size=n) < 0.8).astype(float)
+    off = 0.5 * rng.normal(size=n)
+    res = cox_lasso_path(X, t, d, lambdas=[0.05], offset=off,
+                         dtype=jnp.float64)
+    eta0 = predict(res, X)
+    eta1 = predict(res, X, offset=off)
+    np.testing.assert_allclose(eta1, eta0 + off[None, :], atol=1e-12)
+    rr = predict(res, X, offset=off, type="response")
+    np.testing.assert_allclose(rr, np.exp(eta1), atol=1e-10)
+
+    lab = rng.integers(0, 3, n)
+    mn = multinomial_lasso_path(X, lab, lambdas=[0.05])
+    e0 = predict(mn, X)
+    e1 = predict(mn, X, offset=off)          # (n,) broadcasts classes
+    np.testing.assert_allclose(e1, e0 + off[None, :, None], atol=1e-6)
+    offc = rng.normal(size=(n, 3))
+    e2 = predict(mn, X, offset=offc)         # (n, C) per class
+    np.testing.assert_allclose(e2, e0 + offc[None], atol=1e-6)
