@@ -498,27 +498,16 @@ def checkpointed_multitask_lasso_path(
     """Multi-task Lasso lambda path in resumable chunks (same protocol
     as :func:`checkpointed_lasso_path`; the (p, K) coefficient-matrix
     state rides the pytree container unchanged)."""
-    from ..data.standardize import _guard, _sd_n
-    from ..models.multitask import MTPathResult, _mt_engine
+    from ..models.multitask import (MTPathResult, _mt_engine,
+                                    mt_recover, mt_standardize)
 
     chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
     X = jnp.asarray(X, dtype)
     Y = jnp.asarray(Y, dtype)
     n, p = X.shape
     K = Y.shape[1]
-    col_mean = jnp.mean(X, axis=0)
-    sd_x = jnp.ones((p,), dtype)
-    mean_x = jnp.zeros((p,), dtype)
-    mean_y = jnp.zeros((K,), dtype)
-    Xs, Ys = X, Y
-    if intercept:
-        mean_y = jnp.mean(Y, axis=0)
-        Xs = X - col_mean[None, :]
-        Ys = Y - mean_y[None, :]
-        mean_x = col_mean
-    if standardize_x:
-        sd_x = _guard(_sd_n(X, axis=0), col_mean)
-        Xs = Xs / sd_x[None, :]
+    Xs, Ys, sd_x, sd_y, mean_x, mean_y, _w = mt_standardize(
+        X, Y, standardize_x=standardize_x, intercept=intercept)
     lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     ilams = lams * n
 
@@ -534,8 +523,7 @@ def checkpointed_multitask_lasso_path(
     if out is None:
         return None
     coefs, niter = out
-    coef = coefs / sd_x[None, :, None]
-    beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
+    beta0, coef = mt_recover(coefs, sd_x, sd_y, mean_x, mean_y)
     return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
                         niter=niter)
 
@@ -583,14 +571,9 @@ def checkpointed_multinomial_path(
     if out is None:
         return None
     coefs_a, niter = out
-    if intercept:
-        b0_std, slopes_std = coefs_a[:, 0, :], coefs_a[:, 1:, :]
-    else:
-        b0_std = jnp.zeros((coefs_a.shape[0], C), dtype)
-        slopes_std = coefs_a
-    coef = slopes_std / sd_x[None, :, None]
-    beta0 = b0_std - jnp.einsum("kpc,p->kc", coef, mean_x)
-    beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
+    from ..models.multinomial import mn_recover
+
+    beta0, coef = mn_recover(coefs_a, sd_x, mean_x, C, intercept)
     return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
                         niter=niter)
 

@@ -263,8 +263,17 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
                                                lams, maxit, eps_abs,
                                                eps_rel, trace_len)
 
-    # Recover to the original scale; intercepts sum-to-zero normalized
-    # (the softmax shift gauge).
+    beta0, coef = mn_recover(coefs_a, sd_x, mean_x, C, intercept)
+    return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
+                        niter=niter, trace=traces)
+
+
+def mn_recover(coefs_a, sd_x, mean_x, C, intercept):
+    """Original-scale recovery for the softmax coefficient block, with
+    the intercepts sum-to-zero normalized (the softmax shift gauge) —
+    SHARED by the serial path, the checkpointed driver and the
+    consensus driver so the three agree bit for bit."""
+    dtype = coefs_a.dtype
     if intercept:
         b0_std, slopes_std = coefs_a[:, 0, :], coefs_a[:, 1:, :]
     else:
@@ -273,8 +282,7 @@ def _mn_path(X, y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
     coef = slopes_std / sd_x[None, :, None]
     beta0 = b0_std - jnp.einsum("kpc,p->kc", coef, mean_x)
     beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
-    return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
-                        niter=niter, trace=traces)
+    return beta0, coef
 
 
 def multinomial_lasso_path(X, y, *, nclass: Optional[int] = None,

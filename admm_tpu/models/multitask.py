@@ -194,19 +194,18 @@ def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None,
     return st0, solve, (lambda st: st.x)
 
 
-@partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "nlambda", "path_mode", "trace_len",
-                                   "standardize_y"))
-def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
-             eps_abs, eps_rel, weights=None, pf=None, keep=None,
-             alpha=1.0, *,
-             standardize_x, intercept, path_mode, trace_len=None,
-             standardize_y=False):
+def mt_standardize(X, Y, *, standardize_x, intercept, weights=None,
+                   standardize_y=False):
+    """Weighted centering/scaling for the multi-task design — SHARED by
+    the serial path, the checkpointed driver and the consensus driver
+    so the three agree bit for bit (the cox _cox_standardize pattern).
+    Returns ``(Xs, Ys, sd_x, sd_y, mean_x, mean_y, w)`` with weights
+    normalized to sum n and folded into the rows (sqrt(w) scaling)."""
+    from ..data.standardize import _guard
+
     n, p = X.shape
     K = Y.shape[1]
     dtype = X.dtype
-    from ..data.standardize import _guard
-
     w = None
     if weights is not None:
         w = jnp.asarray(weights, dtype).ravel()
@@ -241,7 +240,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         # glmnet's standardize.response=TRUE for family='mgaussian':
         # each task's response scaled to unit (weighted, 1/n) sd so the
         # shared row penalty weighs tasks equally; coefficients are
-        # mapped back below.
+        # mapped back by mt_recover.
         cmy = wmean(Y, axis=0)
         cy = Y - cmy[None, :]
         sd_y = _guard(jnp.sqrt(jnp.sum(wcol[:, None] * cy * cy, axis=0)
@@ -253,6 +252,30 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         sw = jnp.sqrt(w)
         Xs = Xs * sw[:, None]
         Ys = Ys * sw[:, None]
+    return Xs, Ys, sd_x, sd_y, mean_x, mean_y, w
+
+
+def mt_recover(coefs, sd_x, sd_y, mean_x, mean_y):
+    """Original-scale (L, p, K) coefficients + per-task intercepts."""
+    coef = coefs / sd_x[None, :, None] * sd_y[None, None, :]
+    beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
+    return beta0, coef
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept",
+                                   "nlambda", "path_mode", "trace_len",
+                                   "standardize_y"))
+def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
+             eps_abs, eps_rel, weights=None, pf=None, keep=None,
+             alpha=1.0, *,
+             standardize_x, intercept, path_mode, trace_len=None,
+             standardize_y=False):
+    n, p = X.shape
+    K = Y.shape[1]
+    dtype = X.dtype
+    Xs, Ys, sd_x, sd_y, mean_x, mean_y, w = mt_standardize(
+        X, Y, standardize_x=standardize_x, intercept=intercept,
+        weights=weights, standardize_y=standardize_y)
 
     lam0 = _mt_lambda0(Xs, Ys, pf, keep, alpha) / n
     if user_lams is None:
@@ -296,10 +319,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
                                              maxit, eps_abs, eps_rel,
                                              trace_len)
 
-    # Recover: coef rows rescaled by sd_x (and sd_y when the response
-    # was standardized); per-task intercepts.
-    coef = coefs / sd_x[None, :, None] * sd_y[None, None, :]
-    beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
+    beta0, coef = mt_recover(coefs, sd_x, sd_y, mean_x, mean_y)
     return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
                         niter=niter, trace=traces)
 

@@ -1104,14 +1104,9 @@ def parallel_multinomial_lasso_path(
     coefs_flat, niter = out[0], out[1]
     coefs_a = coefs_flat.reshape(-1, q, C)
 
-    if intercept:
-        b0_std, slopes_std = coefs_a[:, 0, :], coefs_a[:, 1:, :]
-    else:
-        b0_std = jnp.zeros((coefs_a.shape[0], C), dtype)
-        slopes_std = coefs_a
-    coef = slopes_std / sd_x[None, :, None]
-    beta0 = b0_std - jnp.einsum("kpc,p->kc", coef, mean_x)
-    beta0 = beta0 - jnp.mean(beta0, axis=1, keepdims=True)
+    from ..models.multinomial import mn_recover
+
+    beta0, coef = mn_recover(coefs_a, sd_x, mean_x, C, intercept)
     return MNPathResult(lambdas=lams, beta0=beta0, coef=coef,
                         niter=niter)
 
@@ -1145,22 +1140,11 @@ def parallel_multitask_lasso_path(
     K = Y.shape[1]
     W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
 
-    # Standardization replicating the serial driver (models/multitask).
-    from ..data.standardize import _guard, _sd_n
+    # Standardization SHARED with the serial driver (models/multitask).
+    from ..models.multitask import mt_recover, mt_standardize
 
-    col_mean = jnp.mean(X, axis=0)
-    sd_x = jnp.ones((p,), dtype)
-    mean_x = jnp.zeros((p,), dtype)
-    mean_y = jnp.zeros((K,), dtype)
-    Xs, Ys = X, Y
-    if intercept:
-        mean_y = jnp.mean(Y, axis=0)
-        Xs = X - col_mean[None, :]
-        Ys = Y - mean_y[None, :]
-        mean_x = col_mean
-    if standardize:
-        sd_x = _guard(_sd_n(X, axis=0), col_mean)
-        Xs = Xs / sd_x[None, :]
+    Xs, Ys, sd_x, sd_y, mean_x, mean_y, _w = mt_standardize(
+        X, Y, standardize_x=standardize, intercept=intercept)
 
     lam0 = _mt_lambda0(Xs, Ys, alpha=alpha) / n
     if lambdas is not None:
@@ -1189,7 +1173,6 @@ def parallel_multitask_lasso_path(
                          traced=trace_len is not None, init=init)
     coefs_flat, niter = out[0], out[1]
     coefs = coefs_flat.reshape(-1, p, K)
-    coef = coefs / sd_x[None, :, None]
-    beta0 = mean_y[None, :] - jnp.einsum("kpt,p->kt", coef, mean_x)
+    beta0, coef = mt_recover(coefs, sd_x, sd_y, mean_x, mean_y)
     return MTPathResult(lambdas=lams, beta0=beta0, coef=coef,
                         niter=niter)
