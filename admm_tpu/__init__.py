@@ -38,7 +38,8 @@ from .models.cv import (cv_dantzig_path, cv_enet_path,
                         cv_glm_path, cv_group_lasso_path,
                         cv_lasso_path, cv_logistic_path,
                         cv_multinomial_path, cv_multitask_lasso_path,
-                        cv_slope_path)
+                        cv_slope_path, cv_sqrt_lasso_path,
+                        cv_constrained_lasso_path, cv_zerosum_lasso_path)
 from .models.glm import (GLMFamily, binomial, binomial_cloglog,
                          binomial_probit, gamma_log, glm_lasso_path,
                          huber, huber_lasso_path, negative_binomial,
@@ -105,6 +106,8 @@ __all__ = [
     "svm_fit", "svm_path", "cv_svm_path", "rpca", "matrix_complete",
     "slope_path", "bh_sequence", "cv_slope_path",
     "constrained_lasso_path", "zerosum_lasso_path", "sqrt_lasso_path",
+    "cv_sqrt_lasso_path", "cv_constrained_lasso_path",
+    "cv_zerosum_lasso_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",

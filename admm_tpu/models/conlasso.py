@@ -215,3 +215,18 @@ def zerosum_lasso_path(X, y, **kw) -> PathResult:
     invariant to per-sample rescaling of the raw composition."""
     p = np.asarray(X).shape[1]
     return constrained_lasso_path(X, y, np.ones((1, p)), **kw)
+
+
+@partial(jax.jit, static_argnames=("intercept",))
+def _conlasso_fold_etas(X, y, C, d, lams, masks, fid, rho, maxit,
+                        eps_abs, eps_rel, *, intercept):
+    """Jitted core of the constrained-lasso one-pass fold sweep."""
+    def one(mask):
+        res = _conlasso_path_dev(X, y, C, d, 2, 1e-3, lams, rho, maxit,
+                                 eps_abs, eps_rel, mask,
+                                 intercept=intercept,
+                                 path_mode="batch")
+        return res.beta0[:, None] + dot(res.coef, X.T)
+
+    etas = jax.vmap(one)(masks)
+    return etas[fid, :, jnp.arange(fid.shape[0])]

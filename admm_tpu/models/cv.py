@@ -1149,3 +1149,88 @@ def cv_slope_path(X, y, *, lam_seq=None, q: float = 0.1,
                          lambda_min_ratio=lambda_min_ratio,
                          standardize=standardize, intercept=intercept,
                          _path_fn=path_fn, _fold_eta_fn=fold_eta, **kw)
+
+
+def cv_sqrt_lasso_path(X, y, *, nlambda: int = 30,
+                       lambda_min_ratio: float = 1e-2,
+                       standardize: bool = True, intercept: bool = True,
+                       maxit: int = 10000, eps_abs: float = 1e-6,
+                       eps_rel: float = 1e-6, rho: float = -1.0,
+                       **kw) -> CVResult:
+    """Cross-validated square-root-lasso path (extension;
+    admm_tpu/models/sqrtlasso.py): MSE-scored with the glmnet fold
+    protocol; one-pass fold sweep by default (weight-0 held-out rows
+    drop out of the weighted l2-norm loss exactly)."""
+    from .sqrtlasso import _sqrt_fold_etas, sqrt_lasso_path
+
+    def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
+                lambda_min_ratio=lambda_min_ratio):
+        return sqrt_lasso_path(Xf, yf, lambdas=lambdas, nlambda=nlambda,
+                               lambda_min_ratio=lambda_min_ratio,
+                               standardize=standardize,
+                               intercept=intercept, weights=wf,
+                               maxit=maxit, eps_abs=eps_abs,
+                               eps_rel=eps_rel, rho=rho)
+
+    fold_mesh = kw.get("fold_mesh")
+
+    def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
+        return _sqrt_fold_etas(
+            jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype),
+            jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            jnp.asarray(fid, jnp.int32), rho, maxit, eps_abs, eps_rel,
+            standardize_x=standardize, intercept=intercept)
+
+    return cv_lasso_path(X, y, nlambda=nlambda,
+                         lambda_min_ratio=lambda_min_ratio,
+                         standardize=standardize, intercept=intercept,
+                         _path_fn=path_fn, _fold_eta_fn=fold_eta, **kw)
+
+
+def cv_constrained_lasso_path(X, y, C, d=None, *, nlambda: int = 50,
+                              lambda_min_ratio: float = 1e-3,
+                              intercept: bool = True,
+                              maxit: int = 10000,
+                              eps_abs: float = 1e-5,
+                              eps_rel: float = 1e-5, rho: float = -1.0,
+                              **kw) -> CVResult:
+    """Cross-validated equality-constrained lasso path (extension;
+    admm_tpu/models/conlasso.py) — every fold fit honors ``C b = d``;
+    one-pass fold sweep by default."""
+    from .conlasso import _conlasso_fold_etas, constrained_lasso_path
+
+    p = np.shape(X)[1]
+    C_j = jnp.atleast_2d(jnp.asarray(C, jnp.float32))
+    d_j = (jnp.zeros((C_j.shape[0],), jnp.float32) if d is None
+           else jnp.asarray(d, jnp.float32).ravel())
+
+    def path_fn(Xf, yf, lambdas, wf=None, nlambda=nlambda,
+                lambda_min_ratio=lambda_min_ratio):
+        return constrained_lasso_path(
+            Xf, yf, C, d, lambdas=lambdas, nlambda=nlambda,
+            lambda_min_ratio=lambda_min_ratio, intercept=intercept,
+            weights=wf, maxit=maxit, eps_abs=eps_abs, eps_rel=eps_rel,
+            rho=rho)
+
+    fold_mesh = kw.get("fold_mesh")
+
+    def fold_eta(Xf, yf, lams, masks, fid, dtype=jnp.float32):
+        return _conlasso_fold_etas(
+            jnp.asarray(Xf, dtype), jnp.asarray(yf, dtype),
+            jnp.asarray(C_j, dtype), jnp.asarray(d_j, dtype),
+            jnp.asarray(lams, dtype),
+            _shard_folds(jnp.asarray(masks, dtype), fold_mesh),
+            jnp.asarray(fid, jnp.int32), rho, maxit, eps_abs, eps_rel,
+            intercept=intercept)
+
+    return cv_lasso_path(X, y, nlambda=nlambda,
+                         lambda_min_ratio=lambda_min_ratio,
+                         intercept=intercept,
+                         _path_fn=path_fn, _fold_eta_fn=fold_eta, **kw)
+
+
+def cv_zerosum_lasso_path(X, y, **kw) -> CVResult:
+    """Cross-validated zero-sum lasso (the one-row constrained case)."""
+    p = np.shape(X)[1]
+    return cv_constrained_lasso_path(X, y, np.ones((1, p)), **kw)

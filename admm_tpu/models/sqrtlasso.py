@@ -135,23 +135,42 @@ def _sqrt_engine(Xs, ys, lam_first, rho0):
                                    "intercept", "path_mode",
                                    "trace_len"))
 def _sqrt_path_dev(X, y, nlambda, lambda_min_ratio, user_lams, rho0,
-                   maxit, eps_abs, eps_rel, *, standardize_x, intercept,
-                   path_mode, trace_len=None):
+                   maxit, eps_abs, eps_rel, weights=None, *,
+                   standardize_x, intercept, path_mode, trace_len=None):
     n, p = X.shape
     dtype = X.dtype
+    w = None
+    if weights is not None:
+        w = jnp.asarray(weights, dtype).ravel()
+        w = w * (n / jnp.sum(w))  # glmnet: weights sum to n
+    wcol = jnp.ones((n,), dtype) if w is None else w
+
+    def wmean(v, axis=None):
+        ww = wcol if v.ndim == 1 else wcol[:, None]
+        return jnp.sum(ww * v, axis=axis) / n
+
     mean_x = jnp.zeros((p,), dtype)
     mean_y = jnp.asarray(0.0, dtype)
     sd_x = jnp.ones((p,), dtype)
     Xs, ys = X, y
     if intercept:
-        col_mean = jnp.mean(X, axis=0)
-        mean_y = jnp.mean(y)
+        col_mean = wmean(X, axis=0)
+        mean_y = wmean(y)
         Xs = X - col_mean[None, :]
         ys = y - mean_y
         mean_x = col_mean
     if standardize_x:
-        sd_x = _guard(_sd_n(X, axis=0), jnp.mean(X, axis=0))
+        c = X - wmean(X, axis=0)[None, :]
+        sd_x = _guard(jnp.sqrt(jnp.sum(wcol[:, None] * c * c, axis=0)
+                               / n), wmean(X, axis=0))
         Xs = Xs / sd_x[None, :]
+    if w is not None:
+        # sqrt(w) row scaling: the l2-norm loss becomes the WEIGHTED
+        # norm ||diag(sqrt w)(y - Xb)|| — integer weight k is exactly
+        # row repetition inside the squared sum (tested).
+        sw = jnp.sqrt(w)
+        Xs = Xs * sw[:, None]
+        ys = ys * sw
 
     if user_lams is None:
         # Exact null threshold: b = 0 optimal iff
@@ -203,7 +222,7 @@ def sqrt_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                     maxit: int = 10000, eps_abs: float = 1e-6,
                     eps_rel: float = 1e-6, rho: float = -1.0,
                     path_mode: str = "batch",
-                    trace_len: Optional[int] = None,
+                    trace_len: Optional[int] = None, weights=None,
                     dtype=jnp.float32) -> PathResult:
     """Solve the square-root-lasso path on device.
 
@@ -222,8 +241,25 @@ def sqrt_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     lams = (None if lambdas is None
             else jnp.sort(jnp.atleast_1d(
                 jnp.asarray(lambdas, dtype)))[::-1])
+    w = None if weights is None else jnp.asarray(weights, dtype)
     return _sqrt_path_dev(X, y, int(nlambda), lambda_min_ratio, lams,
-                          rho, maxit, eps_abs, eps_rel,
+                          rho, maxit, eps_abs, eps_rel, w,
                           standardize_x=standardize,
                           intercept=intercept, path_mode=path_mode,
                           trace_len=trace_len)
+
+
+@partial(jax.jit, static_argnames=("standardize_x", "intercept"))
+def _sqrt_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
+                    eps_rel, *, standardize_x, intercept):
+    """Jitted core of the sqrt-lasso one-pass fold sweep (the cv.py
+    _gaussian_fold_etas pattern): weight-0 held-out rows drop out of
+    the weighted l2-norm loss exactly."""
+    def one(mask):
+        res = _sqrt_path_dev(X, y, 2, 1e-2, lams, rho, maxit, eps_abs,
+                             eps_rel, mask, standardize_x=standardize_x,
+                             intercept=intercept, path_mode="batch")
+        return res.beta0[:, None] + dot(res.coef, X.T)
+
+    etas = jax.vmap(one)(masks)
+    return etas[fid, :, jnp.arange(fid.shape[0])]

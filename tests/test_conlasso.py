@@ -140,3 +140,22 @@ def test_validation():
         constrained_lasso_path(X, y, np.ones((1, 6)), d=np.ones(2))
     with pytest.raises(ValueError, match="path_mode"):
         constrained_lasso_path(X, y, np.ones((1, 6)), path_mode="x")
+
+
+def test_cv_onepass_matches_loop():
+    from admm_tpu.models.cv import (cv_constrained_lasso_path,
+                                    cv_zerosum_lasso_path)
+
+    X, y = _problem(n=120, p=10, seed=5)
+    kw = dict(nfolds=4, nlambda=5, seed=3, eps_abs=1e-7, eps_rel=1e-7)
+    one = cv_zerosum_lasso_path(X, y, cv_mode="onepass", **kw)
+    loop = cv_zerosum_lasso_path(X, y, cv_mode="loop", **kw)
+    assert one.cvm == pytest.approx(loop.cvm, rel=1e-4, abs=1e-7)
+    assert one.lambda_min == loop.lambda_min
+    # Every fold fit honors the constraint (support-thresholded).
+    assert abs(np.asarray(one.fit.coef).sum(axis=1)).max() < 1e-4
+    # General C/d through the generic driver.
+    C = np.vstack([np.ones(10)])
+    cvc = cv_constrained_lasso_path(X, y, C, d=np.array([1.0]),
+                                    nfolds=3, nlambda=4)
+    assert np.all(np.isfinite(cvc.cvm))

@@ -94,3 +94,27 @@ def test_auto_grid_and_protocols():
     # smallest lam approach the (well-conditioned) OLS fit.
     with pytest.raises(ValueError, match="path_mode"):
         sqrt_lasso_path(X, y, path_mode="nope")
+
+
+def test_weights_match_row_duplication():
+    X, y = _problem(n=80, p=10, seed=5)
+    w = np.ones(80)
+    w[:6] = 2.0
+    Xd = np.concatenate([X, X[:6]], axis=0)
+    yd = np.concatenate([y, y[:6]])
+    rw = sqrt_lasso_path(X, y, lambdas=[0.1, 0.03], weights=w,
+                         dtype=jnp.float64, eps_abs=1e-9, eps_rel=1e-9)
+    rd = sqrt_lasso_path(Xd, yd, lambdas=[0.1, 0.03], dtype=jnp.float64,
+                         eps_abs=1e-9, eps_rel=1e-9)
+    assert np.abs(np.asarray(rw.coef) - np.asarray(rd.coef)).max() < 1e-6
+
+
+def test_cv_onepass_matches_loop():
+    from admm_tpu.models.cv import cv_sqrt_lasso_path
+
+    X, y = _problem(n=120, p=10, seed=6)
+    kw = dict(nfolds=4, nlambda=5, seed=3, eps_abs=1e-7, eps_rel=1e-7)
+    one = cv_sqrt_lasso_path(X, y, cv_mode="onepass", **kw)
+    loop = cv_sqrt_lasso_path(X, y, cv_mode="loop", **kw)
+    assert one.cvm == pytest.approx(loop.cvm, rel=1e-4, abs=1e-7)
+    assert one.lambda_min == loop.lambda_min
