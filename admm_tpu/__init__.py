@@ -44,8 +44,8 @@ from .models.glm import (GLMFamily, binomial, binomial_cloglog,
                          binomial_probit, gamma_log, glm_lasso_path,
                          huber, huber_lasso_path, negative_binomial,
                          poisson, poisson_lasso_path)
-from .models.genlasso import (difference_matrix, fused_lasso_path,
-                              gen_lasso_path)
+from .models.genlasso import (difference_matrix, difference_matrix_2d,
+                              fused_lasso_path, gen_lasso_path)
 from .models.grouplasso import group_lasso_path
 from .models.lad import quantile_fit
 from .models.multinomial import multinomial_lasso_path
@@ -87,6 +87,7 @@ __all__ = [
     "lad_fit", "dantzig_path",
     "group_lasso_path", "cv_group_lasso_path",
     "gen_lasso_path", "fused_lasso_path", "difference_matrix",
+    "difference_matrix_2d",
     "logistic_lasso_path", "cv_logistic_path",
     "parallel_logistic_lasso_path", "parallel_glm_lasso_path",
     "parallel_huber_lasso_path", "parallel_poisson_lasso_path",

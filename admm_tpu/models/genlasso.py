@@ -57,6 +57,24 @@ def difference_matrix(p: int, order: int = 1) -> np.ndarray:
     return D
 
 
+def difference_matrix_2d(shape) -> np.ndarray:
+    """The anisotropic 2-D total-variation operator for a grid of
+    ``shape = (rows, cols)`` variables (row-major flattened): stacks
+    all horizontal and vertical first differences — ``gen_lasso_path``
+    with this D is TV-regularized image reconstruction (piecewise-
+    constant in both directions)."""
+    r, c = shape
+    eye = np.eye(r * c)
+    rows = []
+    for i in range(r):
+        for j in range(c - 1):
+            rows.append(eye[i * c + j + 1] - eye[i * c + j])
+    for i in range(r - 1):
+        for j in range(c):
+            rows.append(eye[(i + 1) * c + j] - eye[i * c + j])
+    return np.asarray(rows)
+
+
 def center_weight(X, y, weights, intercept):
     """Weighted mean-centering + sqrt(w) row scaling for the
     original-coordinate families (generalized/constrained Lasso):

@@ -149,3 +149,37 @@ def test_auto_grid_rank_deficient_D_f64():
                          dtype=jnp.float64)
     assert np.all(np.isfinite(np.asarray(res.lambdas)))
     assert np.all(np.isfinite(np.asarray(res.coef)))
+
+
+def test_tv2d_denoising():
+    """2-D total variation (difference_matrix_2d on the generalized
+    Lasso): a piecewise-constant image under noise is recovered with
+    near-exact plateaus — the fused-lasso identity in both grid
+    directions (X = I denoising)."""
+    import jax.numpy as jnp
+
+    from admm_tpu.models.genlasso import (difference_matrix_2d,
+                                          gen_lasso_path)
+
+    rng = np.random.default_rng(0)
+    r, c = 8, 10
+    img = np.zeros((r, c))
+    img[2:6, 3:8] = 2.0        # one bright block
+    y = (img + 0.2 * rng.normal(size=(r, c))).ravel()
+    D = difference_matrix_2d((r, c))
+    assert D.shape == (r * (c - 1) + (r - 1) * c, r * c)
+    # gen_lasso_path's loss is 1/(2n)||y - b||^2, so the TV scale is
+    # lam_tv / n (n = r*c rows of the identity design here).
+    res = gen_lasso_path(np.eye(r * c), y, D, lambdas=[0.003],
+                         intercept=False, dtype=jnp.float64,
+                         eps_abs=1e-8, eps_rel=1e-8)
+    rec = np.asarray(res.coef[0]).reshape(r, c)
+    # Within each true plateau the reconstruction is (near-)constant,
+    # and the two plateau means stay well separated.
+    inside = rec[2:6, 3:8]
+    outside = np.concatenate([rec[:2].ravel(), rec[6:].ravel(),
+                              rec[2:6, :3].ravel(),
+                              rec[2:6, 8:].ravel()])
+    assert inside.std() < 0.12
+    assert outside.std() < 0.12
+    assert inside.mean() - outside.mean() > 1.0
