@@ -10,19 +10,40 @@ lam — false for the lasso) and an EXACT reduction to the lasso at the
 data-dependent penalty ``lam_lasso = lam * ||rhat|| / sqrt(n)``
 (matching KKT systems), which is the self-oracle.
 
-ADMM splitting: the loss is nonsmooth but prox-friendly (an l2 NORM,
-not its square) — stack the residual and the coefficients::
+Two solvers, both on the shared engines:
 
-    A = [-X; I],  z = [r; w],  c = [-y; 0]
-    f(b) = 0,     g(z) = ||r||_2 + lam_int ||w||_1
+* **concomitant** (default) — the scaled-lasso alternation of Sun &
+  Zhang (2012), via Huber's concomitant formulation::
 
-(the internal objective is the user's times sqrt(n):
-``lam_int = lam * sqrt(n)``).  x-update: cached least squares
-``(X'X + I)^{-1}`` (one-time inverse, iterations are matvecs);
-z-update: BLOCK SHRINKAGE on r (the l2-norm prox
-``v (1 - 1/(rho ||v||))_+``) and soft threshold on w; accelerated
-FADMM with fixed rho.  The exact null threshold
-``lam0 = ||X'y||_inf / (sqrt(n) ||y||)`` tops the auto grid.
+      ||y - X b|| / sqrt(n)  =  min_{sigma>0}  ||y - X b||^2 / (2 n sigma)
+                                               + sigma / 2
+
+  Alternate (a) a WARM-STARTED lasso solve on the cached tall engine
+  at penalty ``lam * sigma`` (one ridge inverse for the whole path,
+  iterations are p x p MXU matvecs — the cached-solve pattern of
+  reference: src/ADMMLassoTall.h:70-80) with (b) the closed-form
+  ``sigma = ||y - X b|| / sqrt(n)``.  The fixed point IS the
+  sqrt-lasso KKT system (b solves the lasso at ``lam * sigma`` with
+  sigma the residual scale — exactly the lasso-reduction oracle), and
+  each outer step after the first re-enters an almost-converged
+  solver.  Measured 40x over the stacked splitting on the 10000 x 500
+  x 30-lambda row (DESIGN.md "sqrt-lasso algorithm race").
+
+* **stacked** (``algorithm="stacked"``; also the traced path) — one
+  ADMM on the stacked splitting::
+
+      A = [-X; I],  z = [r; w],  c = [-y; 0]
+      f(b) = 0,     g(z) = ||r||_2 + lam_int ||w||_1
+
+  (internal objective = user's times sqrt(n): ``lam_int = lam *
+  sqrt(n)``); x-update by a cached ``(X'X + I)^{-1}``, z-update by
+  BLOCK SHRINKAGE on r (the l2-norm prox) and soft threshold on w,
+  accelerated FADMM with fixed rho.  Kept as the single-program
+  cross-check: the nonsmooth norm couples the whole residual block and
+  converges ~20x slower per unit work.
+
+The exact null threshold ``lam0 = ||X'y||_inf / (sqrt(n) ||y||)`` tops
+the auto grid for both.
 """
 from __future__ import annotations
 
@@ -32,13 +53,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.engine import (ProblemOps, make_batched_solver,
                            make_fadmm_solver, make_state)
 from ..core.prox import l2norm, soft_threshold, sqnorm
 from ..data.standardize import _guard, _sd_n
 from ..linalg import chol_inverse, dot, gram
-from .lasso import PathResult, _scan_path
+from .lasso import (PathResult, _batched_cold_states, _scan_path,
+                    _tall_ops, _tall_setup)
 
 
 def l2_prox(v, tau):
@@ -131,12 +154,138 @@ def _sqrt_engine(Xs, ys, lam_first, rho0):
     return st0, solve, (lambda st: st.z[n:])
 
 
+# ---------------------------------------------------------------------------
+# Concomitant (scaled-lasso) alternation — the default, fast solver
+# ---------------------------------------------------------------------------
+
+_OUTER_MAXIT = 100  # sigma alternation cap (typical convergence: 3-8)
+
+
+def _rearm_lanes(st, ilams, outer_done):
+    """Re-arm batched lanes for the next sigma step: keep the iterates,
+    rho and the ACCUMULATED iteration counter (maxit budgets the lane's
+    TOTAL inner iterations); resync the momentum (warm_start's
+    restart-pathology fix, core/engine.py:125-157) and reset the
+    sentinels.  sigma-converged lanes stay done (frozen)."""
+    dtype = st.rho.dtype
+    k = st.rho.shape[0]
+    ones = jnp.ones((k,), dtype)
+    return st._replace(
+        lam=ilams.astype(dtype), adj_z=st.z, adj_y=st.y,
+        adj_a=ones, adj_c=9999.0 * ones,
+        eps_pri=0.0 * ones, eps_dua=0.0 * ones,
+        r_pri=9999.0 * ones, r_dua=9999.0 * ones,
+        done=outer_done,
+    )
+
+
+def _sqrt_concomitant_batch(Xs, ys, lams, rho0, maxit, eps_abs,
+                            eps_rel):
+    """All lambdas as cold-start MXU lanes, each alternating warm
+    inner lasso solves with its own sigma update.  The outer loop runs
+    until every lane's sigma is a fixed point; converged lanes freeze
+    exactly as in make_batched_solver."""
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    k = lams.shape[0]
+    sqrt_n = jnp.sqrt(jnp.asarray(float(n), dtype))
+    sigma0 = l2norm(ys) / sqrt_n
+    # Inner lasso at sigma: 1/2||ys - Xs b||^2 + (n lam sigma)||b||_1.
+    Minv, Xty, rho = _tall_setup(Xs, ys, n * lams[0] * sigma0, rho0)
+    ops = _tall_ops(Minv, Xty, 1.0, p)
+    solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
+    st = _batched_cold_states(k, p, rho, n * lams * sigma0, dtype)
+    sigma = sigma0 * jnp.ones((k,), dtype)
+    # Interpolation guard: sigma -> 0 would drive the penalty to 0.
+    sig_floor = 1e-10 * sigma0
+    ea = jnp.asarray(eps_abs, dtype)
+    er = jnp.asarray(eps_rel, dtype)
+
+    def cond(c):
+        _, _, odone, oit = c
+        return jnp.any(jnp.logical_not(odone)) & (oit < _OUTER_MAXIT)
+
+    def body(c):
+        st, sigma, odone, oit = c
+        st = _rearm_lanes(st, n * lams * sigma, odone)
+        st = solve(st, maxit, eps_abs, eps_rel)
+        R = ys[None, :] - dot(st.z, Xs.T)
+        sig_new = jnp.maximum(
+            jnp.sqrt(jnp.sum(R * R, axis=1)) / sqrt_n, sig_floor)
+        # sigma fixed point <=> the sqrt-lasso KKT system holds.
+        conv = (jnp.abs(sig_new - sigma) <= er * sig_new + ea) \
+            | (st.it >= maxit)
+        sigma = jnp.where(odone, sigma, sig_new)
+        return st, sigma, odone | conv, oit + 1
+
+    st, _, _, _ = lax.while_loop(
+        cond, body, (st, sigma, jnp.zeros((k,), bool),
+                     jnp.asarray(0, jnp.int32)))
+    return st.z, st.it
+
+
+def _sqrt_concomitant_scan(Xs, ys, lams, rho0, maxit, eps_abs,
+                           eps_rel):
+    """Sequential warm-started path: sigma AND the solver state carry
+    across lambdas (the reference's path protocol,
+    reference: src/Lasso.cpp:97-124); per-lambda niter is the total
+    inner-iteration count over that lambda's sigma steps."""
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    sqrt_n = jnp.sqrt(jnp.asarray(float(n), dtype))
+    sigma0 = l2norm(ys) / sqrt_n
+    Minv, Xty, rho = _tall_setup(Xs, ys, n * lams[0] * sigma0, rho0)
+    ops = _tall_ops(Minv, Xty, 1.0, p)
+    solve = make_fadmm_solver(ops, adapt_rho=False)
+    zp = jnp.zeros((p,), dtype)
+    st0 = make_state(zp, zp, zp, rho, n * lams[0] * sigma0, dtype=dtype)
+    sig_floor = 1e-10 * sigma0
+    ea = jnp.asarray(eps_abs, dtype)
+    er = jnp.asarray(eps_rel, dtype)
+
+    def rearm1(st, ilam):
+        return st._replace(
+            lam=jnp.asarray(ilam, dtype), adj_z=st.z, adj_y=st.y,
+            adj_a=jnp.asarray(1.0, dtype), adj_c=jnp.asarray(9999.0, dtype),
+            eps_pri=jnp.asarray(0.0, dtype), eps_dua=jnp.asarray(0.0, dtype),
+            r_pri=jnp.asarray(9999.0, dtype),
+            r_dua=jnp.asarray(9999.0, dtype),
+            done=jnp.asarray(False))
+
+    def step(carry, lam):
+        st, sigma = carry
+        st = st._replace(it=jnp.asarray(0, jnp.int32))
+
+        def ocond(c):
+            _, _, odone, oit = c
+            return jnp.logical_not(odone) & (oit < _OUTER_MAXIT)
+
+        def obody(c):
+            st, sigma, _, oit = c
+            st = rearm1(st, n * lam * sigma)
+            st = solve(st, maxit, eps_abs, eps_rel)
+            r = ys - dot(Xs, st.z)
+            sn = jnp.maximum(l2norm(r) / sqrt_n, sig_floor)
+            conv = (jnp.abs(sn - sigma) <= er * sn + ea) \
+                | (st.it >= maxit)
+            return st, sn, conv, oit + 1
+
+        st, sigma, _, _ = lax.while_loop(
+            ocond, obody,
+            (st, sigma, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
+        return (st, sigma), (st.z, st.it)
+
+    _, (coefs, niter) = lax.scan(step, (st0, sigma0), lams)
+    return coefs, niter
+
+
 @partial(jax.jit, static_argnames=("nlambda", "standardize_x",
                                    "intercept", "path_mode",
-                                   "trace_len"))
+                                   "trace_len", "algorithm"))
 def _sqrt_path_dev(X, y, nlambda, lambda_min_ratio, user_lams, rho0,
                    maxit, eps_abs, eps_rel, weights=None, *,
-                   standardize_x, intercept, path_mode, trace_len=None):
+                   standardize_x, intercept, path_mode, trace_len=None,
+                   algorithm="concomitant"):
     n, p = X.shape
     dtype = X.dtype
     w = None
@@ -185,6 +334,18 @@ def _sqrt_path_dev(X, y, nlambda, lambda_min_ratio, user_lams, rho0,
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
     else:
         lams = user_lams
+    if algorithm == "concomitant" and trace_len is None:
+        if path_mode == "batch":
+            coefs, niter = _sqrt_concomitant_batch(
+                Xs, ys, lams, rho0, maxit, eps_abs, eps_rel)
+        else:
+            coefs, niter = _sqrt_concomitant_scan(
+                Xs, ys, lams, rho0, maxit, eps_abs, eps_rel)
+        coef = coefs / sd_x[None, :]
+        beta0 = mean_y - coef @ mean_x
+        return PathResult(lambdas=lams, beta0=beta0, coef=coef,
+                          niter=niter, trace=None)
+
     # Internal objective = user's * sqrt(n): lam_int = lam * sqrt(n).
     ilams = lams * jnp.sqrt(jnp.asarray(float(n), dtype))
 
@@ -222,6 +383,7 @@ def sqrt_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                     maxit: int = 10000, eps_abs: float = 1e-6,
                     eps_rel: float = 1e-6, rho: float = -1.0,
                     path_mode: str = "batch",
+                    algorithm: str = "concomitant", data_mesh=None,
                     trace_len: Optional[int] = None, weights=None,
                     dtype=jnp.float32) -> PathResult:
     """Solve the square-root-lasso path on device.
@@ -230,14 +392,39 @@ def sqrt_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     level (Belloni et al. recommend ``lam ~ c * Phi^{-1}(1 - a/(2p)) /
     sqrt(n)``); the auto grid tops at the exact null threshold.
     Tolerances default tighter than the lasso's (the nonsmooth loss
-    flattens near the optimum)."""
+    flattens near the optimum).
+
+    ``algorithm``: "concomitant" (default — the scaled-lasso
+    alternation on the cached tall engine; see the module docstring)
+    or "stacked" (one ADMM on the stacked splitting; the cross-check
+    solver, ~20x slower per unit work, and the solver a ``trace_len``
+    request traces).  ``data_mesh``: a ``jax.sharding.Mesh`` over which
+    the data is sharded along its ROW axis — the concomitant
+    alternation's data-touching reductions (moments, the Gram, X'y,
+    the residual-norm sigma update) become per-shard partials plus
+    psums under XLA's partitioner, exactly the ``lasso_path``
+    protocol."""
     X = jnp.asarray(X, dtype)
     y = jnp.asarray(y, dtype)
     if path_mode not in ("batch", "scan"):
         raise ValueError("path_mode must be 'batch' or 'scan'")
+    if algorithm not in ("concomitant", "stacked"):
+        raise ValueError("algorithm must be 'concomitant' or 'stacked'")
     if trace_len is not None:
+        # The traced solver is the stacked single-program ADMM: its
+        # per-iteration Boyd residuals are the meaningful trace (the
+        # alternation's inner counters restart at every sigma step).
         path_mode = "scan"
+        algorithm = "stacked"
         trace_len = int(trace_len)
+    if data_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axes = tuple(data_mesh.axis_names)
+        X = jax.device_put(X, NamedSharding(data_mesh,
+                                            PartitionSpec(axes, None)))
+        y = jax.device_put(y, NamedSharding(data_mesh,
+                                            PartitionSpec(axes)))
     lams = (None if lambdas is None
             else jnp.sort(jnp.atleast_1d(
                 jnp.asarray(lambdas, dtype)))[::-1])
@@ -246,7 +433,7 @@ def sqrt_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
                           rho, maxit, eps_abs, eps_rel, w,
                           standardize_x=standardize,
                           intercept=intercept, path_mode=path_mode,
-                          trace_len=trace_len)
+                          trace_len=trace_len, algorithm=algorithm)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept"))

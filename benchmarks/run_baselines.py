@@ -567,8 +567,10 @@ def bench_round4(fast):
     out["sqrt_lasso_path_10000x500_30lambdas_ms"] = dict(
         value=amortized_ms(one_sqrt, *ks, args=(Xslj, yslj)),
         baseline_ms=None,
-        note="30-lambda pivotal (square-root) lasso path as batched "
-             "lanes; extension")
+        note="30-lambda pivotal (square-root) lasso path, concomitant "
+             "(scaled-lasso) alternation on the cached tall engine as "
+             "batched lanes (159x over the r4 stacked splitting, "
+             "DESIGN.md 'sqrt-lasso algorithm race'); extension")
 
     # Constrained (zero-sum) lasso: 10000x500, 30 lambdas.
     def one_con(i, Xj, yj):

@@ -96,6 +96,22 @@ def test_auto_grid_and_protocols():
         sqrt_lasso_path(X, y, path_mode="nope")
 
 
+def test_algorithms_agree():
+    """Concomitant alternation (default) and the stacked splitting
+    solve the same problem — coefficient agreement across the path, in
+    both protocols."""
+    X, y = _problem(seed=7)
+    kw = dict(nlambda=5, dtype=jnp.float64, eps_abs=1e-9, eps_rel=1e-9,
+              maxit=50000)
+    rc = sqrt_lasso_path(X, y, **kw)
+    rs = sqrt_lasso_path(X, y, algorithm="stacked", **kw)
+    assert np.abs(np.asarray(rc.coef) - np.asarray(rs.coef)).max() < 1e-6
+    rcs = sqrt_lasso_path(X, y, path_mode="scan", **kw)
+    assert np.abs(np.asarray(rc.coef) - np.asarray(rcs.coef)).max() < 1e-8
+    with pytest.raises(ValueError, match="algorithm"):
+        sqrt_lasso_path(X, y, algorithm="nope")
+
+
 def test_weights_match_row_duplication():
     X, y = _problem(n=80, p=10, seed=5)
     w = np.ones(80)
