@@ -74,15 +74,80 @@ def isotonic_nonincreasing(z):
     return jnp.diagonal(w)[::-1]
 
 
-def prox_sorted_l1(v, lam_sorted):
+def isotonic_nonincreasing_pava(z):
+    """Euclidean projection onto the nonincreasing cone by PARALLEL
+    pool-adjacent-violators: O(p) memory, O(p) work per pass — the
+    large-p alternative to the dense (p, p) minimax (which is O(p^2)
+    in time AND memory, >1 GB of temporaries per prox call at p=16k).
+
+    Each pass merges EVERY chain of order-violating adjacent blocks at
+    once.  Safety: if adjacent blocks (B1, B2) violate (mean B1 <
+    mean B2 for the nonincreasing fit), merging any pair in the chain
+    moves the merged mean strictly BETWEEN the two — so every other
+    violation in the chain still violates afterwards, and simultaneous
+    chain pooling equals some sequential PAVA merge order (PAVA is
+    merge-order-independent).  Blocks are per-position head flags;
+    block means come from cumsum/cummax/cummin segment reductions —
+    no data-dependent shapes, vmappable, while_loop until no
+    violation (data-dependent pass count; near-sorted prox inputs
+    take 1-5 passes)."""
+    p = z.shape[0]
+    idx = jnp.arange(p)
+    C = jnp.concatenate([jnp.zeros((1,), z.dtype), jnp.cumsum(z)])
+
+    def compute(head):
+        # Block start per position: latest head index <= i (head[0] is
+        # always True); block end: (first head index > i) - 1.
+        bstart = jax.lax.cummax(jnp.where(head, idx, 0))
+        h2 = jnp.where(head, idx, p)
+        nxthead = jax.lax.cummin(h2[::-1])[::-1]       # first head >= i
+        bend = jnp.concatenate([nxthead[1:],
+                                jnp.full((1,), p, idx.dtype)]) - 1
+        mean = (C[bend + 1] - C[bstart]) / (bend - bstart + 1.0)
+        shifted = jnp.concatenate([mean[:1], mean[:-1]])
+        viol = head & (shifted < mean) & (idx > 0)
+        return mean, viol
+
+    head0 = jnp.ones((p,), bool)
+    mean0, viol0 = compute(head0)
+
+    def cond(c):
+        return jnp.any(c[2])
+
+    def body(c):
+        head, _, viol = c
+        head = head & jnp.logical_not(viol)
+        mean, viol = compute(head)
+        return head, mean, viol
+
+    _, mean, _ = jax.lax.while_loop(cond, body, (head0, mean0, viol0))
+    return mean
+
+
+# Dense-minimax / parallel-PAVA crossover (chip-measured, DESIGN.md
+# "SLOPE isotonic crossover"): the (p, p) tables win below this p
+# (0.39 vs 0.42 ms at p=3072), the O(p)-memory passes win above (3.7x
+# at p=4096, 8.9x at p=8192 — and are the only option past p ~ 16k,
+# where the dense temporaries exceed HBM budgets).
+_ISOTONIC_DENSE_MAX_P = 3072
+
+
+def prox_sorted_l1(v, lam_sorted, method: str = "auto"):
     """Prox of the sorted-l1 norm ``sum_i lam_i |v|_(i)`` (paper
     Alg. 4): sort |v| decreasing, subtract the sorted penalties,
     project onto the nonincreasing nonnegative cone, undo the sort and
-    signs."""
+    signs.  ``method``: 'dense' (the (p, p) minimax), 'pava' (the
+    O(p)-memory parallel passes), or 'auto' (measured crossover on
+    the static p)."""
     a = jnp.abs(v)
     order = jnp.argsort(-a)
     u = a[order]
-    w = jnp.maximum(isotonic_nonincreasing(u - lam_sorted), 0.0)
+    if method == "auto":
+        method = ("dense" if v.shape[-1] <= _ISOTONIC_DENSE_MAX_P
+                  else "pava")
+    iso = (isotonic_nonincreasing if method == "dense"
+           else isotonic_nonincreasing_pava)
+    w = jnp.maximum(iso(u - lam_sorted), 0.0)
     out = jnp.zeros_like(v).at[order].set(w)
     return jnp.sign(v) * out
 

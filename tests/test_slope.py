@@ -7,6 +7,7 @@ from sklearn.isotonic import isotonic_regression
 
 from admm_tpu.models.lasso import lasso_path
 from admm_tpu.models.slope import (bh_sequence, isotonic_nonincreasing,
+                                   isotonic_nonincreasing_pava,
                                    prox_sorted_l1, slope_path)
 
 
@@ -28,6 +29,39 @@ def test_isotonic_matches_sklearn_pava():
         ours = np.asarray(isotonic_nonincreasing(jnp.asarray(z)))
         skl = isotonic_regression(z, increasing=False)
         assert np.abs(ours - skl).max() < 1e-9
+
+
+def test_isotonic_pava_matches_sklearn():
+    """The O(p)-memory parallel-pass PAVA against sklearn, including
+    the adversarial shapes: ties, sorted, reverse-sorted (one giant
+    pool), constant, and the cascade pattern that forces many merge
+    passes."""
+    rng = np.random.default_rng(3)
+    cases = [rng.normal(size=s) for s in (1, 2, 7, 64, 513)]
+    cases += [np.sort(rng.normal(size=50)),            # fully violating
+              -np.sort(rng.normal(size=50)),           # already feasible
+              np.ones(20),                             # constant
+              np.repeat(rng.normal(size=8), 5),        # ties
+              np.array([1.0, 2.0, 1.5, 1.8, 1.6, 1.7, 1.65])]  # cascade
+    for z in cases:
+        ours = np.asarray(isotonic_nonincreasing_pava(jnp.asarray(z)))
+        skl = isotonic_regression(z, increasing=False)
+        assert np.abs(ours - skl).max() < 1e-9
+
+
+def test_prox_methods_agree():
+    """dense minimax and parallel PAVA give the same prox; 'auto'
+    dispatches on p without changing values."""
+    rng = np.random.default_rng(4)
+    v = rng.normal(size=300) * 2
+    lam = np.sort(rng.uniform(0.05, 1.0, size=300))[::-1]
+    vj, lj = jnp.asarray(v), jnp.asarray(lam)
+    d = np.asarray(prox_sorted_l1(vj, lj, method="dense"))
+    p_ = np.asarray(prox_sorted_l1(vj, lj, method="pava"))
+    a = np.asarray(prox_sorted_l1(vj, lj))
+    assert np.abs(d - p_).max() < 1e-9
+    assert np.abs(d - _prox_np(v, lam)).max() < 1e-9
+    assert np.abs(a - d).max() == 0.0
 
 
 def test_prox_matches_independent_pava_prox():
