@@ -809,3 +809,213 @@ def checkpointed_cox_path(
     coefs_s, niter = out
     return CoxPathResult(lambdas=lams, coef=coefs_s / sd_x[None, :],
                          niter=niter)
+
+
+def checkpointed_sqrt_lasso_path(
+        X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        standardize: bool = True, intercept: bool = True, weights=None,
+        maxit: int = 10000, eps_abs: float = 1e-6, eps_rel: float = 1e-6,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """Square-root-lasso path in resumable chunks — the CONCOMITANT
+    warm-started scan (models/sqrtlasso.py): the saved state carries
+    both the inner FADMM iterates and the sigma estimate, so a resumed
+    chain continues the same alternation bit-exactly."""
+    from ..models.sqrtlasso import (_sqrt_concomitant_scan_setup,
+                                    _sqrt_prepare)
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    w = None if weights is None else jnp.asarray(weights, dtype)
+    Xs, ys, sd_x, mean_x, mean_y = _sqrt_prepare(
+        X, y, w, standardize_x=standardize, intercept=intercept)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+
+    carry0, make_step = _sqrt_concomitant_scan_setup(Xs, ys, lams[0],
+                                                     rho)
+    fp = _fingerprint(Xs, ys, lams, 1.0, maxit, eps_abs, eps_rel, rho,
+                      standardize, intercept, False, model="sqrtlasso")
+
+    def _seg(carry, il, m, ea, er):
+        carry, (coefs, niter) = jax.lax.scan(make_step(m, ea, er),
+                                             carry, il)
+        return carry, coefs, niter
+
+    segment = jax.jit(_seg)
+    out = _chunked_scan(carry0, segment, lams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    coef = coefs / sd_x[None, :]
+    beta0 = mean_y - coef @ mean_x
+    return PathResult(lambdas=lams, beta0=beta0, coef=coef, niter=niter)
+
+
+def checkpointed_constrained_lasso_path(
+        X, y, C, d=None, *, lambdas, checkpoint: str,
+        chunk_size: int = 10, intercept: bool = True, weights=None,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None) -> Optional[PathResult]:
+    """Equality-constrained lasso path in resumable chunks — the
+    warm-started scan on the block-eliminated KKT engine
+    (models/conlasso.py).  The constraint matrix and right-hand side
+    enter the fingerprint."""
+    from ..models.conlasso import _conlasso_engine
+    from ..models.genlasso import center_weight
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    C = jnp.atleast_2d(jnp.asarray(C, dtype))
+    if C.shape[1] != X.shape[1]:
+        raise ValueError("C must be (m, ncol(x))")
+    d = (jnp.zeros((C.shape[0],), dtype) if d is None
+         else jnp.asarray(d, dtype).ravel())
+    n = X.shape[0]
+    w = None if weights is None else jnp.asarray(weights, dtype)
+    Xs, ys, mean_x, mean_y = center_weight(X, y, w, intercept)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n
+
+    st0, solve, report = _conlasso_engine(Xs, ys, C, d, ilams[0], rho)
+    fp = _fingerprint(Xs, ys, ilams, 1.0, maxit, eps_abs, eps_rel, rho,
+                      False, intercept, False, model="conlasso",
+                      extra_arrays=(C, d))
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    beta0 = mean_y - coefs @ mean_x
+    return PathResult(lambdas=lams, beta0=beta0, coef=coefs,
+                      niter=niter)
+
+
+def checkpointed_relaxed_lasso_path(
+        X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        gammas=(0.0, 0.25, 0.5, 0.75, 1.0), alpha: float = 1.0,
+        standardize: bool = True, intercept: bool = True,
+        maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """Relaxed-lasso (lambda, gamma) grid in resumable chunks: each
+    chunk advances the lasso warm-start chain AND computes that chunk's
+    unpenalized support refits (models/relaxed.py::_masked_refits), so
+    a resumed run re-does neither.  The gamma blend is affine and
+    applied once at the end."""
+    from ..data.standardize import standardize as _std
+    from ..models.relaxed import RelaxedPathResult, _masked_refits
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    n, p = X.shape
+    gam = jnp.sort(jnp.asarray(gammas, dtype).ravel())
+    Xs, ys, stats = _std(X, y, standardize_x=standardize,
+                         intercept=intercept)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n / stats.scale_y
+
+    if n > p:
+        st0, solve, report = _tall_engine(Xs, ys, ilams[0], rho, alpha)
+    else:
+        st0, solve, report = _wide_engine(Xs, ys, ilams[0], rho, alpha,
+                                          False)
+    fp = _fingerprint(Xs, ys, ilams, alpha, maxit, eps_abs, eps_rel,
+                      rho, standardize, intercept, False,
+                      model="relaxed", extra_arrays=(gam,))
+
+    def _seg(st, il, m, ea, er):
+        st, coefs, niter, _ = _scan_path(st, solve, report, il, m, ea,
+                                         er)
+        supp = (jnp.abs(coefs) > 0).astype(dtype)
+        rb0, rcoef = _masked_refits(X, y, supp, None,
+                                    standardize_x=standardize,
+                                    intercept=intercept)
+        # Pack per-lambda [std lasso coef | original-scale refit coef |
+        # refit intercept] so the generic chunk loop carries ONE array.
+        packed = jnp.concatenate([coefs, rcoef, rb0[:, None]], axis=1)
+        return st, packed, niter
+
+    segment = jax.jit(_seg)
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    packed, niter = out
+    coefs_std = packed[:, :p]
+    refit_coef = packed[:, p:2 * p]
+    refit_beta0 = packed[:, 2 * p]
+    beta0_l, coef_l = recover(stats, coefs_std,
+                              standardize_x=standardize,
+                              intercept=intercept)
+    fit = PathResult(lambdas=lams, beta0=beta0_l, coef=coef_l,
+                     niter=niter)
+    g = gam[:, None, None]
+    coef = g * coef_l[None] + (1.0 - g) * refit_coef[None]
+    beta0 = (gam[:, None] * beta0_l[None]
+             + (1.0 - gam[:, None]) * refit_beta0[None])
+    return RelaxedPathResult(lambdas=lams, gammas=gam, beta0=beta0,
+                             coef=coef, fit=fit,
+                             refit_beta0=refit_beta0,
+                             refit_coef=refit_coef)
+
+
+def checkpointed_rpca_path(
+        M, *, lambdas, checkpoint: str, chunk_size: int = 3,
+        observed=None, rank: Optional[int] = None, power_iters: int = 2,
+        maxit: int = 5000, eps_abs: float = 1e-7, eps_rel: float = 1e-6,
+        rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """PCP sparsity-penalty path in resumable chunks — the warm-started
+    scan over the (L, S, Y) matrix state (models/rpca.py), with the
+    partial-SVT warm basis riding the saved state when ``rank`` is
+    given.  The data, mask, rank/power_iters options and grid enter the
+    fingerprint."""
+    from ..models.rpca import (RPCAPathResult, _check_mask,
+                               _rpca_engine)
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    M = jnp.asarray(M, dtype)
+    if M.ndim != 2:
+        raise ValueError("M must be a 2-D matrix")
+    M0, mask = _check_mask(M, observed)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+
+    st0, solve, report = _rpca_engine(
+        M0, lams[0], jnp.asarray(rho, dtype), mask,
+        None if rank is None else int(rank), int(power_iters))
+    tag = (f"rpca-r{int(rank)}-q{int(power_iters)}" if rank is not None
+           else "rpca")
+    extra = () if mask is None else (mask.astype(dtype),)
+    fp = _fingerprint(M0, jnp.zeros((1,), dtype), lams, 1.0, maxit,
+                      eps_abs, eps_rel, rho, False, False, False,
+                      model=tag, extra_arrays=extra)
+    segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
+        st, solve, report, il, m, ea, er)[:3])
+    out = _chunked_scan(st0, segment, lams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    LS, niter = out
+    L, S = LS[:, 0], LS[:, 1]
+    sv = jnp.linalg.svd(L, compute_uv=False)
+    tol = (jnp.max(sv, axis=1, keepdims=True)
+           * max(M.shape) * jnp.finfo(dtype).eps * 10)
+    return RPCAPathResult(lambdas=lams, low_rank=L, sparse=S,
+                          rank=jnp.sum(sv > tol, axis=1),
+                          nnz=jnp.sum(S != 0, axis=(1, 2)),
+                          niter=niter)

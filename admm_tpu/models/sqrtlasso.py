@@ -224,24 +224,21 @@ def _sqrt_concomitant_batch(Xs, ys, lams, rho0, maxit, eps_abs,
     return st.z, st.it
 
 
-def _sqrt_concomitant_scan(Xs, ys, lams, rho0, maxit, eps_abs,
-                           eps_rel):
-    """Sequential warm-started path: sigma AND the solver state carry
-    across lambdas (the reference's path protocol,
-    reference: src/Lasso.cpp:97-124); per-lambda niter is the total
-    inner-iteration count over that lambda's sigma steps."""
+def _sqrt_concomitant_scan_setup(Xs, ys, lam_top, rho0):
+    """Shared by the one-shot scan and the checkpointed driver:
+    returns ``(carry0, make_step)`` where carry = (ADMMState, sigma)
+    and ``make_step(maxit, eps_abs, eps_rel)`` is the per-lambda scan
+    step advancing the warm-start chain."""
     n, p = Xs.shape
     dtype = Xs.dtype
     sqrt_n = jnp.sqrt(jnp.asarray(float(n), dtype))
     sigma0 = l2norm(ys) / sqrt_n
-    Minv, Xty, rho = _tall_setup(Xs, ys, n * lams[0] * sigma0, rho0)
+    Minv, Xty, rho = _tall_setup(Xs, ys, n * lam_top * sigma0, rho0)
     ops = _tall_ops(Minv, Xty, 1.0, p)
     solve = make_fadmm_solver(ops, adapt_rho=False)
     zp = jnp.zeros((p,), dtype)
-    st0 = make_state(zp, zp, zp, rho, n * lams[0] * sigma0, dtype=dtype)
+    st0 = make_state(zp, zp, zp, rho, n * lam_top * sigma0, dtype=dtype)
     sig_floor = 1e-10 * sigma0
-    ea = jnp.asarray(eps_abs, dtype)
-    er = jnp.asarray(eps_rel, dtype)
 
     def rearm1(st, ilam):
         return st._replace(
@@ -252,40 +249,58 @@ def _sqrt_concomitant_scan(Xs, ys, lams, rho0, maxit, eps_abs,
             r_dua=jnp.asarray(9999.0, dtype),
             done=jnp.asarray(False))
 
-    def step(carry, lam):
-        st, sigma = carry
-        st = st._replace(it=jnp.asarray(0, jnp.int32))
+    def make_step(maxit, eps_abs, eps_rel):
+        ea = jnp.asarray(eps_abs, dtype)
+        er = jnp.asarray(eps_rel, dtype)
 
-        def ocond(c):
-            _, _, odone, oit = c
-            return jnp.logical_not(odone) & (oit < _OUTER_MAXIT)
+        def step(carry, lam):
+            st, sigma = carry
+            st = st._replace(it=jnp.asarray(0, jnp.int32))
 
-        def obody(c):
-            st, sigma, _, oit = c
-            st = rearm1(st, n * lam * sigma)
-            st = solve(st, maxit, eps_abs, eps_rel)
-            r = ys - dot(Xs, st.z)
-            sn = jnp.maximum(l2norm(r) / sqrt_n, sig_floor)
-            conv = (jnp.abs(sn - sigma) <= er * sn + ea) \
-                | (st.it >= maxit)
-            return st, sn, conv, oit + 1
+            def ocond(c):
+                _, _, odone, oit = c
+                return jnp.logical_not(odone) & (oit < _OUTER_MAXIT)
 
-        st, sigma, _, _ = lax.while_loop(
-            ocond, obody,
-            (st, sigma, jnp.asarray(False), jnp.asarray(0, jnp.int32)))
-        return (st, sigma), (st.z, st.it)
+            def obody(c):
+                st, sigma, _, oit = c
+                st = rearm1(st, n * lam * sigma)
+                st = solve(st, maxit, eps_abs, eps_rel)
+                r = ys - dot(Xs, st.z)
+                sn = jnp.maximum(l2norm(r) / sqrt_n, sig_floor)
+                conv = (jnp.abs(sn - sigma) <= er * sn + ea) \
+                    | (st.it >= maxit)
+                return st, sn, conv, oit + 1
 
-    _, (coefs, niter) = lax.scan(step, (st0, sigma0), lams)
+            st, sigma, _, _ = lax.while_loop(
+                ocond, obody,
+                (st, sigma, jnp.asarray(False),
+                 jnp.asarray(0, jnp.int32)))
+            return (st, sigma), (st.z, st.it)
+
+        return step
+
+    return (st0, sigma0), make_step
+
+
+def _sqrt_concomitant_scan(Xs, ys, lams, rho0, maxit, eps_abs,
+                           eps_rel):
+    """Sequential warm-started path: sigma AND the solver state carry
+    across lambdas (the reference's path protocol,
+    reference: src/Lasso.cpp:97-124); per-lambda niter is the total
+    inner-iteration count over that lambda's sigma steps."""
+    carry0, make_step = _sqrt_concomitant_scan_setup(Xs, ys, lams[0],
+                                                     rho0)
+    _, (coefs, niter) = lax.scan(make_step(maxit, eps_abs, eps_rel),
+                                 carry0, lams)
     return coefs, niter
 
 
-@partial(jax.jit, static_argnames=("nlambda", "standardize_x",
-                                   "intercept", "path_mode",
-                                   "trace_len", "algorithm"))
-def _sqrt_path_dev(X, y, nlambda, lambda_min_ratio, user_lams, rho0,
-                   maxit, eps_abs, eps_rel, weights=None, *,
-                   standardize_x, intercept, path_mode, trace_len=None,
-                   algorithm="concomitant"):
+def _sqrt_prepare(X, y, weights, *, standardize_x, intercept):
+    """Standardize/weight for the sqrt-lasso objective (shared by the
+    path driver and the checkpointed driver): weighted moments, sd
+    scaling, then sqrt(w) row scaling — the l2-norm loss becomes the
+    WEIGHTED norm ``||diag(sqrt w)(y - Xb)||`` (integer weight k is
+    exactly row repetition inside the squared sum — tested)."""
     n, p = X.shape
     dtype = X.dtype
     w = None
@@ -314,12 +329,23 @@ def _sqrt_path_dev(X, y, nlambda, lambda_min_ratio, user_lams, rho0,
                                / n), wmean(X, axis=0))
         Xs = Xs / sd_x[None, :]
     if w is not None:
-        # sqrt(w) row scaling: the l2-norm loss becomes the WEIGHTED
-        # norm ||diag(sqrt w)(y - Xb)|| — integer weight k is exactly
-        # row repetition inside the squared sum (tested).
         sw = jnp.sqrt(w)
         Xs = Xs * sw[:, None]
         ys = ys * sw
+    return Xs, ys, sd_x, mean_x, mean_y
+
+
+@partial(jax.jit, static_argnames=("nlambda", "standardize_x",
+                                   "intercept", "path_mode",
+                                   "trace_len", "algorithm"))
+def _sqrt_path_dev(X, y, nlambda, lambda_min_ratio, user_lams, rho0,
+                   maxit, eps_abs, eps_rel, weights=None, *,
+                   standardize_x, intercept, path_mode, trace_len=None,
+                   algorithm="concomitant"):
+    n, p = X.shape
+    dtype = X.dtype
+    Xs, ys, sd_x, mean_x, mean_y = _sqrt_prepare(
+        X, y, weights, standardize_x=standardize_x, intercept=intercept)
 
     if user_lams is None:
         # Exact null threshold: b = 0 optimal iff

@@ -610,6 +610,30 @@ def bench_round4(fast):
         baseline_ms=None,
         note="exact low-rank + sparse separation (SVD per iteration); "
              "extension")
+
+    # Robust PCA at 2000x2000 via the warm-started partial SVT
+    # (rank-adaptive subspace iteration, DESIGN.md "RPCA partial SVT" —
+    # the exact-SVD solve is 3.4 s at this size).
+    L2 = (rng.normal(size=(2000, 5)) @ rng.normal(size=(5, 2000))
+          / np.sqrt(5)).astype(np.float32)
+    Sp2 = np.zeros((2000, 2000), np.float32)
+    m2 = rng.uniform(size=Sp2.shape) < 0.05
+    Sp2[m2] = 10 * rng.choice([-1.0, 1.0], size=m2.sum())
+    M2 = jnp.asarray(L2 + Sp2)
+
+    def one_rpca2k(i, M2):
+        Mp = M2 * (1.0 + 1e-6 * (i + 1).astype(M2.dtype))
+        res = _rpca_dev(Mp, jnp.float32(1.0 / np.sqrt(2000)),
+                        jnp.float32(-1.0), 2000, 1e-6, 1e-5,
+                        rank=5)
+        return jnp.sum(res.low_rank) + res.niter.astype(jnp.float32)
+
+    out["rpca_2000x2000_partial_ms"] = dict(
+        value=amortized_ms(one_rpca2k, *((1, 3) if fast else (2, 6)),
+                           args=(M2,)),
+        baseline_ms=None,
+        note="2000x2000 PCP via warm-started partial SVT (rank=5; 73x "
+             "over the exact SVD at this size, DESIGN.md); extension")
     return out
 
 

@@ -607,3 +607,139 @@ def test_checkpointed_svm_carries_class_labels(tmp_path):
                                 chunk_size=1)
     lab = predict(res, X, type="class", lam=1.0)
     assert set(np.unique(lab)) <= {2, 7}
+
+
+def test_sqrt_lasso_crash_and_resume_identical(tmp_path):
+    """The concomitant chain's (state, sigma) carry persists across
+    chunks: resumed == uninterrupted bit-exactly, and both match the
+    one-shot scan path."""
+    from admm_tpu.diag.checkpoint import checkpointed_sqrt_lasso_path
+    from admm_tpu.models.sqrtlasso import sqrt_lasso_path
+
+    X, y = _problem()
+    lams = np.geomspace(0.3, 0.01, 9)
+    ck = str(tmp_path / "sq.npz")
+    out = checkpointed_sqrt_lasso_path(X, y, lambdas=lams,
+                                       checkpoint=ck, chunk_size=4,
+                                       _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_sqrt_lasso_path(X, y, lambdas=lams,
+                                       checkpoint=ck, chunk_size=4)
+    full = checkpointed_sqrt_lasso_path(
+        X, y, lambdas=lams, checkpoint=str(tmp_path / "sq2.npz"),
+        chunk_size=4)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(full.niter))
+    plain = sqrt_lasso_path(X, y, lambdas=lams, path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=2e-5)
+
+
+def test_constrained_lasso_crash_and_resume_identical(tmp_path):
+    from admm_tpu.diag.checkpoint import \
+        checkpointed_constrained_lasso_path
+    from admm_tpu.models.conlasso import constrained_lasso_path
+
+    X, y = _problem(n=200, p=15)
+    C = np.ones((1, 15))
+    lams = np.geomspace(0.2, 0.005, 8)
+    ck = str(tmp_path / "cl.npz")
+    out = checkpointed_constrained_lasso_path(
+        X, y, C, lambdas=lams, checkpoint=ck, chunk_size=3,
+        _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_constrained_lasso_path(
+        X, y, C, lambdas=lams, checkpoint=ck, chunk_size=3)
+    full = checkpointed_constrained_lasso_path(
+        X, y, C, lambdas=lams, checkpoint=str(tmp_path / "cl2.npz"),
+        chunk_size=3)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    plain = constrained_lasso_path(X, y, C, lambdas=lams,
+                                   path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=2e-5)
+    # Zero-sum constraint holds along the whole resumed path.
+    assert np.abs(np.asarray(res.coef).sum(axis=1)).max() < 1e-3
+    # A different constraint matrix refuses to resume.
+    ck3 = str(tmp_path / "cl3.npz")
+    checkpointed_constrained_lasso_path(
+        X, y, C, lambdas=lams, checkpoint=ck3, chunk_size=3,
+        _stop_after_chunks=1)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_constrained_lasso_path(
+            X, y, 2.0 * C, lambdas=lams, checkpoint=ck3, chunk_size=3)
+
+
+def test_relaxed_lasso_crash_and_resume_identical(tmp_path):
+    from admm_tpu.diag.checkpoint import checkpointed_relaxed_lasso_path
+    from admm_tpu.models.relaxed import relaxed_lasso_path
+
+    X, y = _problem()
+    lams = np.geomspace(0.4, 0.02, 9)
+    ck = str(tmp_path / "rl.npz")
+    out = checkpointed_relaxed_lasso_path(X, y, lambdas=lams,
+                                          checkpoint=ck, chunk_size=4,
+                                          _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_relaxed_lasso_path(X, y, lambdas=lams,
+                                          checkpoint=ck, chunk_size=4)
+    full = checkpointed_relaxed_lasso_path(
+        X, y, lambdas=lams, checkpoint=str(tmp_path / "rl2.npz"),
+        chunk_size=4)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    np.testing.assert_array_equal(np.asarray(res.refit_coef),
+                                  np.asarray(full.refit_coef))
+    plain = relaxed_lasso_path(X, y, lambdas=lams)
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=2e-4)
+    # gamma = 1 lane reproduces the lasso lane of the plain fit.
+    np.testing.assert_allclose(np.asarray(res.coef[-1]),
+                               np.asarray(res.fit.coef), atol=1e-6)
+
+
+def test_rpca_crash_and_resume_identical(tmp_path):
+    from admm_tpu.diag.checkpoint import checkpointed_rpca_path
+    from admm_tpu.models.rpca import rpca_path
+
+    rng = np.random.default_rng(21)
+    L0 = rng.normal(size=(40, 3)) @ rng.normal(size=(3, 30))
+    S0 = np.zeros((40, 30))
+    idx = rng.uniform(size=(40, 30)) < 0.08
+    S0[idx] = 8 * rng.choice([-1.0, 1.0], size=idx.sum())
+    M = L0 + S0
+    lams = np.geomspace(3, 1 / 3, 6) / np.sqrt(40)
+    ck = str(tmp_path / "rp.npz")
+    out = checkpointed_rpca_path(M, lambdas=lams, checkpoint=ck,
+                                 chunk_size=2, _stop_after_chunks=1,
+                                 maxit=2000)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_rpca_path(M, lambdas=lams, checkpoint=ck,
+                                 chunk_size=2, maxit=2000)
+    full = checkpointed_rpca_path(M, lambdas=lams,
+                                  checkpoint=str(tmp_path / "rp2.npz"),
+                                  chunk_size=2, maxit=2000)
+    np.testing.assert_array_equal(np.asarray(res.low_rank),
+                                  np.asarray(full.low_rank))
+    np.testing.assert_array_equal(np.asarray(res.sparse),
+                                  np.asarray(full.sparse))
+    plain = rpca_path(M, lambdas=lams, maxit=2000)
+    np.testing.assert_allclose(np.asarray(res.low_rank),
+                               np.asarray(plain.low_rank), atol=1e-4)
+    # Partial-SVT variant checkpoints too (warm basis in the state).
+    # rank= must upper-bound the SOLUTION rank, so test on the
+    # lam <= lam* slice of the grid where the plant (rank 3) is the
+    # solution — above lam* the sparse part empties and L approaches
+    # the (full-rank) data matrix; far below lam* the solve itself is
+    # degenerate (both solvers run to maxit).
+    star = 1.0 / np.sqrt(40)
+    lo = lams[(lams <= star + 1e-12) & (lams >= 0.6 * star)]
+    ck4 = str(tmp_path / "rp4.npz")
+    part = checkpointed_rpca_path(M, lambdas=lo, checkpoint=ck4,
+                                  chunk_size=2, rank=3, maxit=20000)
+    plain_lo = rpca_path(M, lambdas=lo, maxit=20000)
+    np.testing.assert_allclose(np.asarray(part.low_rank),
+                               np.asarray(plain_lo.low_rank), atol=1e-3)

@@ -1,10 +1,12 @@
 """Robust PCA (principal component pursuit): exact-recovery oracle,
-objective optimality, and structural properties."""
+objective optimality, structural properties, the masked / partial-SVT
+variants, the lambda path and the entry-holdout CV."""
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from admm_tpu.models.rpca import rpca, svt
+from admm_tpu.models.rpca import (cv_rpca, rpca, rpca_path, svt,
+                                  svt_partial)
 
 
 def _planted(m=60, n=50, r=3, frac=0.08, seed=0, amp=10.0):
@@ -82,6 +84,107 @@ def test_trace_and_validation():
     assert res.trace.shape == (30, 5)
     with pytest.raises(ValueError, match="2-D"):
         rpca(np.ones(5))
+
+
+def test_partial_svt_matches_exact_svt():
+    """The subspace-iteration SVT equals the exact SVT whenever the
+    basis upper-bounds the post-threshold rank (here: planted rank 3,
+    generous threshold)."""
+    rng = np.random.default_rng(6)
+    A = (rng.normal(size=(40, 4)) @ rng.normal(size=(4, 30))
+         + 1e-3 * rng.normal(size=(40, 30)))
+    tau = 0.5
+    exact = np.asarray(svt(jnp.asarray(A), tau))
+    V0 = np.linalg.qr(rng.normal(size=(30, 10)))[0]
+    part, Vn = svt_partial(jnp.asarray(A), tau, jnp.asarray(V0),
+                           power_iters=4)
+    assert np.abs(np.asarray(part) - exact).max() < 1e-6
+    assert Vn.shape == (30, 10)
+
+
+def test_partial_rank_solver_matches_exact():
+    """rpca(rank=r) recovers the same planted decomposition as the
+    exact-SVD solver."""
+    L0, S0, M = _planted(seed=7)
+    res = rpca(M, rank=3, dtype=jnp.float64, eps_abs=1e-9, eps_rel=1e-9)
+    assert np.abs(np.asarray(res.low_rank) - L0).max() \
+        / np.abs(L0).max() < 1e-5
+    assert np.abs(np.asarray(res.sparse) - S0).max() \
+        / np.abs(S0).max() < 1e-5
+
+
+def test_masked_rpca_recovers_offmask():
+    """PCP with missing entries (paper sec. 1.6): fit on 75% of the
+    entries, the low-rank part extends EXACTLY to the unobserved 25%
+    (sparse is zero off-mask by construction)."""
+    L0, S0, M = _planted(m=80, n=60, r=2, frac=0.05, seed=8)
+    rng = np.random.default_rng(9)
+    obs = rng.uniform(size=M.shape) < 0.75
+    res = rpca(M, observed=obs, dtype=jnp.float64, eps_abs=1e-9,
+               eps_rel=1e-9, maxit=20000)
+    L = np.asarray(res.low_rank)
+    assert np.abs(L - L0).max() / np.abs(L0).max() < 1e-4
+    assert np.abs(np.asarray(res.sparse)[~obs]).max() == 0.0
+    # Full-mask masked solve == the plain solver (same program).
+    r_full = rpca(M, observed=np.ones_like(obs), dtype=jnp.float64,
+                  eps_abs=1e-9, eps_rel=1e-9)
+    r_plain = rpca(M, dtype=jnp.float64, eps_abs=1e-9, eps_rel=1e-9)
+    assert np.abs(np.asarray(r_full.low_rank)
+                  - np.asarray(r_plain.low_rank)).max() < 1e-7
+
+
+def test_rpca_path_warm_scan_matches_single_solves():
+    """The warm-started lambda scan equals independent single solves,
+    and sparsity decreases along increasing lambda."""
+    L0, S0, M = _planted(seed=10)
+    path = rpca_path(M, nlambda=4, dtype=jnp.float64, eps_abs=1e-9,
+                     eps_rel=1e-9)
+    assert np.all(np.diff(np.asarray(path.lambdas)) < 0)
+    nnz = np.asarray(path.nnz)
+    assert nnz[0] <= nnz[-1]          # larger lam -> sparser S
+    for i in (0, 2):
+        single = rpca(M, lam=float(path.lambdas[i]), dtype=jnp.float64,
+                      eps_abs=1e-9, eps_rel=1e-9)
+        assert np.abs(np.asarray(path.low_rank[i])
+                      - np.asarray(single.low_rank)).max() < 1e-6
+    # Rank accessor matches numpy's.
+    for i in range(4):
+        np_rank = np.linalg.matrix_rank(np.asarray(path.low_rank[i]))
+        assert int(path.rank[i]) == np_rank
+
+
+def test_cv_rpca_selects_near_universal_lambda():
+    """On planted data the CV curve is finite and the selected lambda
+    sits within the grid; held-out low-rank error at lambda_min beats
+    the grid's worst point."""
+    L0, S0, M = _planted(m=70, n=60, r=2, frac=0.06, seed=11)
+    cv = cv_rpca(M, nlambda=5, nfolds=4, seed=3, dtype=jnp.float64,
+                 eps_abs=1e-8, eps_rel=1e-7)
+    assert np.all(np.isfinite(cv.cvm)) and np.all(np.isfinite(cv.cvsd))
+    assert cv.lambda_min in set(np.asarray(cv.lambdas).tolist())
+    assert cv.lambda_1se >= cv.lambda_min
+    assert cv.cvm.min() < cv.cvm.max()
+    # foldid covers exactly the observed entries.
+    assert (cv.foldid >= 0).all()
+    assert cv.fit.low_rank.shape == (5, 70, 60)
+    with pytest.raises(ValueError, match="score"):
+        cv_rpca(M, score="nope")
+    # mse scoring runs too.
+    cv2 = cv_rpca(M, nlambda=3, nfolds=3, score="mse",
+                  dtype=jnp.float64, eps_abs=1e-7, eps_rel=1e-6)
+    assert np.all(np.isfinite(cv2.cvm))
+
+
+def test_matrix_completion_trace():
+    from admm_tpu.models.rpca import matrix_complete
+
+    rng = np.random.default_rng(12)
+    L0 = rng.normal(size=(30, 3)) @ rng.normal(size=(3, 25))
+    mask = rng.uniform(size=(30, 25)) < 0.6
+    L, niter, buf = matrix_complete(np.where(mask, L0, 0.0), mask,
+                                    trace_len=20, maxit=100)
+    assert buf.shape == (20, 5)
+    assert np.isfinite(np.asarray(buf)[0]).all()
 
 
 def test_matrix_completion_exact():
