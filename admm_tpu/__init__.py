@@ -48,6 +48,9 @@ from .models.genlasso import (difference_matrix, difference_matrix_2d,
                               fused_lasso_path, gen_lasso_path)
 from .models.grouplasso import group_lasso_path
 from .models.lad import quantile_fit
+from .models.quantile import (cv_quantile_lasso_path, pinball_loss,
+                              quantile_lasso_path)
+from .models.rpca import cv_rpca, rpca_path
 from .models.multinomial import multinomial_lasso_path
 from .models.cox import cox_lasso_path, cv_cox_path, survfit_cox
 from .models.multitask import multitask_lasso_path
@@ -105,6 +108,8 @@ __all__ = [
     "glasso_path", "cv_glasso_path", "empirical_covariance",
     "partial_correlations",
     "svm_fit", "svm_path", "cv_svm_path", "rpca", "matrix_complete",
+    "rpca_path", "cv_rpca",
+    "quantile_lasso_path", "cv_quantile_lasso_path", "pinball_loss",
     "slope_path", "bh_sequence", "cv_slope_path",
     "constrained_lasso_path", "zerosum_lasso_path", "sqrt_lasso_path",
     "cv_sqrt_lasso_path", "cv_constrained_lasso_path",

@@ -72,11 +72,18 @@ def l2_prox(v, tau):
     return scale * v
 
 
-def _sqrt_ops(Xs, ys, Minv, n, p) -> ProblemOps:
-    """z and the dual are single (n + p,) vectors — the residual block
-    z[:n] and the coefficient block z[n:] (the engine's dual ascent
-    adds rho * r elementwise, so the stacked representation is the
-    natural one)."""
+def _stacked_ops(Xs, ys, Minv, n, p, prox_r, prox_w) -> ProblemOps:
+    """Generic stacked-splitting ops — ``A = [-X; I]``, ``z = [r; w]``,
+    ``c = [-y; 0]``, ``f(b) = 0``, ``g(z) = loss(r) + penalty(w)`` —
+    shared by the sqrt-lasso (l2-norm loss) and the penalized quantile
+    regression (check loss, models/quantile.py).  z and the dual are
+    single (n + p,) vectors: the residual block z[:n] and the
+    coefficient block z[n:] (the engine's dual ascent adds rho * r
+    elementwise, so the stacked representation is the natural one).
+
+    ``prox_r(st, vr)`` / ``prox_w(st, vw)`` are the two block proxes at
+    penalty parameter ``st.rho`` (they read st.lam / st.aux for their
+    scales)."""
     def next_x(st):
         # argmin rho/2 || A b - z - c + y/rho ||^2 with A = [-X; I],
         # c = [-y; 0]: stationarity A'(A b - z - c + y/rho) = 0 gives
@@ -92,9 +99,7 @@ def _sqrt_ops(Xs, ys, Minv, n, p) -> ProblemOps:
         ur, uw = st.adj_y[:n], st.adj_y[n:]
         vr = ys - Ax + ur / st.rho          # prox target for r
         vw = x_new + uw / st.rho
-        zr = l2_prox(vr, 1.0 / st.rho)
-        zw = soft_threshold(vw, st.lam / st.rho)
-        return jnp.concatenate([zr, zw]), Ax
+        return jnp.concatenate([prox_r(st, vr), prox_w(st, vw)]), Ax
 
     def primal_residual(st, x, z, aux):
         # A x - z - c with A = [-X; I], c = [-y; 0]:
@@ -125,6 +130,15 @@ def _sqrt_ops(Xs, ys, Minv, n, p) -> ProblemOps:
         combined_extra=combined_extra,
         dim_main=p, dim_dual=n + p,
     )
+
+
+def _sqrt_ops(Xs, ys, Minv, n, p) -> ProblemOps:
+    """The sqrt-lasso's stacked ops: block shrinkage (the l2-norm prox)
+    on the residual, soft threshold on the coefficients."""
+    return _stacked_ops(
+        Xs, ys, Minv, n, p,
+        prox_r=lambda st, vr: l2_prox(vr, 1.0 / st.rho),
+        prox_w=lambda st, vw: soft_threshold(vw, st.lam / st.rho))
 
 
 def _sqrt_auto_rho(ys, n, dtype):
