@@ -69,7 +69,9 @@ from .predict import coef, predict
 from .assess import assess, c_index, confusion, roc
 from .glmnet import big_glm, cv_glmnet, glmnet
 from .summary import deviance, format_path_table, path_table
-from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
+from .parallel.consensus import (parallel_bp_fit,
+                                 parallel_constrained_lasso_path,
+                                 parallel_enet_path,
                                  parallel_glm_lasso_path,
                                  parallel_group_lasso_path,
                                  parallel_huber_lasso_path,
@@ -78,7 +80,8 @@ from .parallel.consensus import (parallel_bp_fit, parallel_enet_path,
                                  parallel_multinomial_lasso_path,
                                  parallel_multitask_lasso_path,
                                  parallel_poisson_lasso_path,
-                                 parallel_slope_path)
+                                 parallel_slope_path,
+                                 parallel_zerosum_lasso_path)
 
 __version__ = "0.1.0"
 
@@ -118,6 +121,7 @@ __all__ = [
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",
     "parallel_group_lasso_path", "parallel_bp_fit",
-    "parallel_slope_path",
+    "parallel_slope_path", "parallel_constrained_lasso_path",
+    "parallel_zerosum_lasso_path",
     "__version__",
 ]

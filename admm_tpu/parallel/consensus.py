@@ -72,7 +72,7 @@ from jax import shard_map
 from ..core.prox import soft_threshold
 from ..data.standardize import recover
 from ..data.standardize import standardize as standardize_data
-from ..linalg import chol_inverse, dot
+from ..linalg import chol_inverse, dot, gram
 from ..models.bp import BPResult
 from ..models.lasso import PathResult
 from .mesh import make_mesh
@@ -843,6 +843,116 @@ def parallel_enet_path(X, y, *, alpha: float = 1.0, **kw) -> PathResult:
     ``admm_parenet``).  ``alpha=1`` reduces exactly to
     :func:`parallel_lasso_path`."""
     return parallel_lasso_path(X, y, alpha=alpha, _enet_scale=True, **kw)
+
+
+def _conlasso_x_update_maker(C, d):
+    """Per-worker EQUALITY-CONSTRAINED ridge solves for the consensus
+    constrained lasso: each worker's x-update is the block-eliminated
+    KKT system of models/conlasso.py (cached ``(A_i'A_i + rho I)^{-1}``
+    plus the m x m dual Schur complement per worker), so every worker
+    iterate satisfies ``C x_i = d`` exactly and the consensus mean
+    inherits feasibility; the master prox stays the plain soft
+    threshold."""
+    def make(Xi, yi, rho):
+        Wl, rows, p = Xi.shape
+        dtype = Xi.dtype
+        Ab = _bmm("wrp,wr->wp", Xi, yi)
+        eye = jnp.eye(p, dtype=dtype)
+        jit = 1e-6 if dtype == jnp.float32 else 0.0
+        G = _bmm("wrp,wrq->wpq", Xi, Xi) + rho * eye
+        Minv = jax.vmap(lambda A: chol_inverse(A, jitter=jit))(G)
+        MCt = _bmm("wpq,mq->wpm", Minv, C)
+        S = _bmm("mp,wpk->wmk", C, MCt)
+        Sinv = jax.vmap(lambda A: chol_inverse(A, jitter=jit))(S)
+
+        def x_update(z, y, rho, x_prev):
+            rhs = Ab - y + rho * z[None, :]
+            Mr = _bmm("wpq,wq->wp", Minv, rhs)
+            nu = _bmm("wmk,wk->wm",
+                      Sinv, _bmm("mp,wp->wm", C, Mr) - d[None, :])
+            return Mr - _bmm("wpm,wm->wp", MCt, nu)
+
+        return x_update
+
+    return make
+
+
+def parallel_constrained_lasso_path(
+        X, y, C, d=None, *, nworkers: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
+        lambdas: Optional[jnp.ndarray] = None, nlambda: int = 50,
+        lambda_min_ratio: float = 1e-3, intercept: bool = True,
+        maxit: int = 10000, eps_abs: float = 1e-5,
+        eps_rel: float = 1e-5, rho: float = -1.0,
+        weights: Optional[jnp.ndarray] = None,
+        trace_len: Optional[int] = None,
+        dtype=jnp.float32) -> PathResult:
+    """Consensus equality-CONSTRAINED lasso path (extension — VERDICT
+    r4 item 9): row blocks solve constrained ridge subproblems (every
+    worker iterate exactly feasible), one fused psum per iteration, the
+    plain soft-threshold master prox.  Arguments as in
+    :func:`admm_tpu.models.conlasso.constrained_lasso_path` plus the
+    consensus ``nworkers``/``mesh``.  The reported coefficients are
+    the consensus z, so ``C b = d`` holds to solver tolerance (tighten
+    eps to tighten it) — the serial driver's contract."""
+    from ..models.genlasso import center_weight
+
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    C = jnp.atleast_2d(jnp.asarray(C, dtype))
+    n, p = X.shape
+    if C.shape[1] != p:
+        raise ValueError("C must be (m, ncol(x))")
+    if C.shape[0] >= p:
+        raise ValueError("need fewer constraints than coefficients")
+    d = (jnp.zeros((C.shape[0],), dtype) if d is None
+         else jnp.asarray(d, dtype).ravel())
+    if d.shape != (C.shape[0],):
+        raise ValueError("d must have one entry per constraint row")
+    W, mesh, axis, D = _resolve_mesh(nworkers, mesh)
+    w = None if weights is None else jnp.asarray(weights, dtype)
+    Xs, ys, mean_x, mean_y = center_weight(X, y, w, intercept)
+
+    if lambdas is not None:
+        lams = jnp.sort(jnp.atleast_1d(
+            jnp.asarray(lambdas, dtype)))[::-1]
+    else:
+        # The serial driver's feasible-certificate grid top
+        # (models/conlasso.py::_conlasso_path_dev).
+        g = dot(Xs.T, ys)
+        nu_ls = dot(chol_inverse(
+            gram(C.T), jitter=1e-6 if dtype == jnp.float32 else 1e-12),
+            dot(C, g))
+        lam0 = jnp.max(jnp.abs(g - dot(C.T, nu_ls))) / n
+        lam0 = jnp.where(jnp.isfinite(lam0) & (lam0 > 0), lam0,
+                         jnp.max(jnp.abs(g)) / n)
+        lams = jnp.exp(jnp.linspace(
+            jnp.log(lam0), jnp.log(lambda_min_ratio * lam0),
+            int(nlambda)))
+    ilams = lams * n
+
+    Xb, yb, rows_w = _partition_rows(Xs, ys, W)
+    trace_len = None if trace_len is None else int(trace_len)
+    solver = partial(_consensus_shard, nworkers=W,
+                     make_x_update=_conlasso_x_update_maker(C, d),
+                     master_prox=_lasso_master_prox(W),
+                     auto_rho=lambda lam_first: lam_first / W,
+                     trace_len=trace_len)
+    out = _run_consensus(Xb, yb, ilams, rho, maxit, eps_abs, eps_rel,
+                         mesh=mesh, axis=axis, D=D, solver=solver,
+                         traced=trace_len is not None)
+    coefs, niter = out[0], out[1]
+    traces = out[3] if trace_len is not None else None
+    beta0 = mean_y - coefs @ mean_x
+    return PathResult(lambdas=lams, beta0=beta0, coef=coefs,
+                      niter=niter, trace=traces)
+
+
+def parallel_zerosum_lasso_path(X, y, **kw) -> PathResult:
+    """Consensus zero-sum lasso (``sum_j b_j = 0``) — the constrained
+    consensus path at C = 1'."""
+    p = np.asarray(X).shape[1]
+    return parallel_constrained_lasso_path(X, y, np.ones((1, p)), **kw)
 
 
 def parallel_bp_fit(A, b, *, nworkers: Optional[int] = None,

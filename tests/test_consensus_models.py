@@ -350,3 +350,44 @@ def test_consensus_multitask_elasticnet_matches_serial():
                                np.asarray(ser.coef), atol=2e-3)
     np.testing.assert_allclose(np.asarray(par.beta0),
                                np.asarray(ser.beta0), atol=2e-3)
+
+
+def test_parallel_constrained_lasso_matches_serial():
+    """Consensus constrained lasso (per-worker KKT-constrained ridge
+    solves, plain soft-threshold master) agrees with the serial
+    block-eliminated engine on the 8-device mesh, and the consensus
+    iterate honors the constraint."""
+    from admm_tpu.models.conlasso import constrained_lasso_path
+    from admm_tpu.parallel.consensus import (
+        parallel_constrained_lasso_path, parallel_zerosum_lasso_path)
+
+    rng = np.random.default_rng(17)
+    n, p = 240, 12
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:4] = [1.5, -1.0, 0.8, -1.3]
+    y = X @ b + 0.3 * rng.normal(size=n)
+    C = np.ones((1, p))
+    lams = np.array([0.15, 0.05, 0.01])
+    par = parallel_constrained_lasso_path(X, y, C, lambdas=lams,
+                                          nworkers=8, eps_abs=1e-7,
+                                          eps_rel=1e-7)
+    ser = constrained_lasso_path(X, y, C, lambdas=lams, eps_abs=1e-7,
+                                 eps_rel=1e-7)
+    gap = np.abs(np.asarray(par.coef) - np.asarray(ser.coef)).max()
+    assert gap < 2e-3, gap
+    # Zero-sum constraint on the consensus iterate (to tolerance).
+    assert np.abs(np.asarray(par.coef).sum(axis=1)).max() < 1e-4
+    # The zero-sum shorthand is the same path.
+    zs = parallel_zerosum_lasso_path(X, y, lambdas=lams, nworkers=4,
+                                     eps_abs=1e-7, eps_rel=1e-7)
+    assert np.abs(np.asarray(zs.coef)
+                  - np.asarray(par.coef)).max() < 2e-3
+    # Nonzero right-hand side and the auto grid both run.
+    d = np.array([2.0])
+    pd = parallel_constrained_lasso_path(X, y, C, d, nlambda=4,
+                                         nworkers=4)
+    assert np.abs(np.asarray(pd.coef).sum(axis=1) - 2.0).max() < 1e-3
+    with pytest.raises(ValueError, match="fewer constraints"):
+        parallel_constrained_lasso_path(X, y, np.ones((p, p)),
+                                        lambdas=lams)

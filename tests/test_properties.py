@@ -171,3 +171,154 @@ def test_quantile_kkt_subgradient():
         assert pinball(b0, coef - e) >= base - 1e-4 * n * h
     assert pinball(b0 + h, coef) >= base - 1e-4 * n * h
     assert pinball(b0 - h, coef) >= base - 1e-4 * n * h
+
+
+# ---------------------------------------------------------------------------
+# Round-4/5 prox operators (VERDICT r4 item 8): sorted-l1, SVT,
+# hinge / squared hinge, block shrinkage, asymmetric soft threshold.
+# ---------------------------------------------------------------------------
+
+sorted_vec = hnp.arrays(np.float64, st.integers(1, 25),
+                        elements=st.floats(-50, 50, allow_nan=False,
+                                           allow_infinity=False))
+
+
+def _prox_objective(w, v, J):
+    return 0.5 * np.sum((w - v) ** 2) + J(w)
+
+
+@settings(max_examples=50, deadline=None)
+@given(sorted_vec, st.floats(0.01, 5.0), st.integers(0, 10 ** 6))
+def test_prox_sorted_l1_properties(v, scale, seed):
+    """Sorted-l1 prox: exact agreement with the independent sklearn
+    PAVA construction, prox optimality against random competitors,
+    permutation/sign equivariance, nonexpansiveness."""
+    from sklearn.isotonic import isotonic_regression
+
+    from admm_tpu.models.slope import prox_sorted_l1
+
+    rng = np.random.default_rng(seed)
+    p = v.shape[0]
+    lam = np.sort(rng.uniform(0.0, scale, size=p))[::-1]
+    lam[0] = max(lam[0], 1e-3)
+
+    def J(w):
+        return np.sum(lam * np.sort(np.abs(w))[::-1])
+
+    w = np.asarray(prox_sorted_l1(jnp.asarray(v), jnp.asarray(lam)))
+    # Independent PAVA oracle.
+    a = np.abs(v)
+    o = np.argsort(-a, kind="stable")
+    iso = np.maximum(isotonic_regression(a[o] - lam, increasing=False),
+                     0.0)
+    ref = np.zeros_like(v)
+    ref[o] = iso
+    ref *= np.sign(v)
+    np.testing.assert_allclose(w, ref, rtol=1e-8, atol=1e-8)
+    # Prox optimality: no random competitor does better.
+    f_w = _prox_objective(w, v, J)
+    for _ in range(5):
+        cand = w + rng.normal(scale=0.3, size=p)
+        assert f_w <= _prox_objective(cand, v, J) + 1e-9
+    # Permutation and sign equivariance (the norm is symmetric).
+    perm = rng.permutation(p)
+    sgn = rng.choice([-1.0, 1.0], size=p)
+    w2 = np.asarray(prox_sorted_l1(jnp.asarray(sgn * v[perm]),
+                                   jnp.asarray(lam)))
+    np.testing.assert_allclose(w2, sgn * w[perm], rtol=1e-8, atol=1e-8)
+    # Nonexpansiveness.
+    u = v + rng.normal(scale=0.5, size=p)
+    wu = np.asarray(prox_sorted_l1(jnp.asarray(u), jnp.asarray(lam)))
+    assert np.linalg.norm(wu - w) <= np.linalg.norm(u - v) + 1e-8
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(2, 10), st.integers(2, 10), st.floats(0.05, 3.0),
+       st.integers(0, 10 ** 6))
+def test_svt_properties(m, n, tau, seed):
+    """SVT: prox optimality for the nuclear norm against random
+    competitors, left/right unitary equivariance, nonexpansiveness."""
+    from scipy.stats import ortho_group
+
+    from admm_tpu.models.rpca import svt
+
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(m, n))
+
+    def J(W):
+        return tau * np.linalg.svd(W, compute_uv=False).sum()
+
+    Z = np.asarray(svt(jnp.asarray(A), tau))
+    f_Z = _prox_objective(Z, A, J)
+    for _ in range(5):
+        cand = Z + rng.normal(scale=0.2, size=(m, n))
+        assert f_Z <= _prox_objective(cand, A, J) + 1e-8
+    # Unitary equivariance: svt(U A V') = U svt(A) V'.
+    U = ortho_group.rvs(m, random_state=int(seed % 2 ** 31))
+    V = ortho_group.rvs(n, random_state=int(seed % 2 ** 31) + 1)
+    Z2 = np.asarray(svt(jnp.asarray(U @ A @ V.T), tau))
+    np.testing.assert_allclose(Z2, U @ Z @ V.T, rtol=1e-5, atol=1e-6)
+    # Nonexpansiveness.
+    B = A + rng.normal(scale=0.3, size=(m, n))
+    ZB = np.asarray(svt(jnp.asarray(B), tau))
+    assert (np.linalg.norm(ZB - Z) <= np.linalg.norm(B - A) + 1e-7)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vec, pos)
+def test_hinge_proxes_are_proxes(v, scale):
+    """Hinge and squared-hinge proxes: closed forms minimize their
+    defining objectives against dense grids of competitors."""
+    from admm_tpu.models.svm import hinge_prox, sq_hinge_prox
+
+    grid = np.linspace(-3, 3, 601)
+
+    def check(prox, loss):
+        z = np.asarray(prox(jnp.asarray(v.astype(np.float64)),
+                            np.float64(scale)))
+        for i in range(min(v.shape[0], 5)):
+            obj = loss(grid) * scale + 0.5 * (grid - v[i]) ** 2
+            f_z = loss(z[i]) * scale + 0.5 * (z[i] - v[i]) ** 2
+            assert f_z <= obj.min() + 1e-4
+
+    check(hinge_prox, lambda z: np.maximum(0.0, 1.0 - z))
+    check(sq_hinge_prox, lambda z: np.maximum(0.0, 1.0 - z) ** 2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vec, pos)
+def test_l2_prox_moreau_identity(v, tau):
+    """Block shrinkage: prox of tau||.||_2 satisfies the EXACT Moreau
+    decomposition v = prox(v) + proj_{tau-ball}(v) (the dual of the l2
+    norm is the indicator of the l2 ball)."""
+    from admm_tpu.models.sqrtlasso import l2_prox
+
+    z = np.asarray(l2_prox(jnp.asarray(v.astype(np.float64)), np.float64(tau)))
+    nv = np.linalg.norm(v)
+    proj = v if nv <= tau else v * (tau / nv)
+    np.testing.assert_allclose(z + proj, v, rtol=1e-7, atol=1e-7)
+
+
+@settings(max_examples=60, deadline=None)
+@given(vec, pos, pos)
+def test_asym_soft_threshold_is_check_loss_prox(v, tp, tn):
+    """The quantile r-prox minimizes its defining objective; with
+    t_pos == t_neg it is the ordinary soft threshold."""
+    from admm_tpu.models.lad import _asym_soft_threshold
+
+    z = np.asarray(_asym_soft_threshold(jnp.asarray(v.astype(np.float64)),
+                                        np.float64(tp), np.float64(tn)))
+    grid = np.linspace(-4, 4, 801)
+
+    def loss(r):
+        return tp * np.maximum(r, 0.0) + tn * np.maximum(-r, 0.0)
+
+    for i in range(min(v.shape[0], 5)):
+        f_z = loss(z[i]) + 0.5 * (z[i] - v[i]) ** 2
+        assert f_z <= (loss(grid) + 0.5 * (grid - v[i]) ** 2).min() + 1e-4
+    sym = np.asarray(_asym_soft_threshold(jnp.asarray(v.astype(np.float64)),
+                                          np.float64(tp), np.float64(tp)))
+    np.testing.assert_allclose(
+        sym, np.asarray(soft_threshold(jnp.asarray(v.astype(np.float64)),
+                                       np.float64(tp))),
+        rtol=1e-7, atol=1e-7)

@@ -216,3 +216,25 @@ def test_group_and_genlasso_data_mesh_agreement():
     bg = gen_lasso_path(X, y, D, nlambda=5)
     np.testing.assert_allclose(np.asarray(ag.coef),
                                np.asarray(bg.coef), atol=1e-5)
+
+
+def test_sharded_sqrt_lasso_matches_replicated():
+    """sqrt_lasso_path(data_mesh=...): the concomitant alternation's
+    data reductions (moments, Gram, X'y, the sigma residual norm)
+    distribute over the row-sharded mesh; results match replicated
+    execution."""
+    from admm_tpu.models.sqrtlasso import sqrt_lasso_path
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(256, 12)).astype(np.float32)
+    b = np.zeros(12, np.float32)
+    b[:3] = [2.0, -1.0, 0.5]
+    y = X @ b + 0.5 * rng.normal(size=256).astype(np.float32)
+    rep = sqrt_lasso_path(X, y, nlambda=5)
+    shd = sqrt_lasso_path(X, y, nlambda=5, data_mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(shd.coef),
+                               np.asarray(rep.coef), atol=2e-4)
+    # Reduction order shifts the inner counters by a few (the sigma
+    # alternation compounds the usual +-1); totals stay close.
+    assert abs(int(np.asarray(shd.niter).sum())
+               - int(np.asarray(rep.niter).sum())) <= 10
