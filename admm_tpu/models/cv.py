@@ -65,6 +65,31 @@ def binomial_deviance(eta, y):
     return 2.0 * (np.logaddexp(0.0, eta) - y[None, :] * eta)
 
 
+@partial(jax.jit, static_argnames=("kind",))
+def _score_reduce_dev(eta, y, ws, n_sc, kind):
+    """Device-side cvm/cvsd reduction for the one-pass sweep.
+
+    Round-5 roofline finding (DESIGN.md "Roofline"): the fold sweep's
+    device compute is ~9 ms at ~100% of the matmul ceiling on the
+    flagship CV row, and the remaining ~200 ms of the round-4 number
+    was the HOST LINK shipping the (n, nlambda) eta matrix for numpy
+    scoring.  For the standard per-observation measures the weighted
+    mean/sd reduce on device (glmnet's exact formulas, two-pass for
+    the sd) and only two (nlambda,) vectors cross the link.  ``ws`` is
+    the scoring weight vector (0 on unscored rows)."""
+    if kind == "mse":
+        err = (eta - y[:, None]) ** 2
+    else:  # "mae"
+        err = jnp.abs(eta - y[:, None])
+    sw = jnp.sum(ws)
+    cvm = (ws @ err) / sw
+    cvsd = jnp.sqrt((ws @ (err - cvm[None, :]) ** 2) / sw
+                    / jnp.maximum(n_sc - 1.0, 1.0))
+    # ONE stacked array = ONE host pull (each blocking transfer pays a
+    # ~30 ms tunnel round trip in this environment).
+    return jnp.stack([cvm, cvsd])
+
+
 def _resolve_measure(type_measure, fam, default_loss):
     """glmnet's ``type.measure`` -> a per-observation ``loss(eta, y)``
     (or the 'auc' sentinel, handled per fold by the caller).
@@ -536,7 +561,12 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
             full = _path_fn(X, y, lambdas, w)
         else:
             full = _path_fn(X, y, lambdas)
-    lams = np.asarray(full.lambdas, np.float64)
+    # The grid is pulled to host LAZILY: the one-pass sweep consumes the
+    # device array directly, so the pull overlaps the sweep's compute
+    # instead of stalling on the full fit (one fewer serialized tunnel
+    # round trip).
+    lams_dev = full.lambdas
+    lams = None
 
     if foldid is None:
         # glmnet: foldid = sample(rep(seq(nfolds), length = N)) — every
@@ -561,6 +591,7 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
         raise ValueError("cv_mode='onepass' needs a one-pass fold "
                          "solver; this CV driver has none — use "
                          "cv_mode='loop'")
+    cvm = cvsd = eta_all = None
     if fold_eta is not None and cv_mode != "loop":
         # ONE compiled program for the whole fold sweep: fold f is the
         # weighted path with weight 0 on its held-out rows; predictions
@@ -570,9 +601,28 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
                  != np.arange(nfolds)[:, None]).astype(np.float64)
         if w is not None:
             masks = masks * w[None, :]
-        eta_all = np.asarray(fold_eta(X, y, lams, masks,
-                                      np.clip(foldid, 0, None)))
+        eta_dev = fold_eta(X, y, lams_dev, masks,
+                           np.clip(foldid, 0, None))
+        # Gaussian mse/mae with keep=False: score ON DEVICE and ship
+        # only the two (nlambda,) curves (see _score_reduce_dev) —
+        # same glmnet formulas, float tolerance vs the host path
+        # (tested).
+        if (not keep and _family is None and _loss_fn is None
+                and type_measure in ("default", None, "mse", "mae")):
+            dt = eta_dev.dtype
+            ws_np = (foldid >= 0).astype(np.float64)
+            if w is not None:
+                ws_np = ws_np * w
+            curves = np.asarray(_score_reduce_dev(
+                eta_dev, jnp.asarray(y, dt), jnp.asarray(ws_np, dt),
+                jnp.asarray(float((foldid >= 0).sum()), dt),
+                "mae" if type_measure == "mae" else "mse"), np.float64)
+            cvm, cvsd = curves[0], curves[1]
+        else:
+            eta_all = np.asarray(eta_dev)
+        lams = np.asarray(lams_dev, np.float64)
     else:
+        lams = np.asarray(lams_dev, np.float64)
         if w is not None and not (is_default_path
                                   or _fold_eta_fn is not None):
             raise ValueError("weighted CV is not supported for this "
@@ -589,7 +639,9 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
 
     scored = foldid >= 0
     n_sc = int(scored.sum())
-    if loss == "auc":
+    if cvm is not None:
+        pass  # scored on device above (one-pass gaussian mse/mae)
+    elif loss == "auc":
         # Per-FOLD measure (glmnet): cvraw is (nfolds, L) fold AUCs
         # aggregated with fold sample weights, and "better" is LARGER.
         cvraw, fold_w = _fold_auc(eta_all, y, foldid, nfolds, w)
