@@ -972,6 +972,84 @@ def checkpointed_relaxed_lasso_path(
                              refit_coef=refit_coef)
 
 
+def checkpointed_quantile_lasso_path(
+        X, y, *, lambdas, checkpoint: str, chunk_size: int = 10,
+        tau=0.5, standardize: bool = True, intercept: bool = True,
+        weights=None, maxit: int = 20000, eps_abs: float = 1e-6,
+        eps_rel: float = 1e-6, rho: float = -1.0, dtype=jnp.float32,
+        _stop_after_chunks: Optional[int] = None):
+    """Penalized quantile (tau x lambda) grid in resumable chunks — the
+    warm-started per-tau scans advance together over lambda chunks
+    (every tau's FADMM state is a lane of the saved pytree; tau rides
+    state.aux as in the one-shot driver).  The tau grid and weights
+    enter the fingerprint; the shared explicit lambda grid is the
+    checkpoint-driver convention."""
+    from ..core.engine import make_fadmm_solver, make_state, warm_start
+    from ..models.quantile import (QuantilePathResult, _quantile_ops,
+                                   _quantile_prepare, _quantile_setup)
+
+    chunk_size, lambdas = _validate_chunking(chunk_size, lambdas)
+    X = jnp.asarray(X, dtype)
+    y = jnp.asarray(y, dtype)
+    n, p = X.shape
+    taus = jnp.atleast_1d(jnp.asarray(tau, dtype))
+    t_np = np.asarray(taus, np.float64)
+    if np.any(t_np <= 0) or np.any(t_np >= 1):
+        raise ValueError("tau values must be in (0, 1)")
+    T = taus.shape[0]
+    w = None if weights is None else jnp.asarray(weights, dtype)
+    Xs, ys, wrow, sd_x, sd_y, mean_x, mean_y = _quantile_prepare(
+        X, y, w, standardize_x=standardize, intercept=intercept)
+    Xa, pf, q, Minv, rho_j = _quantile_setup(Xs, ys, intercept, rho)
+    lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
+    ilams = lams * n / sd_y
+
+    ops = _quantile_ops(Xa, ys, Minv, wrow, pf, n, q)
+    solve = make_fadmm_solver(ops, adapt_rho=False)
+    znq = jnp.zeros((n + q,), dtype)
+    st0 = jax.vmap(lambda t: make_state(
+        jnp.zeros((q,), dtype), znq, znq, rho_j, ilams[0],
+        aux=(t, jnp.zeros((n,), dtype)), dtype=dtype))(taus)
+    fp = _fingerprint(Xa, ys, ilams, 1.0, maxit, eps_abs, eps_rel, rho,
+                      standardize, intercept, False, model="quantile",
+                      extra_arrays=(taus, wrow))
+
+    def _seg(sts, il, m, ea, er):
+        def one_tau(st):
+            def step(st, lam):
+                st = warm_start(st, lam)
+                st = solve(st, m, ea, er)
+                return st, (st.z[n:], st.it)
+
+            return jax.lax.scan(step, st, il)
+
+        sts, (coefs, niter) = jax.vmap(one_tau)(sts)
+        # Leading axis must be the CHUNKED lambda axis for the generic
+        # chunk loop's concatenation.
+        return sts, jnp.swapaxes(coefs, 0, 1), jnp.swapaxes(niter, 0, 1)
+
+    segment = jax.jit(_seg)
+    out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,
+                        fp=fp, checkpoint=checkpoint,
+                        chunk_size=chunk_size,
+                        _stop_after_chunks=_stop_after_chunks)
+    if out is None:
+        return None
+    coefs, niter = out
+    coefs = jnp.swapaxes(coefs, 0, 1)      # (T, L, q)
+    niter = jnp.swapaxes(niter, 0, 1)
+    if intercept:
+        a, slopes = coefs[..., 0], coefs[..., 1:]
+        coef = slopes / sd_x * sd_y
+        beta0 = mean_y + sd_y * a - jnp.sum(coef * mean_x, axis=-1)
+    else:
+        coef = coefs / sd_x * sd_y
+        beta0 = jnp.zeros(coef.shape[:-1], dtype)
+    lam_grid = jnp.broadcast_to(lams[None, :], (T, lams.shape[0]))
+    return QuantilePathResult(taus=taus, lambdas=lam_grid, beta0=beta0,
+                              coef=coef, niter=niter)
+
+
 def checkpointed_rpca_path(
         M, *, lambdas, checkpoint: str, chunk_size: int = 3,
         observed=None, rank: Optional[int] = None, power_iters: int = 2,

@@ -46,7 +46,8 @@ import numpy as np
 from jax import lax
 
 from ..core.engine import (ADMMState, make_batched_solver,
-                           make_fadmm_solver, make_state)
+                           make_fadmm_solver, make_state,
+                           make_traced_solve)
 from ..core.prox import l2norm, soft_threshold, sqnorm
 from ..data.standardize import _guard
 from ..linalg import chol_inverse, dot, gram
@@ -62,6 +63,9 @@ class QuantilePathResult(NamedTuple):
     beta0: jnp.ndarray     # (T, L)
     coef: jnp.ndarray      # (T, L, p)
     niter: jnp.ndarray     # (T, L) int32
+    # (T, L, trace_len, 5) per-iteration residual buffers when tracing
+    # was requested (admm_tpu.diag.trace conventions).
+    trace: Optional[jnp.ndarray] = None
 
 
 def _quantile_prepare(X, y, weights, *, standardize_x, intercept):
@@ -196,10 +200,12 @@ def _cold_lanes(k, q, n, rho, ilams, taus, dtype):
 
 
 @partial(jax.jit, static_argnames=("nlambda", "standardize_x",
-                                   "intercept", "path_mode"))
+                                   "intercept", "path_mode",
+                                   "trace_len"))
 def _quantile_path_dev(X, y, taus, nlambda, lambda_min_ratio, user_lams,
                        rho0, maxit, eps_abs, eps_rel, weights=None, *,
-                       standardize_x, intercept, path_mode):
+                       standardize_x, intercept, path_mode,
+                       trace_len=None):
     n, p = X.shape
     dtype = X.dtype
     Xs, ys, w, sd_x, sd_y, mean_x, mean_y = _quantile_prepare(
@@ -222,6 +228,7 @@ def _quantile_path_dev(X, y, taus, nlambda, lambda_min_ratio, user_lams,
     ilams = lams * n / sd_y
 
     ops = _quantile_ops(Xa, ys, Minv, w, pf, n, q)
+    traces = None
     if path_mode == "batch":
         solve = make_batched_solver(make_fadmm_solver(ops,
                                                       adapt_rho=False))
@@ -233,6 +240,8 @@ def _quantile_path_dev(X, y, taus, nlambda, lambda_min_ratio, user_lams,
         niter = st.it.reshape(T, L)
     else:
         solve = make_fadmm_solver(ops, adapt_rho=False)
+        solve_t = (None if trace_len is None
+                   else make_traced_solve(solve, trace_len))
 
         def one_tau(tau, ilam_row):
             znq = jnp.zeros((n + q,), dtype)
@@ -245,13 +254,17 @@ def _quantile_path_dev(X, y, taus, nlambda, lambda_min_ratio, user_lams,
                 from ..core.engine import warm_start
 
                 st = warm_start(st, il)
-                st = solve(st, maxit, eps_abs, eps_rel)
-                return st, (st.z[n:], st.it)
+                if trace_len is None:
+                    st = solve(st, maxit, eps_abs, eps_rel)
+                    buf = None
+                else:
+                    st, buf = solve_t(st, maxit, eps_abs, eps_rel)
+                return st, (st.z[n:], st.it, buf)
 
-            _, (coefs, niter) = lax.scan(step, st0, ilam_row)
-            return coefs, niter
+            _, (coefs, niter, traces) = lax.scan(step, st0, ilam_row)
+            return coefs, niter, traces
 
-        coefs, niter = jax.vmap(one_tau)(taus, ilams)
+        coefs, niter, traces = jax.vmap(one_tau)(taus, ilams)
 
     if intercept:
         a, slopes = coefs[..., 0], coefs[..., 1:]
@@ -261,7 +274,7 @@ def _quantile_path_dev(X, y, taus, nlambda, lambda_min_ratio, user_lams,
         coef = coefs / sd_x * sd_y
         beta0 = jnp.zeros(coef.shape[:-1], dtype)
     return QuantilePathResult(taus=taus, lambdas=lams, beta0=beta0,
-                              coef=coef, niter=niter)
+                              coef=coef, niter=niter, trace=traces)
 
 
 def quantile_lasso_path(X, y, *, tau=0.5,
@@ -272,6 +285,7 @@ def quantile_lasso_path(X, y, *, tau=0.5,
                         weights=None, maxit: int = 20000,
                         eps_abs: float = 1e-6, eps_rel: float = 1e-6,
                         rho: float = -1.0, path_mode: str = "batch",
+                        trace_len: Optional[int] = None,
                         dtype=jnp.float32) -> QuantilePathResult:
     """Solve l1-penalized quantile-regression paths on device.
 
@@ -293,6 +307,9 @@ def quantile_lasso_path(X, y, *, tau=0.5,
         raise ValueError("tau values must be in (0, 1)")
     if path_mode not in ("batch", "scan"):
         raise ValueError("path_mode must be 'batch' or 'scan'")
+    if trace_len is not None:
+        path_mode = "scan"        # per-(tau, lambda) residual buffers
+        trace_len = int(trace_len)
     lams = (None if lambdas is None
             else jnp.sort(jnp.atleast_1d(
                 jnp.asarray(lambdas, dtype)))[::-1])
@@ -301,7 +318,8 @@ def quantile_lasso_path(X, y, *, tau=0.5,
                               lambda_min_ratio, lams, rho, maxit,
                               eps_abs, eps_rel, w,
                               standardize_x=standardize,
-                              intercept=intercept, path_mode=path_mode)
+                              intercept=intercept, path_mode=path_mode,
+                              trace_len=trace_len)
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept"))

@@ -743,3 +743,41 @@ def test_rpca_crash_and_resume_identical(tmp_path):
     plain_lo = rpca_path(M, lambdas=lo, maxit=20000)
     np.testing.assert_allclose(np.asarray(part.low_rank),
                                np.asarray(plain_lo.low_rank), atol=1e-3)
+
+
+def test_quantile_crash_and_resume_identical(tmp_path):
+    """The tau-lane scan chain persists across chunks: resumed ==
+    uninterrupted bit-exactly, and both match the one-shot scan."""
+    from admm_tpu.diag.checkpoint import checkpointed_quantile_lasso_path
+    from admm_tpu.models.quantile import quantile_lasso_path
+
+    X, y = _problem(n=200, p=12)
+    lams = np.geomspace(0.2, 0.01, 8)
+    taus = np.array([0.3, 0.7])
+    ck = str(tmp_path / "qt.npz")
+    out = checkpointed_quantile_lasso_path(
+        X, y, tau=taus, lambdas=lams, checkpoint=ck, chunk_size=3,
+        _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_quantile_lasso_path(
+        X, y, tau=taus, lambdas=lams, checkpoint=ck, chunk_size=3)
+    full = checkpointed_quantile_lasso_path(
+        X, y, tau=taus, lambdas=lams,
+        checkpoint=str(tmp_path / "qt2.npz"), chunk_size=3)
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    np.testing.assert_array_equal(np.asarray(res.niter),
+                                  np.asarray(full.niter))
+    plain = quantile_lasso_path(X, y, tau=taus, lambdas=lams,
+                                path_mode="scan")
+    assert np.abs(np.asarray(res.coef)
+                  - np.asarray(plain.coef)).max() < 1e-3
+    # A different tau grid refuses to resume.
+    ck3 = str(tmp_path / "qt3.npz")
+    checkpointed_quantile_lasso_path(
+        X, y, tau=taus, lambdas=lams, checkpoint=ck3, chunk_size=3,
+        _stop_after_chunks=1)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_quantile_lasso_path(
+            X, y, tau=np.array([0.25, 0.75]), lambdas=lams,
+            checkpoint=ck3, chunk_size=3)

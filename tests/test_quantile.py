@@ -128,3 +128,11 @@ def test_cv_onepass_matches_loop():
 def test_pinball_loss_definition():
     r = pinball_loss(np.zeros(3), np.array([1.0, -1.0, 0.0]), 0.3)
     np.testing.assert_allclose(r, [0.3, 0.7, 0.0])
+
+
+def test_trace_records_residuals():
+    r = quantile_lasso_path(*_problem(n=120, p=6, seed=6), tau=0.4,
+                            lambdas=[0.1, 0.03], trace_len=25,
+                            maxit=5000)
+    assert r.trace.shape == (1, 2, 25, 5)
+    assert np.isfinite(np.asarray(r.trace)[0, 0, 0]).all()
