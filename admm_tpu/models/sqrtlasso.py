@@ -44,6 +44,16 @@ Two solvers, both on the shared engines:
 
 The exact null threshold ``lam0 = ||X'y||_inf / (sqrt(n) ||y||)`` tops
 the auto grid for both.
+
+Wide-regime caveat (p >= n): below a data-dependent threshold the
+sqrt-lasso INTERPOLATES — the optimal residual is exactly zero (the
+l2-norm loss's subgradient at 0 is the whole unit ball, so any
+min-type interpolator with a dual certificate is optimal), sigma
+collapses to its floor, and the solution set degenerates.  The
+alternation still terminates (sigma fixed point at the floor), but
+path points in that regime are interpolators whose identity depends
+on the warm-start route; choose ``lambda_min_ratio`` (or explicit
+lambdas) above the breakdown if a unique estimate matters.
 """
 from __future__ import annotations
 
@@ -55,13 +65,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..core.engine import (ProblemOps, make_batched_solver,
-                           make_fadmm_solver, make_state)
+from ..core.engine import (ProblemOps, make_admm_solver,
+                           make_batched_solver, make_fadmm_solver,
+                           make_state)
 from ..core.prox import l2norm, soft_threshold, sqnorm
 from ..data.standardize import _guard, _sd_n
 from ..linalg import chol_inverse, dot, gram
 from .lasso import (PathResult, _batched_cold_states, _scan_path,
-                    _tall_ops, _tall_setup)
+                    _tall_ops, _tall_setup, _wide_ops, _wide_setup)
 
 
 def l2_prox(v, tau):
@@ -193,6 +204,48 @@ def _rearm_lanes(st, ilams, outer_done):
     )
 
 
+def _sqrt_inner_engine(Xs, ys, ilam0, rho0):
+    """The concomitant alternation's INNER lasso engine, regime-
+    dispatched exactly as the plain lasso (reference:
+    src/Lasso.cpp:73-76): tall = cached-ridge FADMM at fixed rho
+    (report z), wide = linearized plain ADMM with the adaptive ladder
+    and the exact all-zero early exit (report x).  The wide lambda0
+    early exit is EXACT for the sqrt problem too: at b = 0 the inner
+    penalty is n*lam*sigma0 = lam*sqrt(n)*||ys||, which crosses
+    lambda0 = ||X'y||_inf precisely at the sqrt-lasso's own null
+    threshold.  Returns ``(solve, st0_maker, report, rho)`` with
+    ``st0_maker(k_or_None, ilams)`` building cold state(s)."""
+    n, p = Xs.shape
+    dtype = Xs.dtype
+    if n > p:
+        Minv, Xty, rho = _tall_setup(Xs, ys, ilam0, rho0)
+        ops = _tall_ops(Minv, Xty, 1.0, p)
+        solve = make_fadmm_solver(ops, adapt_rho=False)
+
+        def st0_maker(k, ilams):
+            if k is None:
+                zp = jnp.zeros((p,), dtype)
+                return make_state(zp, zp, zp, rho, ilams, dtype=dtype)
+            return _batched_cold_states(k, p, rho, ilams, dtype)
+
+        return solve, st0_maker, (lambda st: st.z), rho
+    lambda0, sprad, rho = _wide_setup(Xs, ys, ilam0, rho0, 1.0, False)
+    ops = _wide_ops(Xs, ys, sprad, lambda0, 1.0, n, p)
+    solve = make_admm_solver(ops, adapt_rho=True)
+
+    def st0_maker(k, ilams):
+        if k is None:
+            zn = jnp.zeros((n,), dtype)
+            return make_state(jnp.zeros((p,), dtype), zn, zn, rho,
+                              ilams, aux=zn, dtype=dtype)
+        st = _batched_cold_states(k, p, 1.0, ilams, dtype, aux_dim=n)
+        zn = jnp.zeros((k, n), dtype)
+        return st._replace(rho=jnp.broadcast_to(rho, (k,)).astype(dtype),
+                           z=zn, y=zn, adj_z=zn, adj_y=zn)
+
+    return solve, st0_maker, (lambda st: st.x), rho
+
+
 def _sqrt_concomitant_batch(Xs, ys, lams, rho0, maxit, eps_abs,
                             eps_rel):
     """All lambdas as cold-start MXU lanes, each alternating warm
@@ -205,10 +258,10 @@ def _sqrt_concomitant_batch(Xs, ys, lams, rho0, maxit, eps_abs,
     sqrt_n = jnp.sqrt(jnp.asarray(float(n), dtype))
     sigma0 = l2norm(ys) / sqrt_n
     # Inner lasso at sigma: 1/2||ys - Xs b||^2 + (n lam sigma)||b||_1.
-    Minv, Xty, rho = _tall_setup(Xs, ys, n * lams[0] * sigma0, rho0)
-    ops = _tall_ops(Minv, Xty, 1.0, p)
-    solve = make_batched_solver(make_fadmm_solver(ops, adapt_rho=False))
-    st = _batched_cold_states(k, p, rho, n * lams * sigma0, dtype)
+    inner, st0_maker, report, _ = _sqrt_inner_engine(
+        Xs, ys, n * lams[0] * sigma0, rho0)
+    solve = make_batched_solver(inner)
+    st = st0_maker(k, n * lams * sigma0)
     sigma = sigma0 * jnp.ones((k,), dtype)
     # Interpolation guard: sigma -> 0 would drive the penalty to 0.
     sig_floor = 1e-10 * sigma0
@@ -223,7 +276,7 @@ def _sqrt_concomitant_batch(Xs, ys, lams, rho0, maxit, eps_abs,
         st, sigma, odone, oit = c
         st = _rearm_lanes(st, n * lams * sigma, odone)
         st = solve(st, maxit, eps_abs, eps_rel)
-        R = ys[None, :] - dot(st.z, Xs.T)
+        R = ys[None, :] - dot(report(st), Xs.T)
         sig_new = jnp.maximum(
             jnp.sqrt(jnp.sum(R * R, axis=1)) / sqrt_n, sig_floor)
         # sigma fixed point <=> the sqrt-lasso KKT system holds.
@@ -235,7 +288,7 @@ def _sqrt_concomitant_batch(Xs, ys, lams, rho0, maxit, eps_abs,
     st, _, _, _ = lax.while_loop(
         cond, body, (st, sigma, jnp.zeros((k,), bool),
                      jnp.asarray(0, jnp.int32)))
-    return st.z, st.it
+    return report(st), st.it
 
 
 def _sqrt_concomitant_scan_setup(Xs, ys, lam_top, rho0):
@@ -247,11 +300,9 @@ def _sqrt_concomitant_scan_setup(Xs, ys, lam_top, rho0):
     dtype = Xs.dtype
     sqrt_n = jnp.sqrt(jnp.asarray(float(n), dtype))
     sigma0 = l2norm(ys) / sqrt_n
-    Minv, Xty, rho = _tall_setup(Xs, ys, n * lam_top * sigma0, rho0)
-    ops = _tall_ops(Minv, Xty, 1.0, p)
-    solve = make_fadmm_solver(ops, adapt_rho=False)
-    zp = jnp.zeros((p,), dtype)
-    st0 = make_state(zp, zp, zp, rho, n * lam_top * sigma0, dtype=dtype)
+    solve, st0_maker, report, rho = _sqrt_inner_engine(
+        Xs, ys, n * lam_top * sigma0, rho0)
+    st0 = st0_maker(None, n * lam_top * sigma0)
     sig_floor = 1e-10 * sigma0
 
     def rearm1(st, ilam):
@@ -279,7 +330,7 @@ def _sqrt_concomitant_scan_setup(Xs, ys, lam_top, rho0):
                 st, sigma, _, oit = c
                 st = rearm1(st, n * lam * sigma)
                 st = solve(st, maxit, eps_abs, eps_rel)
-                r = ys - dot(Xs, st.z)
+                r = ys - dot(Xs, report(st))
                 sn = jnp.maximum(l2norm(r) / sqrt_n, sig_floor)
                 conv = (jnp.abs(sn - sigma) <= er * sn + ea) \
                     | (st.it >= maxit)
@@ -289,7 +340,7 @@ def _sqrt_concomitant_scan_setup(Xs, ys, lam_top, rho0):
                 ocond, obody,
                 (st, sigma, jnp.asarray(False),
                  jnp.asarray(0, jnp.int32)))
-            return (st, sigma), (st.z, st.it)
+            return (st, sigma), (report(st), st.it)
 
         return step
 
@@ -435,7 +486,9 @@ def sqrt_lasso_path(X, y, *, lambdas: Optional[jnp.ndarray] = None,
     flattens near the optimum).
 
     ``algorithm``: "concomitant" (default — the scaled-lasso
-    alternation on the cached tall engine; see the module docstring)
+    alternation; the inner lasso engine is regime-dispatched like the
+    plain lasso: cached-ridge FADMM for n > p, linearized wide ADMM
+    for p >= n; see the module docstring)
     or "stacked" (one ADMM on the stacked splitting; the cross-check
     solver, ~20x slower per unit work, and the solver a ``trace_len``
     request traces).  ``data_mesh``: a ``jax.sharding.Mesh`` over which

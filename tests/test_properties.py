@@ -206,6 +206,10 @@ def test_prox_sorted_l1_properties(v, scale, seed):
         return np.sum(lam * np.sort(np.abs(w))[::-1])
 
     w = np.asarray(prox_sorted_l1(jnp.asarray(v), jnp.asarray(lam)))
+    # Both isotonic backends give the same prox on every input.
+    w_pava = np.asarray(prox_sorted_l1(jnp.asarray(v), jnp.asarray(lam),
+                                       method="pava"))
+    np.testing.assert_allclose(w_pava, w, rtol=1e-9, atol=1e-9)
     # Independent PAVA oracle.
     a = np.abs(v)
     o = np.argsort(-a, kind="stable")

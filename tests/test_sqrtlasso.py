@@ -134,3 +134,47 @@ def test_cv_onepass_matches_loop():
     loop = cv_sqrt_lasso_path(X, y, cv_mode="loop", **kw)
     assert one.cvm == pytest.approx(loop.cvm, rel=1e-4, abs=1e-7)
     assert one.lambda_min == loop.lambda_min
+
+
+def test_wide_regime_kkt_and_protocols():
+    """p > n (the pivotal lasso's home regime): the concomitant
+    alternation dispatches to the linearized wide inner engine; the
+    KKT certificate, the lasso reduction, the exact null grid top and
+    batch/scan agreement all hold."""
+    rng = np.random.default_rng(11)
+    n, p = 60, 150
+    X = rng.normal(size=(n, p))
+    b = np.zeros(p)
+    b[:4] = [2.0, -1.5, 1.0, 0.7]
+    y = X @ b + 0.3 * rng.normal(size=n)
+    lam = 0.25
+    r = sqrt_lasso_path(X, y, lambdas=[lam], standardize=False,
+                        intercept=False, dtype=jnp.float64,
+                        eps_abs=1e-10, eps_rel=1e-10, maxit=100000)
+    bb = np.asarray(r.coef[0])
+    res = y - X @ bb
+    g = X.T @ res / (np.sqrt(n) * np.linalg.norm(res))
+    act = np.abs(bb) > 1e-7
+    assert act.sum() >= 4
+    assert np.abs(g[act] - lam * np.sign(bb[act])).max() < 1e-7
+    assert np.abs(g[~act]).max() <= lam + 1e-7
+    lam_las = lam * np.linalg.norm(res) / np.sqrt(n)
+    rl = lasso_path(X, y, lambdas=[lam_las], standardize=False,
+                    intercept=False, dtype=jnp.float64, eps_abs=1e-10,
+                    eps_rel=1e-10)
+    assert np.abs(np.asarray(rl.coef[0]) - bb).max() < 1e-6
+    # Auto grid: exact null at the top.
+    ra = sqrt_lasso_path(X, y, nlambda=5, dtype=jnp.float64,
+                         eps_abs=1e-8, eps_rel=1e-8, maxit=100000)
+    assert (np.asarray(ra.coef[0]) == 0).all()
+    # Protocol agreement ABOVE the interpolation threshold: for p > n
+    # small lambdas make the sqrt-lasso INTERPOLATE (sigma -> 0, the
+    # solution set degenerates — module docstring), where different
+    # warm-start routes legitimately reach different interpolators.
+    good = np.array([0.6, 0.4, 0.25])
+    rb = sqrt_lasso_path(X, y, lambdas=good, dtype=jnp.float64,
+                         eps_abs=1e-9, eps_rel=1e-9, maxit=100000)
+    rs = sqrt_lasso_path(X, y, lambdas=good, dtype=jnp.float64,
+                         path_mode="scan", eps_abs=1e-9, eps_rel=1e-9,
+                         maxit=100000)
+    assert np.abs(np.asarray(rb.coef) - np.asarray(rs.coef)).max() < 1e-6
