@@ -99,7 +99,7 @@ def _resolve_cv(result, lam):
 
 def predict(result, X, *, lam=None,
             type: str = "link", family: str = "gaussian",
-            offset=None):
+            offset=None, tau=None):
     """Predict from any fitted path result (module docstring).
 
     Returns numpy arrays; with ``lam`` set, the leading lambda axis is
@@ -107,11 +107,41 @@ def predict(result, X, *, lam=None,
     ``cv_*`` driver) predicts through its full-data fit at
     ``lam="lambda.1se"`` by default — glmnet's ``predict.cv.glmnet``;
     pass ``lam="lambda.min"`` or a number to override.
+
+    ``tau`` selects the quantile lane of a
+    :class:`~admm_tpu.models.quantile.QuantilePathResult` (must be one
+    of the fitted grid values; optional when the fit has a single tau)
+    — the selected lane then behaves as a gaussian path (its
+    per-tau lambda grid drives ``lam`` interpolation).
     """
     from .models.cox import CoxPathResult
+    from .models.lasso import PathResult
     from .models.multinomial import MNPathResult
     from .models.multitask import MTPathResult
+    from .models.quantile import QuantilePathResult
     from .models.svm import SVMResult
+
+    if isinstance(result, QuantilePathResult):
+        taus = np.asarray(result.taus, np.float64)
+        if tau is None:
+            if taus.shape[0] != 1:
+                raise ValueError("this quantile fit has a tau grid; "
+                                 "pass tau= to pick a lane")
+            ti = 0
+        else:
+            # f32 fits store tau at single precision; match at that
+            # granularity (grid values are user-chosen, far apart).
+            close = np.isclose(taus, float(tau), rtol=0, atol=1e-6)
+            if not close.any():
+                raise ValueError(f"tau={tau} is not on the fitted grid "
+                                 f"{taus.tolist()}")
+            ti = int(np.argmax(close))
+        result = PathResult(lambdas=result.lambdas[ti],
+                            beta0=result.beta0[ti],
+                            coef=result.coef[ti],
+                            niter=result.niter[ti])
+    elif tau is not None:
+        raise ValueError("tau= applies to quantile path results only")
 
     result, lam = _resolve_cv(result, lam)
     squeeze = lam is not None

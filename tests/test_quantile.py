@@ -136,3 +136,24 @@ def test_trace_records_residuals():
                             maxit=5000)
     assert r.trace.shape == (1, 2, 25, 5)
     assert np.isfinite(np.asarray(r.trace)[0, 0, 0]).all()
+
+
+def test_predict_selects_tau_lane():
+    from admm_tpu.predict import predict
+
+    X, y = _problem(n=150, p=8, seed=7)
+    r = quantile_lasso_path(X, y, tau=[0.3, 0.7], nlambda=4,
+                            maxit=20000)
+    eta = predict(r, X, tau=0.7)
+    assert eta.shape == (4, 150)
+    manual = (np.asarray(r.beta0[1])[:, None]
+              + np.asarray(r.coef[1]) @ X.T)
+    np.testing.assert_allclose(eta, manual, rtol=1e-6)
+    # lam interpolation on the tau lane's own grid.
+    mid = float(np.sqrt(r.lambdas[1, 1] * r.lambdas[1, 2]))
+    e1 = predict(r, X, tau=0.7, lam=mid)
+    assert e1.shape == (150,)
+    with pytest.raises(ValueError, match="tau grid"):
+        predict(r, X)
+    with pytest.raises(ValueError, match="not on the fitted grid"):
+        predict(r, X, tau=0.55)
