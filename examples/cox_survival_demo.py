@@ -10,6 +10,10 @@ Run: ``python examples/cox_survival_demo.py`` (first TPU compiles take
 a few minutes; figures land next to this file).
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import matplotlib
 
