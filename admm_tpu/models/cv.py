@@ -65,6 +65,31 @@ def binomial_deviance(eta, y):
     return 2.0 * (np.logaddexp(0.0, eta) - y[None, :] * eta)
 
 
+def _make_family_score_reduce(err_fn):
+    """Jitted device reducer for a family's JNP cv_loss twin — memoized
+    per family function so repeated CVs reuse one compiled program
+    (GLMFamily constructors are lru_cached, so err_fn identity is
+    stable)."""
+    cached = _FAMILY_REDUCE_CACHE.get(err_fn)
+    if cached is not None:
+        return cached
+
+    @jax.jit
+    def reduce(eta, y, ws, n_sc):
+        err = err_fn(eta.T, y).T          # cv_loss is (L, n) x (n,)
+        sw = jnp.sum(ws)
+        cvm = (ws @ err) / sw
+        cvsd = jnp.sqrt((ws @ (err - cvm[None, :]) ** 2) / sw
+                        / jnp.maximum(n_sc - 1.0, 1.0))
+        return jnp.stack([cvm, cvsd])
+
+    _FAMILY_REDUCE_CACHE[err_fn] = reduce
+    return reduce
+
+
+_FAMILY_REDUCE_CACHE: dict = {}
+
+
 @partial(jax.jit, static_argnames=("kind",))
 def _score_reduce_dev(eta, y, ws, n_sc, kind):
     """Device-side cvm/cvsd reduction for the one-pass sweep.
@@ -581,7 +606,9 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
     # or to the glmnet ``type.measure`` alternative requested.
     loss, sense = _resolve_measure(
         type_measure, _family,
-        _squared_error if _loss_fn is None else _loss_fn)
+        (_loss_fn if _loss_fn is not None
+         else _family.cv_loss if _family is not None
+         else _squared_error))
     fold_eta = _fold_eta_fn
     if fold_eta is None and is_default_path and cv_mode != "loop":
         fold_eta = _make_gaussian_fold_eta(alpha, _enet_scale,
@@ -603,20 +630,32 @@ def cv_lasso_path(X, y, *, nfolds: int = 10, nlambda: int = 100,
             masks = masks * w[None, :]
         eta_dev = fold_eta(X, y, lams_dev, masks,
                            np.clip(foldid, 0, None))
-        # Gaussian mse/mae with keep=False: score ON DEVICE and ship
+        # Default measures with keep=False: score ON DEVICE and ship
         # only the two (nlambda,) curves (see _score_reduce_dev) —
         # same glmnet formulas, float tolerance vs the host path
-        # (tested).
-        if (not keep and _family is None and _loss_fn is None
-                and type_measure in ("default", None, "mse", "mae")):
+        # (tested).  Gaussian mse/mae always; GLM families whenever
+        # they carry a JNP cv_loss twin (cv_loss_dev).
+        dev_reduce = None
+        if not keep and _loss_fn is None:
+            if (_family is None
+                    and type_measure in ("default", None, "mse", "mae")):
+                kind = "mae" if type_measure == "mae" else "mse"
+                dev_reduce = lambda e, yy, ws, ns: _score_reduce_dev(
+                    e, yy, ws, ns, kind)
+            elif (_family is not None
+                  and type_measure in ("default", None, "deviance")
+                  and getattr(_family, "cv_loss_dev", None) is not None):
+                dev_reduce = _make_family_score_reduce(
+                    _family.cv_loss_dev)
+        if dev_reduce is not None:
             dt = eta_dev.dtype
             ws_np = (foldid >= 0).astype(np.float64)
             if w is not None:
                 ws_np = ws_np * w
-            curves = np.asarray(_score_reduce_dev(
+            curves = np.asarray(dev_reduce(
                 eta_dev, jnp.asarray(y, dt), jnp.asarray(ws_np, dt),
-                jnp.asarray(float((foldid >= 0).sum()), dt),
-                "mae" if type_measure == "mae" else "mse"), np.float64)
+                jnp.asarray(float((foldid >= 0).sum()), dt)),
+                np.float64)
             cvm, cvsd = curves[0], curves[1]
         else:
             eta_all = np.asarray(eta_dev)
@@ -739,10 +778,12 @@ def cv_logistic_path(X, y, **kw) -> CVResult:
     """Cross-validated sparse logistic regression path (extension; same
     fold protocol as :func:`cv_lasso_path`, scored by per-observation
     BINOMIAL DEVIANCE — glmnet's default type.measure for
-    family='binomial').  The binomial case of :func:`cv_glm_path`."""
+    family='binomial', here the family's own default loss so the
+    device-side score reduction applies).  The binomial case of
+    :func:`cv_glm_path`."""
     from .glm import binomial
 
-    return cv_glm_path(X, y, binomial(), loss=binomial_deviance, **kw)
+    return cv_glm_path(X, y, binomial(), **kw)
 
 
 def cv_glm_path(X, y, family, *, nlambda: int = 50,
@@ -769,8 +810,9 @@ def cv_glm_path(X, y, family, *, nlambda: int = 50,
     from .glm import GLMFamily, glm_lasso_path
 
     fam = family() if not isinstance(family, GLMFamily) else family
-    if loss is None:
-        loss = fam.cv_loss
+    # loss=None stays None: cv_lasso_path defaults to the family's
+    # cv_loss and can then score ON DEVICE via cv_loss_dev (an explicit
+    # user loss forces the host path).
     if offset is not None and kw.get("cv_mode") == "loop":
         # The host fold loop subsets rows; only the one-pass sweep
         # threads the full offset vector through every fold fit.

@@ -54,6 +54,14 @@ def _poisson_deviance(eta, y):
     return 2.0 * (ylogy - y[None, :] * eta - (y[None, :] - mu))
 
 
+def _poisson_deviance_dev(eta, y):
+    """JNP twin of :func:`_poisson_deviance` (device-side CV scoring)."""
+    mu = jnp.exp(jnp.minimum(eta, 30.0))
+    ylogy = jnp.where(y > 0, y * jnp.log(jnp.maximum(y, 1e-12)),
+                      0.0)[None, :]
+    return 2.0 * (ylogy - y[None, :] * eta - (y[None, :] - mu))
+
+
 def _wmean(y, w=None):
     """Weighted mean (plain mean when ``w`` is None)."""
     if w is None:
@@ -93,6 +101,12 @@ class GLMFamily(NamedTuple):
     # predict(type="response")/assess mse/mae for family objects.
     # None = identity (gaussian-style location families, e.g. huber).
     mean_eta: Optional[Callable] = None
+    # Optional JNP twin of cv_loss: when present, the one-pass CV's
+    # default-deviance scoring reduces cvm/cvsd ON DEVICE and only two
+    # (nlambda,) curves cross the host link (the round-5 roofline fix,
+    # DESIGN.md "Roofline"; models/cv.py::_make_family_score_reduce).
+    # None falls back to host numpy scoring.
+    cv_loss_dev: Optional[Callable] = None
 
 
 @lru_cache(maxsize=None)
@@ -107,6 +121,8 @@ def binomial() -> GLMFamily:
             _wmean(y, w) if intercept else 0.5),
         cv_loss=lambda eta, y: 2.0 * (np.logaddexp(0.0, eta)
                                       - y[None, :] * eta),
+        cv_loss_dev=lambda eta, y: 2.0 * (jnp.logaddexp(0.0, eta)
+                                          - y[None, :] * eta),
         curvature_bound=0.25,  # p(1-p) <= 1/4
         mean_eta=lambda eta: 1.0 / (1.0 + np.exp(-eta)),
     )
@@ -150,6 +166,10 @@ def huber(M: float = 1.345) -> GLMFamily:
         r = np.abs(y[None, :] - eta)
         return np.where(r <= M, 0.5 * r * r, M * r - 0.5 * M * M)
 
+    def cv_loss_dev(eta, y):
+        r = jnp.abs(y[None, :] - eta)
+        return jnp.where(r <= M, 0.5 * r * r, M * r - 0.5 * M * M)
+
     return GLMFamily(
         name="huber",
         grad_eta=lambda eta, y: -jnp.clip(y - eta, -M, M),
@@ -157,6 +177,7 @@ def huber(M: float = 1.345) -> GLMFamily:
             eta.dtype),
         null_resid=null_resid,
         cv_loss=cv_loss,
+        cv_loss_dev=cv_loss_dev,
         curvature_bound=1.0,  # the inlier indicator is <= 1
         param=float(M),
     )
@@ -173,6 +194,7 @@ def poisson() -> GLMFamily:
         null_resid=lambda y, intercept, w=None: y - (
             _wmean(y, w) if intercept else 1.0),
         cv_loss=_poisson_deviance,
+        cv_loss_dev=_poisson_deviance_dev,
         mean_eta=lambda eta: np.exp(np.minimum(eta, 30.0)),
     )
 
