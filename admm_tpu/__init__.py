@@ -53,7 +53,8 @@ from .models.quantile import (cv_quantile_lasso_path, pinball_loss,
 from .models.rpca import cv_rpca, rpca_path
 from .models.multinomial import multinomial_lasso_path
 from .models.cox import cox_lasso_path, cv_cox_path, survfit_cox
-from .models.multitask import multitask_lasso_path
+from .models.multitask import (multitask_lasso_path,
+                               multitask_nuclear_path)
 from .models.relaxed import (cv_relaxed_lasso_path,
                              relaxed_lasso_path)
 from .models.logistic import logistic_lasso_path
@@ -118,6 +119,7 @@ __all__ = [
     "cv_sqrt_lasso_path", "cv_constrained_lasso_path",
     "cv_zerosum_lasso_path",
     "cv_multitask_lasso_path", "cv_multinomial_path",
+    "multitask_nuclear_path",
     "parallel_multinomial_lasso_path", "parallel_multitask_lasso_path",
     "parallel_lasso_path", "parallel_enet_path",
     "parallel_group_lasso_path", "parallel_bp_fit",

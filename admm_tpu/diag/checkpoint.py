@@ -493,11 +493,15 @@ def checkpointed_multitask_lasso_path(
         X, Y, *, lambdas, checkpoint: str, chunk_size: int = 10,
         standardize_x: bool = True, intercept: bool = True,
         maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-        rho: float = -1.0, dtype=jnp.float32,
+        rho: float = -1.0, penalty: str = "rows", dtype=jnp.float32,
         _stop_after_chunks: Optional[int] = None):
     """Multi-task Lasso lambda path in resumable chunks (same protocol
     as :func:`checkpointed_lasso_path`; the (p, K) coefficient-matrix
-    state rides the pytree container unchanged)."""
+    state rides the pytree container unchanged).  ``penalty="nuclear"``
+    checkpoints the reduced-rank (trace-norm) path — the penalty tag
+    enters the fingerprint."""
+    if penalty not in ("rows", "nuclear"):
+        raise ValueError("penalty must be 'rows' or 'nuclear'")
     from ..models.multitask import (MTPathResult, _mt_engine,
                                     mt_recover, mt_standardize)
 
@@ -511,9 +515,11 @@ def checkpointed_multitask_lasso_path(
     lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     ilams = lams * n
 
-    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho)
+    st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho,
+                                    penalty=penalty)
     fp = _fingerprint(Xs, Ys, ilams, 1.0, maxit, eps_abs, eps_rel, rho,
-                      standardize_x, intercept, False, model="multitask")
+                      standardize_x, intercept, False,
+                      model=f"multitask-{penalty}")
     segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
         st, solve, report, il, m, ea, er)[:3])
     out = _chunked_scan(st0, segment, ilams, maxit, eps_abs, eps_rel,

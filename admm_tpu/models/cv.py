@@ -297,10 +297,10 @@ def _glm_fold_etas(X, y, lams, masks, fid, rho, maxit, eps_abs,
 
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
-                                   "standardize_y"))
+                                   "standardize_y", "penalty"))
 def _mt_fold_etas(X, Y, lams, masks, fid, rho, maxit, eps_abs, eps_rel,
                   pf=None, keep=None, alpha=1.0, *, standardize_x,
-                  intercept, standardize_y):
+                  intercept, standardize_y, penalty="rows"):
     """Jitted one-program CV fold sweep for the multi-task Lasso
     (the (p, K)-block analog of :func:`_glm_fold_etas`): fold f is the
     weighted path with weight 0 on held-out rows, vmapped; returns the
@@ -311,7 +311,8 @@ def _mt_fold_etas(X, Y, lams, masks, fid, rho, maxit, eps_abs, eps_rel,
         res = _mt_path(X, Y, 2, 1e-2, lams, rho, maxit, eps_abs,
                        eps_rel, mask, pf, keep, alpha,
                        standardize_x=standardize_x, intercept=intercept,
-                       path_mode="batch", standardize_y=standardize_y)
+                       path_mode="batch", standardize_y=standardize_y,
+                       penalty=penalty)
         return res.beta0[:, None, :] + jnp.einsum("np,lpk->lnk", X,
                                                   res.coef)
 
@@ -1170,7 +1171,8 @@ def cv_multitask_lasso_path(X, Y, *, nfolds: int = 10, seed: int = 0,
             standardize_x=path_kw.get("standardize", True),
             intercept=path_kw.get("intercept", True),
             standardize_y=bool(path_kw.get("standardize_response",
-                                           False))),
+                                           False)),
+            penalty=path_kw.get("penalty", "rows")),
             np.float64)                          # (n, L, K)
         if off is not None:
             eta_all = eta_all + off[:, None, :]

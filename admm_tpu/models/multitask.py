@@ -68,7 +68,25 @@ def _row_prox_enet(v, t, alpha):
     return _row_prox(v, alpha * t) / (1.0 + t * (1.0 - alpha))
 
 
-def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None, alpha=1.0):
+def _mt_coef_prox(v, t, pf, keep, alpha, penalty):
+    """The multitask coefficient prox: row-separable group/enet
+    shrinkage (``penalty="rows"``) or SINGULAR-VALUE THRESHOLDING
+    (``penalty="nuclear"`` — the trace-norm prox of reduced-rank
+    regression; rpca.py's svt on the (p, K) coefficient matrix).
+    pf/keep/alpha are row concepts and validated away for nuclear."""
+    if penalty == "nuclear":
+        from .rpca import svt
+
+        return svt(v, t)
+    z = _row_prox_enet(v, t * pf[:, None] if pf is not None else t,
+                       alpha)
+    if keep is not None:
+        z = z * keep[:, None]
+    return z
+
+
+def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None, alpha=1.0,
+                 penalty="rows"):
     """``pf``: optional (p,) per-row penalty factors (glmnet's
     ``penalty.factor`` for family='mgaussian' — the group threshold
     becomes ``lam * pf_j``); ``keep``: optional (p,) 0/1 mask zeroing
@@ -82,11 +100,7 @@ def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None, alpha=1.0):
 
     def next_z(st, x_new):
         v = x_new + st.adj_y / st.rho
-        t = st.lam / st.rho
-        z = _row_prox_enet(v, t * pf[:, None] if pf is not None else t,
-                           alpha)
-        if keep is not None:
-            z = z * keep[:, None]
+        z = _mt_coef_prox(v, st.lam / st.rho, pf, keep, alpha, penalty)
         return z, st.aux
 
     return ProblemOps(
@@ -103,7 +117,7 @@ def _mt_tall_ops(Minv, XtY, p, K, pf=None, keep=None, alpha=1.0):
 
 
 def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None,
-                 alpha=1.0):
+                 alpha=1.0, penalty="rows"):
     from ..core.engine import ProblemOps
 
     sqrt_sprad = jnp.sqrt(sprad)
@@ -111,12 +125,8 @@ def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None,
     def next_x(st):
         tmp = st.aux + st.z + st.y / st.rho
         v = st.x - dot(Xs.T, tmp) / sprad
-        t = st.lam / (st.rho * sprad)
-        x_new = _row_prox_enet(v,
-                               t * pf[:, None] if pf is not None else t,
-                               alpha)
-        if keep is not None:
-            x_new = x_new * keep[:, None]
+        x_new = _mt_coef_prox(v, st.lam / (st.rho * sprad), pf, keep,
+                              alpha, penalty)
         return jnp.where(st.lam > lambda0 * (1.0 - 1e-5),
                          jnp.zeros_like(x_new), x_new)
 
@@ -139,12 +149,17 @@ def _mt_wide_ops(Xs, Ys, sprad, lambda0, n, p, K, pf=None, keep=None,
     )
 
 
-def _mt_lambda0(Xs, Ys, pf=None, keep=None, alpha=1.0):
-    """B = 0 KKT boundary: max_j ||X_j' Y||_2 / alpha (the row-norm
-    analog of the Lasso's infinity-norm rule; only the l1 part sets the
-    boundary, with glmnet's max(alpha, 1e-3) cap); with penalty factors
-    the factor-aware boundary over PENALIZED, non-excluded rows."""
+def _mt_lambda0(Xs, Ys, pf=None, keep=None, alpha=1.0,
+                penalty="rows"):
+    """B = 0 KKT boundary.  Rows: max_j ||X_j' Y||_2 / alpha (the
+    row-norm analog of the Lasso's infinity-norm rule; only the l1
+    part sets the boundary, with glmnet's max(alpha, 1e-3) cap); with
+    penalty factors the factor-aware boundary over PENALIZED,
+    non-excluded rows.  Nuclear: the SPECTRAL norm ||X'Y||_2 (the dual
+    of the trace norm) — exact."""
     XtY = dot(Xs.T, Ys)
+    if penalty == "nuclear":
+        return jnp.linalg.svd(XtY, compute_uv=False)[0]
     rn = jnp.sqrt(jnp.sum(XtY * XtY, axis=1))
     if keep is not None:
         rn = rn * keep
@@ -154,7 +169,7 @@ def _mt_lambda0(Xs, Ys, pf=None, keep=None, alpha=1.0):
 
 
 def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None,
-               alpha=1.0):
+               alpha=1.0, penalty="rows"):
     """Engine triple (cold state, solver, reported iterate) — shared by
     the path driver and the checkpointed driver
     (admm_tpu.diag.checkpoint.checkpointed_multitask_lasso_path)."""
@@ -168,7 +183,7 @@ def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None,
                         jnp.cbrt(sprad) * ilam_first ** (2.0 / 3.0))
         Minv = ridge_inverse(XtX, rho)
         XtY = dot(Xs.T, Ys)
-        ops = _mt_tall_ops(Minv, XtY, p, K, pf, keep, alpha)
+        ops = _mt_tall_ops(Minv, XtY, p, K, pf, keep, alpha, penalty)
         solve = make_fadmm_solver(ops, adapt_rho=False)
         zeros = jnp.zeros((p, K), dtype)
         st0 = make_state(zeros, zeros, zeros, rho, ilam_first,
@@ -181,11 +196,11 @@ def _mt_engine(Xs, Ys, ilam_first, rho0, pf=None, keep=None,
     # row is penalized, +inf (gate disabled) when any row is
     # unpenalized — B never becomes all-zero then (the gaussian wide
     # path's lambda0_pf rule).
-    lambda0_int = _mt_lambda0(Xs, Ys, pf, keep, alpha)
+    lambda0_int = _mt_lambda0(Xs, Ys, pf, keep, alpha, penalty)
     if pf is not None:
         lambda0_int = jnp.where(jnp.all(pf > 0), lambda0_int, jnp.inf)
     ops = _mt_wide_ops(Xs, Ys, sprad, lambda0_int, n, p, K, pf, keep,
-                       alpha)
+                       alpha, penalty)
     solve = make_admm_solver(ops, adapt_rho=True)
     st0 = make_state(jnp.zeros((p, K), dtype),
                      jnp.zeros((n, K), dtype),
@@ -264,12 +279,12 @@ def mt_recover(coefs, sd_x, sd_y, mean_x, mean_y):
 
 @partial(jax.jit, static_argnames=("standardize_x", "intercept",
                                    "nlambda", "path_mode", "trace_len",
-                                   "standardize_y"))
+                                   "standardize_y", "penalty"))
 def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
              eps_abs, eps_rel, weights=None, pf=None, keep=None,
              alpha=1.0, *,
              standardize_x, intercept, path_mode, trace_len=None,
-             standardize_y=False):
+             standardize_y=False, penalty="rows"):
     n, p = X.shape
     K = Y.shape[1]
     dtype = X.dtype
@@ -277,7 +292,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
         X, Y, standardize_x=standardize_x, intercept=intercept,
         weights=weights, standardize_y=standardize_y)
 
-    lam0 = _mt_lambda0(Xs, Ys, pf, keep, alpha) / n
+    lam0 = _mt_lambda0(Xs, Ys, pf, keep, alpha, penalty) / n
     if user_lams is None:
         lams = jnp.exp(jnp.linspace(
             jnp.log(lam0), jnp.log(lambda_min_ratio * lam0), nlambda))
@@ -286,7 +301,7 @@ def _mt_path(X, Y, nlambda, lambda_min_ratio, user_lams, rho0, maxit,
     ilams = lams * n
 
     st0, solve, report = _mt_engine(Xs, Ys, ilams[0], rho0, pf, keep,
-                                    alpha)
+                                    alpha, penalty)
 
     if path_mode == "batch":
         k = ilams.shape[0]
@@ -339,6 +354,7 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                          penalty_factor: Optional[jnp.ndarray] = None,
                          exclude=None,
                          offset: Optional[jnp.ndarray] = None,
+                         penalty: str = "rows",
                          dtype=jnp.float32) -> MTPathResult:
     """Solve the multi-task Lasso lambda path on device.
 
@@ -376,7 +392,26 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
     the exact compound row prox (group soft-threshold then ridge
     shrink) with the alpha-aware grid top.  Oracle: sklearn
     ``MultiTaskElasticNet`` (tests/test_multitask.py).
+
+    ``penalty="nuclear"`` (extension — REDUCED-RANK regression, Yuan
+    et al. 2007): swap the row penalty for the TRACE NORM
+    ``lambda ||B||_*`` — the convex surrogate for rank(B), so tasks
+    share a low-dimensional predictive subspace instead of a sparse
+    support.  One prox swap: the z-update becomes singular-value
+    thresholding of the (p, K) coefficient matrix (rpca.py's svt), and
+    the exact grid top is the SPECTRAL norm ||X'Y||_2 (the trace
+    norm's dual).  K=1 reduces exactly to the all-features single
+    group lasso (a (p, 1) matrix's only singular value is ||b||_2 —
+    tested); penalty_factor/exclude/alpha are row concepts and
+    rejected.  See :func:`multitask_nuclear_path`.
     """
+    if penalty not in ("rows", "nuclear"):
+        raise ValueError("penalty must be 'rows' or 'nuclear'")
+    if penalty == "nuclear" and (penalty_factor is not None
+                                 or exclude is not None or alpha != 1.0):
+        raise ValueError("penalty_factor/exclude/alpha are "
+                         "row-separable concepts; the nuclear penalty "
+                         "does not support them")
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
     X = jnp.asarray(X, dtype)
@@ -414,7 +449,22 @@ def multitask_lasso_path(X, Y, *, lambdas: Optional[jnp.ndarray] = None,
                     standardize_x=standardize,
                     intercept=intercept, path_mode=path_mode,
                     trace_len=trace_len,
-                    standardize_y=bool(standardize_response))
+                    standardize_y=bool(standardize_response),
+                    penalty=penalty)
+
+
+def multitask_nuclear_path(X, Y, **kw) -> MTPathResult:
+    """REDUCED-RANK (trace-norm) multi-task regression path::
+
+        minimize  1/(2n) ||Y - X B||_F^2 + lambda ||B||_*
+
+    — :func:`multitask_lasso_path` with ``penalty="nuclear"`` (see its
+    docstring): the convex relaxation of rank-constrained multivariate
+    regression, solved by an SVT prox swap on the same engines.
+    Oracles: the K=1 == all-features group lasso reduction, the
+    spectral-norm KKT subgradient certificate, and rank monotonicity
+    along the path (tests/test_multitask.py)."""
+    return multitask_lasso_path(X, Y, penalty="nuclear", **kw)
 
 
 def _keep_mask(exclude, p, dtype):

@@ -781,3 +781,42 @@ def test_quantile_crash_and_resume_identical(tmp_path):
         checkpointed_quantile_lasso_path(
             X, y, tau=np.array([0.25, 0.75]), lambdas=lams,
             checkpoint=ck3, chunk_size=3)
+
+
+def test_multitask_nuclear_crash_and_resume(tmp_path):
+    """The reduced-rank (trace-norm) path checkpoints on the same
+    multitask driver; the penalty tag enters the fingerprint."""
+    from admm_tpu.diag.checkpoint import checkpointed_multitask_lasso_path
+    from admm_tpu.models.multitask import multitask_nuclear_path
+
+    rng = np.random.default_rng(31)
+    n, p, K = 150, 10, 4
+    X = rng.normal(size=(n, p))
+    B0 = rng.normal(size=(p, 2)) @ rng.normal(size=(2, K))
+    Y = X @ B0 + 0.3 * rng.normal(size=(n, K))
+    lams = np.geomspace(0.5, 0.02, 8)
+    ck = str(tmp_path / "nu.npz")
+    out = checkpointed_multitask_lasso_path(
+        X, Y, lambdas=lams, checkpoint=ck, chunk_size=3,
+        penalty="nuclear", _stop_after_chunks=1)
+    assert out is None and os.path.exists(ck)
+    res = checkpointed_multitask_lasso_path(
+        X, Y, lambdas=lams, checkpoint=ck, chunk_size=3,
+        penalty="nuclear")
+    full = checkpointed_multitask_lasso_path(
+        X, Y, lambdas=lams, checkpoint=str(tmp_path / "nu2.npz"),
+        chunk_size=3, penalty="nuclear")
+    np.testing.assert_array_equal(np.asarray(res.coef),
+                                  np.asarray(full.coef))
+    plain = multitask_nuclear_path(X, Y, lambdas=lams,
+                                   path_mode="scan")
+    np.testing.assert_allclose(np.asarray(res.coef),
+                               np.asarray(plain.coef), atol=1e-4)
+    # The row-penalty checkpoint refuses to resume a nuclear run.
+    ck3 = str(tmp_path / "nu3.npz")
+    checkpointed_multitask_lasso_path(
+        X, Y, lambdas=lams, checkpoint=ck3, chunk_size=3,
+        penalty="nuclear", _stop_after_chunks=1)
+    with pytest.raises(ValueError, match="different"):
+        checkpointed_multitask_lasso_path(
+            X, Y, lambdas=lams, checkpoint=ck3, chunk_size=3)

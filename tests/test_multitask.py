@@ -2,6 +2,7 @@
 
 Extension beyond the reference (single-response only); oracle: sklearn
 MultiTaskLasso solves the identical objective by coordinate descent."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -253,3 +254,103 @@ def test_matches_sklearn_multitask_elasticnet():
     assert np.all(c[0] == 0.0) and np.any(c[1] != 0.0)
     with pytest.raises(ValueError, match="alpha"):
         multitask_lasso_path(X, Y, nlambda=4, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Nuclear (trace-norm / reduced-rank) penalty
+# ---------------------------------------------------------------------------
+
+def _low_rank_problem(n=200, p=20, K=6, r=2, seed=0, sd=0.3):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, p))
+    B = (rng.normal(size=(p, r)) @ rng.normal(size=(r, K))) / np.sqrt(r)
+    Y = X @ B + sd * rng.normal(size=(n, K))
+    return X, Y, B
+
+
+def test_nuclear_k1_reduces_to_single_group_lasso():
+    """A (p, 1) matrix's only singular value is ||b||_2, so the K=1
+    nuclear path IS the all-features-one-group lasso (unit group
+    weight)."""
+    from admm_tpu.models.grouplasso import group_lasso_path
+    from admm_tpu.models.multitask import multitask_nuclear_path
+
+    rng = np.random.default_rng(1)
+    n, p = 150, 12
+    X = rng.normal(size=(n, p))
+    y = X[:, :3] @ np.array([1.5, -1.0, 0.8]) + 0.3 * rng.normal(size=n)
+    lams = np.geomspace(0.4, 0.02, 5)
+    nu = multitask_nuclear_path(X, y[:, None], lambdas=lams,
+                                dtype=jnp.float64, eps_abs=1e-9,
+                                eps_rel=1e-9)
+    gl = group_lasso_path(X, y, np.zeros(p, int), weights=np.ones(1),
+                          lambdas=lams, dtype=jnp.float64,
+                          eps_abs=1e-9, eps_rel=1e-9)
+    assert np.abs(np.asarray(nu.coef[:, :, 0])
+                  - np.asarray(gl.coef)).max() < 1e-6
+
+
+def test_nuclear_kkt_certificate():
+    """Spectral-norm subgradient conditions of the trace norm at the
+    optimum: s_max(X'R/n) <= lam, and U' (X'R/n) V = lam I on the
+    solution's singular subspace."""
+    from admm_tpu.models.multitask import multitask_nuclear_path
+
+    X, Y, B0 = _low_rank_problem(seed=2)
+    n = X.shape[0]
+    lam = 0.1
+    res = multitask_nuclear_path(X, Y, lambdas=[lam], standardize=False,
+                                 intercept=False, dtype=jnp.float64,
+                                 eps_abs=1e-10, eps_rel=1e-10,
+                                 maxit=100000)
+    B = np.asarray(res.coef[0])
+    G = X.T @ (Y - X @ B) / n
+    s = np.linalg.svd(G, compute_uv=False)
+    assert s[0] <= lam * (1 + 1e-6)
+    U, sb, Vt = np.linalg.svd(B, full_matrices=False)
+    act = sb > 1e-8
+    r = int(act.sum())
+    assert r >= 1
+    core = U[:, act].T @ G @ Vt[act].T
+    assert np.abs(core - lam * np.eye(r)).max() < 1e-7
+
+
+def test_nuclear_rank_path_and_protocols():
+    """Rank is monotone nonincreasing in lambda, the grid top (the
+    exact spectral-norm threshold) is null, scan == batch, and a
+    planted rank-2 coefficient matrix is recovered at moderate
+    lambda."""
+    from admm_tpu.models.multitask import multitask_nuclear_path
+
+    X, Y, B0 = _low_rank_problem(seed=3)
+    res = multitask_nuclear_path(X, Y, nlambda=6, dtype=jnp.float64,
+                                 eps_abs=1e-8, eps_rel=1e-8)
+    ranks = [np.linalg.matrix_rank(np.asarray(c), tol=1e-6)
+             for c in res.coef]
+    assert ranks[0] == 0
+    assert all(ranks[i] <= ranks[i + 1] for i in range(len(ranks) - 1))
+    rs = multitask_nuclear_path(X, Y, nlambda=6, dtype=jnp.float64,
+                                eps_abs=1e-8, eps_rel=1e-8,
+                                path_mode="scan")
+    assert np.abs(np.asarray(res.coef) - np.asarray(rs.coef)).max() < 1e-5
+    # Recovery: best path point approximates the plant.
+    errs = [np.abs(np.asarray(c) - B0).max() for c in res.coef]
+    assert min(errs) < 0.15
+    with pytest.raises(ValueError, match="penalty"):
+        multitask_nuclear_path(X, Y, penalty_factor=np.ones(X.shape[1]))
+    from admm_tpu.models.multitask import multitask_lasso_path
+
+    with pytest.raises(ValueError, match="penalty"):
+        multitask_lasso_path(X, Y, penalty="nope")
+
+
+def test_nuclear_cv_onepass_matches_loop():
+    from admm_tpu.models.cv import cv_multitask_lasso_path
+
+    X, Y, _ = _low_rank_problem(n=120, p=8, K=3, seed=4)
+    kw = dict(nfolds=4, nlambda=4, seed=3, penalty="nuclear",
+              eps_abs=1e-7, eps_rel=1e-7)
+    one = cv_multitask_lasso_path(X, Y, cv_mode="onepass", **kw)
+    loop = cv_multitask_lasso_path(X, Y, cv_mode="loop", **kw)
+    assert one.cvm == pytest.approx(loop.cvm, rel=1e-4, abs=1e-6)
+    assert one.lambda_min == loop.lambda_min
