@@ -383,6 +383,18 @@ def _mt_x_update(Xi, yi, rho, *, ntask: int, tall_block: bool):
     return x_update
 
 
+def _mt_nuclear_master_prox(W: int, p: int, K: int):
+    """SVT of the (p, K)-reshaped consensus mean (the trace-norm
+    master of the reduced-rank consensus path):
+    argmin_Z lam ||Z||_* + W rho/2 ||Z - m||_F^2 = svt(m, lam/(W rho))."""
+    from ..models.rpca import svt
+
+    def prox(zbar, lam, rho):
+        return svt(zbar.reshape(p, K), lam / (W * rho)).reshape(p * K)
+
+    return prox
+
+
 def _mt_master_prox(W: int, p: int, K: int, alpha: float = 1.0):
     """Row-norm group soft-threshold of the (p, K)-reshaped consensus
     mean (the multi-task mixed-norm master); ``alpha < 1`` adds the
@@ -1229,17 +1241,24 @@ def parallel_multitask_lasso_path(
         standardize: bool = True,
         intercept: bool = True, maxit: int = 10000,
         eps_abs: float = 1e-5, eps_rel: float = 1e-5, rho: float = -1.0,
-        trace_len: Optional[int] = None, dtype=jnp.float32):
+        trace_len: Optional[int] = None, penalty: str = "rows",
+        dtype=jnp.float32):
     """Consensus MULTI-TASK Lasso over the mesh (extension): per-worker
     cached ridge solves with a MATRIX right-hand side (tall direct /
     wide Woodbury, the K-column generalization of the reference's
     per-worker factorizations, reference: src/PADMMLasso.h:17-31), the
-    master applying the row-norm mixed prox; one fused psum of length
-    p*K + 3 per iteration.  Converges to
+    master applying the row-norm mixed prox — or the SVT trace-norm
+    prox with ``penalty="nuclear"`` (the reduced-rank consensus path);
+    one fused psum of length p*K + 3 per iteration.  Converges to
     :func:`admm_tpu.models.multitask.multitask_lasso_path` (tested).
     """
     from ..models.multitask import MTPathResult, _mt_lambda0
 
+    if penalty not in ("rows", "nuclear"):
+        raise ValueError("penalty must be 'rows' or 'nuclear'")
+    if penalty == "nuclear" and alpha != 1.0:
+        raise ValueError("alpha is a row concept; the nuclear penalty "
+                         "does not support it")
     if not (0.0 < alpha <= 1.0):
         raise ValueError("alpha must be in (0, 1]")
     X = jnp.asarray(X, dtype)
@@ -1256,7 +1275,7 @@ def parallel_multitask_lasso_path(
     Xs, Ys, sd_x, sd_y, mean_x, mean_y, _w = mt_standardize(
         X, Y, standardize_x=standardize, intercept=intercept)
 
-    lam0 = _mt_lambda0(Xs, Ys, alpha=alpha) / n
+    lam0 = _mt_lambda0(Xs, Ys, alpha=alpha, penalty=penalty) / n
     if lambdas is not None:
         lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
     else:
@@ -1271,7 +1290,9 @@ def parallel_multitask_lasso_path(
         _consensus_shard, nworkers=W,
         make_x_update=partial(_mt_x_update, ntask=K,
                               tall_block=rows_w >= p),
-        master_prox=_mt_master_prox(W, p, K, float(alpha)),
+        master_prox=(_mt_nuclear_master_prox(W, p, K)
+                     if penalty == "nuclear"
+                     else _mt_master_prox(W, p, K, float(alpha))),
         # Consensus-lasso auto-rho rule (reference:
         # src/PADMMLasso.h:199-200), on the internal lambda scale.
         auto_rho=lambda lam_first: lam_first / W,

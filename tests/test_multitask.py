@@ -354,3 +354,21 @@ def test_nuclear_cv_onepass_matches_loop():
     loop = cv_multitask_lasso_path(X, Y, cv_mode="loop", **kw)
     assert one.cvm == pytest.approx(loop.cvm, rel=1e-4, abs=1e-6)
     assert one.lambda_min == loop.lambda_min
+
+
+def test_parallel_nuclear_matches_serial():
+    """Consensus reduced-rank path (SVT master prox on the flattened
+    consensus engine) agrees with the serial solver on the 8-device
+    mesh."""
+    from admm_tpu.models.multitask import multitask_nuclear_path
+    from admm_tpu.parallel.consensus import parallel_multitask_lasso_path
+
+    X, Y, _ = _low_rank_problem(n=160, p=10, K=3, seed=5)
+    lams = np.array([0.2, 0.05])
+    par = parallel_multitask_lasso_path(X, Y, lambdas=lams, nworkers=8,
+                                        penalty="nuclear",
+                                        eps_abs=1e-7, eps_rel=1e-7)
+    ser = multitask_nuclear_path(X, Y, lambdas=lams, eps_abs=1e-7,
+                                 eps_rel=1e-7)
+    gap = np.abs(np.asarray(par.coef) - np.asarray(ser.coef)).max()
+    assert gap < 2e-3, gap
