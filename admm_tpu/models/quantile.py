@@ -52,7 +52,6 @@ from ..core.prox import l2norm, soft_threshold, sqnorm
 from ..data.standardize import _guard
 from ..linalg import chol_inverse, dot, gram
 from .lad import _asym_soft_threshold
-from .lasso import PathResult
 from .sqrtlasso import _stacked_ops
 
 
@@ -221,6 +220,8 @@ def _quantile_path_dev(X, y, taus, nlambda, lambda_min_ratio, user_lams,
         )(taus) * sd_y / n * (1.0 + 1e-4)
         lams = jnp.exp(jax.vmap(lambda l0: jnp.linspace(
             jnp.log(l0), jnp.log(lambda_min_ratio * l0), nlambda))(lam0s))
+    elif user_lams.ndim == 2:
+        lams = user_lams          # per-tau grids (the CV fold sweep)
     else:
         lams = jnp.broadcast_to(user_lams[None, :], (T,) +
                                 user_lams.shape)
@@ -373,12 +374,10 @@ def cv_quantile_lasso_path(X, y, *, tau=0.5, nfolds: int = 10,
                                intercept=intercept, weights=weights,
                                maxit=maxit, eps_abs=eps_abs,
                                eps_rel=eps_rel, rho=rho, dtype=dtype)
-    # Fold fits share ONE grid per tau (the full-data grids) so the CV
-    # curve is a function of the returned lambdas; explicit lambdas are
-    # already shared.  The shared-grid fold sweep needs a single
-    # lambda axis, so folds reuse the full fit's per-tau grids via the
-    # user-lambda path ONLY when they coincide (scalar tau or explicit
-    # lambdas); otherwise each tau is swept with its own grid.
+    # Fold fits share the full-data per-tau grids (glmnet convention);
+    # the (T, L) grid matrix feeds the fold sweep directly, so ALL
+    # folds x taus x lambdas run as one compiled program and one
+    # host pull.
     lams_all = np.asarray(full.lambdas, np.float64)     # (T, L)
     foldid, nfolds = _cv_foldid(n, nfolds, seed, foldid)
     masks = (foldid[None, :] != np.arange(nfolds)[:, None]
@@ -391,16 +390,15 @@ def cv_quantile_lasso_path(X, y, *, tau=0.5, nfolds: int = 10,
 
     eta = np.empty((n, T, L))
     if cv_mode == "onepass":
-        for t in range(T):   # per-tau sweep: each tau has its own grid
-            eta[:, t:t + 1, :] = np.asarray(_quantile_fold_etas(
-                jnp.asarray(X_np, dtype), jnp.asarray(y_np, dtype),
-                jnp.asarray(taus_np[t:t + 1], dtype),
-                jnp.asarray(lams_all[t], dtype),
-                jnp.asarray(masks, dtype),
-                jnp.asarray(np.clip(foldid, 0, None), jnp.int32),
-                jnp.asarray(rho, dtype), maxit, eps_abs, eps_rel,
-                standardize_x=standardize, intercept=intercept),
-                np.float64)
+        eta = np.asarray(_quantile_fold_etas(
+            jnp.asarray(X_np, dtype), jnp.asarray(y_np, dtype),
+            jnp.asarray(taus_np, dtype),
+            jnp.asarray(lams_all, dtype),
+            jnp.asarray(masks, dtype),
+            jnp.asarray(np.clip(foldid, 0, None), jnp.int32),
+            jnp.asarray(rho, dtype), maxit, eps_abs, eps_rel,
+            standardize_x=standardize, intercept=intercept),
+            np.float64)
     else:
         for f in range(nfolds):
             tr = foldid != f

@@ -70,6 +70,12 @@ class RPCAResult(NamedTuple):
     lam: jnp.ndarray       # the sparsity penalty used
     niter: jnp.ndarray     # int32 ADMM iterations
     trace: Optional[jnp.ndarray] = None
+    # Partial-SVT solves only (rank= given): True when EVERY basis
+    # direction of the rank + oversample subspace survived the final
+    # threshold — the returned decomposition may then be truncated
+    # (the optimum's rank can exceed the basis) and ``rank`` should be
+    # raised.  None for exact-SVD solves (never truncated).
+    rank_saturated: Optional[jnp.ndarray] = None
 
 
 class RPCAPathResult(NamedTuple):
@@ -230,8 +236,18 @@ def _rpca_dev(M0, lam, rho0, maxit, eps_abs, eps_rel, trace_len=None,
         st = solve(st0, maxit, eps_abs, eps_rel)
         buf = None
     LS = report(st)
+    saturated = None
+    if rank is not None:
+        # Exactness certificate (RPCAResult.rank_saturated): the SVT's
+        # truncation is invisible to the residuals it feeds, so check
+        # whether the FINAL iterate fills its whole basis — if all
+        # r + oversample directions survive the 1/rho threshold, the
+        # discarded complement may too.
+        r_eff = min(int(rank) + _SVT_OVERSAMPLE, *M0.shape)
+        sv = jnp.linalg.svd(LS[0], compute_uv=False)
+        saturated = jnp.sum(sv > 0.5 / st.rho) >= r_eff
     return RPCAResult(low_rank=LS[0], sparse=LS[1], lam=st.lam,
-                      niter=st.it, trace=buf)
+                      niter=st.it, trace=buf, rank_saturated=saturated)
 
 
 @partial(jax.jit, static_argnames=("rank", "power_iters"))
@@ -355,9 +371,12 @@ def rpca(M, *, lam: Optional[float] = None, observed=None,
     ``rank``: expected upper bound on the low-rank part's rank —
     switches the L-update to the warm-started partial SVT (measured
     faster past the DESIGN.md crossover; the exact SVD remains the
-    default).  ``power_iters``: subspace-iteration refinements per
-    SVT call (2 suffices with the warm start; raise for ill-separated
-    spectra)."""
+    default).  The bound must hold at the SOLUTION: check the returned
+    ``rank_saturated`` flag — True means every basis direction
+    survived the final threshold and the decomposition may be
+    truncated (raise ``rank`` and re-solve).  ``power_iters``:
+    subspace-iteration refinements per SVT call (2 suffices with the
+    warm start; raise for ill-separated spectra)."""
     M = jnp.asarray(M, dtype)
     if M.ndim != 2:
         raise ValueError("M must be a 2-D matrix")

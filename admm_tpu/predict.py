@@ -121,6 +121,14 @@ def predict(result, X, *, lam=None,
     from .models.quantile import QuantilePathResult
     from .models.svm import SVMResult
 
+    if (isinstance(result, dict)
+            and isinstance(result.get("fit"), QuantilePathResult)):
+        # cv_quantile_lasso_path returns a dict; predict through its
+        # full-data fit.  String lam selectors resolve PER TAU after
+        # the lane is chosen below.
+        cv_qdict, result = result, result["fit"]
+    else:
+        cv_qdict = None
     if isinstance(result, QuantilePathResult):
         taus = np.asarray(result.taus, np.float64)
         if tau is None:
@@ -140,6 +148,16 @@ def predict(result, X, *, lam=None,
                             beta0=result.beta0[ti],
                             coef=result.coef[ti],
                             niter=result.niter[ti])
+        if cv_qdict is not None:
+            if lam is None:
+                lam = "lambda_min"
+            if isinstance(lam, str):
+                key = lam.replace(".", "_")
+                if key not in ("lambda_min", "lambda_1se"):
+                    raise ValueError("lam must be numeric, 'lambda.min'"
+                                     " or 'lambda.1se' for quantile CV "
+                                     "results")
+                lam = float(np.asarray(cv_qdict[key])[ti])
     elif tau is not None:
         raise ValueError("tau= applies to quantile path results only")
 

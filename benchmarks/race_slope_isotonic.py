@@ -30,9 +30,6 @@ def main():
                           jnp.float32)
         row = {}
         for method in ("dense", "pava"):
-            if method == "dense" and p > 8192:
-                continue
-
             def one(i, v, lam):
                 vv = v * (1.0 + 1e-6 * (i + 1).astype(v.dtype))
                 return jnp.sum(prox_sorted_l1(vv, lam, method=method))

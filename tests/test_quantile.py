@@ -157,3 +157,17 @@ def test_predict_selects_tau_lane():
         predict(r, X)
     with pytest.raises(ValueError, match="not on the fitted grid"):
         predict(r, X, tau=0.55)
+
+
+def test_predict_from_cv_dict():
+    from admm_tpu.predict import predict
+
+    X, y = _problem(n=120, p=6, seed=8)
+    cv = cv_quantile_lasso_path(X, y, tau=[0.3, 0.7], nfolds=3,
+                                nlambda=4, maxit=20000)
+    eta = predict(cv, X, tau=0.3)              # lambda_min default
+    assert eta.shape == (120,)
+    e2 = predict(cv, X, tau=0.3, lam="lambda.1se")
+    assert e2.shape == (120,)
+    with pytest.raises(ValueError, match="lambda"):
+        predict(cv, X, tau=0.3, lam="nope")

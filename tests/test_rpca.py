@@ -205,3 +205,19 @@ def test_matrix_completion_exact():
     assert np.abs((L - L0)[mask]).max() < 1e-6
     with pytest.raises(ValueError, match="shape"):
         matrix_complete(M, mask[:, :10])
+
+
+def test_rank_saturated_flag():
+    """The partial-SVT exactness certificate: an adequate rank hint
+    reports False; a rank hint whose whole basis survives thresholding
+    (forced by running at a huge lambda where L ~ M is near full rank)
+    reports True.  Exact solves carry None."""
+    L0, S0, M = _planted(seed=13)
+    ok = rpca(M, rank=3, dtype=jnp.float64, eps_abs=1e-8, eps_rel=1e-8)
+    assert ok.rank_saturated is not None and not bool(ok.rank_saturated)
+    # lam >> lam*: S empties and the optimal L approaches the
+    # (full-rank) data matrix — a rank-1 basis must saturate.
+    bad = rpca(M, rank=1, lam=5.0, dtype=jnp.float64, maxit=2000)
+    assert bool(bad.rank_saturated)
+    exact = rpca(M, dtype=jnp.float64, maxit=500)
+    assert exact.rank_saturated is None
