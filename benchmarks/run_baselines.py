@@ -501,12 +501,14 @@ def bench_round4(fast):
         value=amortized_ms(partial(one_gl, mode="scan"), *ks, args=(S,)),
         baseline_ms=None,
         note="20-lambda sparse-precision path, p=200, warm-started scan "
-             "(the measured default — DESIGN.md); extension (reference "
-             "is regression-only)")
+             "with the Newton-Schulz logdet prox (the measured defaults "
+             "— DESIGN.md; 28x over the r4 eigh prox); extension "
+             "(reference is regression-only)")
     out["glasso_path_p200_20lambdas_batch_ms"] = dict(
         value=amortized_ms(one_gl, *ks, args=(S,)), baseline_ms=None,
-        note="batched eigh lanes for the same path (loses 2.4x: "
-             "eigh-dominated iterations don't amortize across lanes)")
+        note="batched lanes for the same path (loses ~2x: iterations "
+             "don't amortize across lanes, and batch runs to the "
+             "slowest cold lane)")
 
     # Linear SVM: n=2000, p=100, 20-C path (shared factorization).
     Xs = rng.normal(size=(2000, 100)).astype(np.float32)

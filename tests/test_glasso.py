@@ -68,6 +68,40 @@ def test_batch_scan_agree():
     assert np.asarray(rb.lambdas) == pytest.approx(np.asarray(rs.lambdas))
 
 
+def test_newton_eigh_xupdates_agree():
+    """The Newton-Schulz logdet prox must reproduce the eigh form —
+    as a raw prox across the rho ladder's whole range in BOTH dtypes,
+    and through the full f32 path (the shipping configuration)."""
+    from admm_tpu.models.glasso import (_logdet_prox_eigh,
+                                        _logdet_prox_newton)
+
+    rng = np.random.default_rng(3)
+    p = 40
+    B = rng.normal(size=(p, p))
+    G = jnp.asarray(0.5 * (B + B.T))
+    for rho in (0.05, 1.0, 64.0):
+        for dt, tol in ((jnp.float32, 5e-5), (jnp.float64, 1e-11)):
+            Gd = jnp.asarray(G, dt)
+            a = np.asarray(_logdet_prox_newton(Gd, rho))
+            b = np.asarray(_logdet_prox_eigh(Gd, rho))
+            rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+            assert rel < tol, (rho, dt, rel)
+            # the prox output must satisfy rho*Theta - Theta^{-1} = G
+            kkt = rho * a - np.linalg.inv(np.asarray(a, np.float64))
+            assert np.abs(kkt - np.asarray(Gd, np.float64)).max() < (
+                1e-3 if dt == jnp.float32 else 1e-9)
+
+    _, S = _problem()
+    rn = glasso_path(cov=S.astype(np.float32), nlambda=8)
+    re = glasso_path(cov=S.astype(np.float32), nlambda=8,
+                     xupdate="eigh")
+    gap = np.abs(np.asarray(rn.precision) - np.asarray(re.precision))
+    assert gap.max() < 5e-3, gap.max()
+    # solver effort is the same algorithm: iteration totals track
+    assert abs(int(rn.niter.sum()) - int(re.niter.sum())) <= int(
+        0.1 * int(re.niter.sum())) + 8
+
+
 def test_kkt_certificate():
     """At the optimum: S - Theta^{-1} + lam * G = 0 with G in the
     subdifferential of the masked l1 norm — |S_ij - W_ij| <= lam on
