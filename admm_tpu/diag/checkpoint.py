@@ -631,13 +631,13 @@ def checkpointed_glasso_path(
         chunk_size: int = 5, weights=None,
         penalize_diagonal: bool = False, assume_centered: bool = False,
         maxit: int = 10000, eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-        rho: float = -1.0, dtype=jnp.float32,
+        rho: float = -1.0, xupdate: str = "newton", dtype=jnp.float32,
         _stop_after_chunks: Optional[int] = None):
     """Graphical-lasso lambda path in resumable chunks — the warm-started
     scan over the (p, p) matrix state (models/glasso.py); the covariance
-    matrix and penalty convention enter the fingerprint.  The adaptive
-    rho rides the saved state, so a resumed run continues the same
-    ladder bit-exactly."""
+    matrix, penalty convention and x-update choice enter the
+    fingerprint.  The adaptive rho rides the saved state, so a resumed
+    run continues the same ladder bit-exactly."""
     from ..models.glasso import (GlassoResult, _glasso_engine,
                                  empirical_covariance)
 
@@ -655,10 +655,11 @@ def checkpointed_glasso_path(
                 else 1.0 - eye)
     lams = jnp.sort(jnp.asarray(lambdas, dtype))[::-1]
 
-    st0, solve, report = _glasso_engine(S, pen_mask, lams[0], rho)
+    st0, solve, report = _glasso_engine(S, pen_mask, lams[0], rho,
+                                        xupdate)
     fp = _fingerprint(S, jnp.zeros((1,), dtype), lams, 1.0, maxit,
                       eps_abs, eps_rel, rho, False, False,
-                      penalize_diagonal, model="glasso")
+                      penalize_diagonal, model="glasso-" + xupdate)
     segment = jax.jit(lambda st, il, m, ea, er: _scan_path(
         st, solve, report, il, m, ea, er)[:3])
     out = _chunked_scan(st0, segment, lams, maxit, eps_abs, eps_rel,

@@ -338,9 +338,9 @@ def _fold_cov(X, w):
     return dot((Xc * w[:, None]).T, Xc) / sw, mu
 
 
-@partial(jax.jit, static_argnames=("penalize_diagonal",))
+@partial(jax.jit, static_argnames=("penalize_diagonal", "xupdate"))
 def _cv_glasso_core(X, masks, w, lams, rho0, maxit, eps_abs, eps_rel,
-                    *, penalize_diagonal):
+                    *, penalize_diagonal, xupdate="newton"):
     """The whole fold sweep as ONE compiled program (cv.py onepass
     protocol): fold f's training covariance is the weighted covariance
     with weight 0 on held-out rows, all folds' paths solve as vmapped
@@ -362,7 +362,8 @@ def _cv_glasso_core(X, masks, w, lams, rho0, maxit, eps_abs, eps_rel,
         # Scan protocol inside the fold vmap (the measured glasso
         # default): folds advance their warm-started paths in lockstep.
         precs, _, _ = _solve_glasso(S_f, pen_mask, lams, rho0, maxit,
-                                    eps_abs, eps_rel, "scan")
+                                    eps_abs, eps_rel, "scan",
+                                    xupdate=xupdate)
         return precs, mu_f
 
     precs, mus = jax.vmap(fold_fit)(masks)      # (F, L, p, p), (F, p)
@@ -387,7 +388,8 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
                    nlambda: int = 20, lambda_min_ratio: float = 1e-2,
                    penalize_diagonal: bool = False, maxit: int = 10000,
                    eps_abs: float = 1e-5, eps_rel: float = 1e-5,
-                   rho: float = -1.0, seed: int = 0, fold_mesh=None,
+                   rho: float = -1.0, xupdate: str = "newton",
+                   seed: int = 0, fold_mesh=None,
                    dtype=jnp.float32) -> CVGlassoResult:
     """K-fold CV for the graphical lasso (sklearn's ``GraphicalLassoCV``
     analog), scored by the held-out Gaussian negative log-likelihood
@@ -424,7 +426,7 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
                       lambda_min_ratio=lambda_min_ratio,
                       penalize_diagonal=penalize_diagonal, maxit=maxit,
                       eps_abs=eps_abs, eps_rel=eps_rel, rho=rho,
-                      dtype=dtype)
+                      xupdate=xupdate, dtype=dtype)
     lams = fit.lambdas
 
     masks = jnp.asarray(
@@ -438,7 +440,8 @@ def cv_glasso_path(X, *, nfolds: int = 10, foldid=None, weights=None,
         masks = _shard_folds(masks, fold_mesh)
     quad, logdet = _cv_glasso_core(
         Xd, masks, w, lams, jnp.asarray(rho, dtype), maxit, eps_abs,
-        eps_rel, penalize_diagonal=bool(penalize_diagonal))
+        eps_rel, penalize_diagonal=bool(penalize_diagonal),
+        xupdate=xupdate)
     quad = np.asarray(quad)          # (n, L)
     logdet = np.asarray(logdet)      # (F, L)
 
